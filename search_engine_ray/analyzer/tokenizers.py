@@ -1,0 +1,134 @@
+"""Tokenizers — the correctness contract of the whole engine.
+
+Semantics are EXACTLY those of the reference's analyzers (re-implemented, not
+copied — the reference walks chars with a StringBuilder; we use an equivalent
+compiled regex over runs of non-separator chars, which produces identical
+token streams and positions):
+
+* ``StandardTokenizer``: split at any char of a fixed 29-char punctuation set
+  (including Unicode curly quotes, NOT tab/``=``/``&``/``_``/digits); a token
+  is a maximal run of non-separator chars; ``position`` = char index of the
+  token's first char within its line; trailing token without separator is
+  emitted; empty/None input -> no tokens. No lowercasing / stemming /
+  stopwords; matching is case-sensitive.
+  (ref: engine/src/main/java/org/search/engine/analyzer/StandardTokenizer.java:14-49)
+* ``WhitespaceTokenizer``: same loop, splitting only on U+0020.
+  (ref: engine/.../analyzer/WhitespaceTokenizer.java:15-47)
+
+Documents are tokenized line by line, mirroring the reference's
+``Files.lines`` -> per-line tokenize (ref: engine/.../index/
+AbstractDocumentReadTask.java:31-50, IndexationSchedulerTask.java:42-45).
+Line splitting matches Java ``BufferedReader.readLine``: terminators are
+``\\n``, ``\\r`` and ``\\r\\n`` only (NOT the wider Unicode set Python's
+``str.splitlines`` uses).
+
+The tokenizer is a plug-in point, as in the reference
+(engine/.../analyzer/Tokenizer.java:11-20): ``register_tokenizer`` lets users
+supply their own; pipelines refer to tokenizers by name so the choice is
+recorded in index manifests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator
+
+# The reference's punctuation set, verbatim
+# (StandardTokenizer.java:14-16). Order irrelevant; membership is what matters.
+STANDARD_SEPARATORS = (
+    ".", ",", "!", "?", ":", ";", '"', "'", "(", ")",
+    "[", "]", "/", "-", "“", "”", " ", "<", ">", "{",
+    "}", "+", "*", "^", "#", "~", "%", "$", "@",
+)
+
+# Java BufferedReader.readLine terminators (NOT str.splitlines).
+_LINE_RE = re.compile("\r\n|\r|\n")
+
+
+def split_lines(text: str) -> list[str]:
+    """Split like ``Files.lines`` (terminators: \\n, \\r, \\r\\n)."""
+    return _LINE_RE.split(text)
+
+
+class Tokenizer:
+    """Base tokenizer: maximal runs of non-separator characters.
+
+    Subclasses define ``separators``. ``tokenize(line)`` returns
+    ``[(content, position), ...]`` with position = char index of token start
+    in the line — identical output to the reference's char-walk loop.
+    """
+
+    name = "base"
+    separators: tuple[str, ...] = ()
+
+    def __init__(self) -> None:
+        cls = "".join(re.escape(c) for c in self.separators)
+        self._token_re = re.compile(f"[^{cls}]+")
+
+    def tokenize(self, line: str | None) -> list[tuple[str, int]]:
+        if not line:
+            return []
+        return [(m.group(), m.start()) for m in self._token_re.finditer(line)]
+
+    def tokens_only(self, line: str | None) -> list[str]:
+        """Just token contents (skips position bookkeeping — hot path)."""
+        if not line:
+            return []
+        return self._token_re.findall(line)
+
+    def iter_document(self, text: str | None) -> Iterator[tuple[int, str, int]]:
+        """Yield ``(row, token, col)`` over a whole document, row 1-based,
+        line-by-line like the reference's per-line indexing."""
+        if not text:
+            return
+        for row, line in enumerate(split_lines(text), start=1):
+            for tok, col in self.tokenize(line):
+                yield row, tok, col
+
+    def document_tokens(self, text: str | None) -> list[str]:
+        """Flat token stream of a document (line-split then tokenized)."""
+        if not text:
+            return []
+        out: list[str] = []
+        for line in split_lines(text):
+            out.extend(self._token_re.findall(line))
+        return out
+
+
+class StandardTokenizer(Tokenizer):
+    name = "standard"
+    separators = STANDARD_SEPARATORS
+
+
+class WhitespaceTokenizer(Tokenizer):
+    name = "whitespace"
+    separators = (" ",)
+
+
+# position packing used in posting lists: pos = (row << 32) | col, int64.
+def pack_position(row: int, col: int) -> int:
+    return (row << 32) | col
+
+
+def unpack_position(pos: int) -> tuple[int, int]:
+    return pos >> 32, pos & 0xFFFFFFFF
+
+
+_REGISTRY: dict[str, Callable[[], Tokenizer]] = {
+    "standard": StandardTokenizer,
+    "whitespace": WhitespaceTokenizer,
+}
+
+
+def register_tokenizer(name: str, factory: Callable[[], Tokenizer]) -> None:
+    """User extension point (ref: analyzer/Tokenizer.java:11-20, README.md:25-29)."""
+    _REGISTRY[name] = factory
+
+
+def get_tokenizer(name: str) -> Tokenizer:
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise KeyError(
+            f"unknown tokenizer {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None

@@ -1,0 +1,138 @@
+"""Pure-Python single-process oracle — the rank-identity ground truth.
+
+The reference returns UNRANKED doc sets capped at 100
+(ref: engine/src/main/java/org/search/engine/search/SimpleSearchManager.java:64-70);
+it has no scoring. Rank identity for BM25 is therefore established against
+this oracle: a plain dict inverted index (the radix tree's term->docset
+semantics without the tree) + standard BM25, sharing with the engine ONLY the
+leaf-level pure functions that define the contract (tokenizer, extractor,
+doc-id hash, the BM25 arithmetic in codec.py) — the data layout, shuffle and
+execution are entirely independent, so agreement is meaningful.
+
+Determinism invariants shared with the engine:
+* doc_id = blake2b64(url) (idhash.py),
+* dedup rule: keep the row with max warc_ts per url,
+* scores accumulate per doc over query terms in LEXICOGRAPHIC term order
+  (fixes float addition order across engines),
+* top-k tie-break: (score desc, doc_id asc).
+
+Search types mirror the reference's SearchType
+(ref: engine/.../model/SearchType.java:3-5):
+``exact`` (EXACT_MATCH), ``prefix`` (START_WITH, radix-subtree union —
+ref: tree/SearchEngineConcurrentTree.java:176-195), ``or``
+(WITH_SUGGESTIONS multi-query union — ref: SimpleSearchManager.java:61-62).
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.analyzer.tokenizers import get_tokenizer, pack_position
+from search_engine_ray.codec import BM25_B, BM25_K1, bm25_idf, bm25_partial
+from search_engine_ray.extract import extract_text
+from search_engine_ray.idhash import doc_id_for_url
+
+
+def resolve_text(text: str | None, html: bytes | None) -> str:
+    """The engine-wide rule: use ``text`` when present, else extract."""
+    return text if text is not None else extract_text(html)
+
+
+def dedup_latest(pages: pa.Table) -> list[dict]:
+    """Keep max-warc_ts row per url; deterministic; returns python rows."""
+    best: dict[str, dict] = {}
+    for row in pages.to_pylist():
+        cur = best.get(row["url"])
+        if cur is None or row["warc_ts"] > cur["warc_ts"]:
+            best[row["url"]] = row
+    return [best[u] for u in sorted(best)]
+
+
+class OracleIndex:
+    def __init__(self, tokenizer: str = "standard"):
+        self.tokenizer_name = tokenizer
+        self._tok = get_tokenizer(tokenizer)
+        # term -> {doc_id: (tf, [packed positions])}
+        self.postings: dict[str, dict[int, tuple[int, list[int]]]] = {}
+        self.doc_len: dict[int, int] = {}
+        self.url_of: dict[int, str] = {}
+        self.n_docs = 0
+        self.avgdl = 0.0
+
+    @classmethod
+    def build(cls, pages: pa.Table, tokenizer: str = "standard") -> "OracleIndex":
+        self = cls(tokenizer)
+        for row in dedup_latest(pages):
+            text = resolve_text(row["text"], row["html"])
+            doc_id = doc_id_for_url(row["url"])
+            per_doc: dict[str, tuple[int, list[int]]] = {}
+            n_tok = 0
+            for r, tok, c in self._tok.iter_document(text):
+                n_tok += 1
+                tf, poss = per_doc.get(tok, (0, []))
+                poss.append(pack_position(r, c))
+                per_doc[tok] = (tf + 1, poss)
+            self.doc_len[doc_id] = n_tok
+            self.url_of[doc_id] = row["url"]
+            for tok, (tf, poss) in per_doc.items():
+                self.postings.setdefault(tok, {})[doc_id] = (tf, poss)
+        self.n_docs = len(self.doc_len)
+        self.avgdl = (
+            float(sum(self.doc_len.values())) / self.n_docs if self.n_docs else 0.0
+        )
+        self._sorted_terms = sorted(self.postings)
+        return self
+
+    # --- query side -------------------------------------------------------
+
+    def expand(self, queries: list[str], search_type: str) -> list[str]:
+        """Resolve a query to the concrete sorted term list it scores."""
+        if search_type == "exact":
+            terms = [q for q in queries[:1] if q in self.postings]
+        elif search_type == "or":
+            terms = [q for q in queries if q in self.postings]
+        elif search_type == "prefix":
+            p = queries[0]
+            lo = bisect_left(self._sorted_terms, p)
+            terms = []
+            for t in self._sorted_terms[lo:]:
+                if not t.startswith(p):
+                    break
+                terms.append(t)
+        else:
+            raise ValueError(f"unknown search_type {search_type!r}")
+        return sorted(set(terms))
+
+    def search(
+        self, queries: list[str], search_type: str = "exact", k: int = 10,
+        k1: float = BM25_K1, b: float = BM25_B,
+    ) -> list[tuple[int, float, str]]:
+        """BM25 top-k over the expanded term set; returns (doc_id, score, url)."""
+        terms = self.expand(queries, search_type)
+        acc: dict[int, float] = {}
+        for t in terms:  # lexicographic order — float-add order invariant
+            plist = self.postings[t]
+            idf = bm25_idf(self.n_docs, len(plist))
+            for doc_id in sorted(plist):
+                tf, _ = plist[doc_id]
+                partial = bm25_partial(
+                    np.array([tf]), np.array([self.doc_len[doc_id]]),
+                    self.avgdl, k1, b,
+                )[0]
+                acc[doc_id] = acc.get(doc_id, 0.0) + idf * float(partial)
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(d, s, self.url_of[d]) for d, s in ranked]
+
+    def matched_rows(self, doc_id: int, term: str) -> dict[int, list[int]]:
+        """row -> [cols] for a term in a doc (the reference's per-doc rescan,
+        ref: SimpleSearchManager.java:187-214), from stored positions."""
+        entry = self.postings.get(term, {}).get(doc_id)
+        if not entry:
+            return {}
+        out: dict[int, list[int]] = {}
+        for p in entry[1]:
+            out.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+        return out
