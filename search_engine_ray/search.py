@@ -1,0 +1,345 @@
+"""Query engine over index artifacts: exact / prefix / OR BM25 top-k.
+
+Mirrors the reference's search surface (ref: engine/src/main/java/org/search/
+engine/search/SimpleSearchManager.java:50-85, model/SearchType.java:3-5):
+
+* ``exact``   — EXACT_MATCH: one term, hash-routed to its bucket (the
+  reference walks the radix tree, :163-174),
+* ``or``      — WITH_SUGGESTIONS: union over the query list (:61-62),
+* ``prefix``  — START_WITH: radix-subtree union (:176-195) — here a binary
+  search in each bucket's term-sorted postings file; hash partitioning
+  destroys prefix locality, so prefix queries fan out to ALL buckets
+  (SURVEY.md §7.3) — each fan-out is one P-way binary search, cheap.
+
+Ranking is BM25 (the reference returns an UNRANKED list capped at 100,
+:64-70 — scoring is our extension, checked against oracle.py). Two exact
+scorers, verified identical:
+
+* ``taat`` — term-at-a-time, fully vectorized: concatenate posting arrays in
+  lexicographic term order, stable-sort by doc id, ``np.add.reduceat`` per
+  doc (preserves the float-addition-order invariant shared with the oracle).
+* ``bmw``  — document-at-a-time block-max WAND: per-term cursors with
+  (last_docid, max_partial) block metadata; candidates whose upper bound
+  cannot beat the current k-th score are skipped without scoring. Postings
+  here are decoded in memory per query (bucket files are columnar and
+  cached); block-max skipping saves scoring work, and on disk the same
+  metadata enables block-level IO skipping when postings are chunked.
+
+Determinism: scores accumulate per doc over query terms in lexicographic
+term order; final order is (score desc, doc_id asc); float64 throughout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from bisect import bisect_left
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from search_engine_ray.analyzer.tokenizers import get_tokenizer
+from search_engine_ray.codec import (
+    bm25_idf,
+    decode_blockmax,
+    decode_posting,
+)
+from search_engine_ray.stages.tokenize import term_bucket
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("rank", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+        ("url", pa.string()),
+    ]
+)
+
+
+class _Bucket:
+    """One loaded bucket: term-sorted arrays + lazy posting decode."""
+
+    __slots__ = ("terms", "df", "docs_vb", "tfs_vb", "lens_vb", "pos_vb",
+                 "blockmax", "max_partial")
+
+    def __init__(self, table: pa.Table):
+        self.terms: list[str] = table.column("term").to_pylist()
+        self.df = table.column("df").to_numpy()
+        self.docs_vb = table.column("docs_vb").to_pylist()
+        self.tfs_vb = table.column("tfs_vb").to_pylist()
+        self.lens_vb = table.column("lens_vb").to_pylist()
+        self.pos_vb = table.column("pos_vb").to_pylist()
+        self.blockmax = table.column("blockmax").to_pylist()
+        self.max_partial = table.column("max_partial").to_numpy()
+
+    def find(self, term: str) -> int | None:
+        i = bisect_left(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return None
+
+    def prefix_range(self, prefix: str) -> list[int]:
+        lo = bisect_left(self.terms, prefix)
+        out = []
+        for i in range(lo, len(self.terms)):
+            if not self.terms[i].startswith(prefix):
+                break
+            out.append(i)
+        return out
+
+    def record(self, i: int) -> dict:
+        return {
+            "df": int(self.df[i]),
+            "docs_vb": self.docs_vb[i],
+            "tfs_vb": self.tfs_vb[i],
+            "lens_vb": self.lens_vb[i],
+            "pos_vb": self.pos_vb[i],
+            "blockmax": self.blockmax[i],
+            "max_partial": float(self.max_partial[i]),
+        }
+
+
+class LocalSearcher:
+    """Single-process searcher over index artifacts (the per-shard kernel
+    that serve.py wraps in actors)."""
+
+    def __init__(self, index_root: str, load_docmap: bool = True):
+        self.index_root = index_root
+        with open(os.path.join(index_root, "_manifest.json")) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(index_root, "global_stats.json")) as f:
+            self.stats = json.load(f)
+        self.config = self.manifest["config"]
+        self.num_buckets = int(self.config["num_buckets"])
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.k1 = float(self.config.get("k1", 1.2))
+        self.b = float(self.config.get("b", 0.75))
+        self._tok = get_tokenizer(self.config["tokenizer"])
+        self._buckets: dict[int, _Bucket] = {}
+        self._url_of: dict[int, str] | None = None
+        if load_docmap:
+            self._load_docmap()
+
+    def _load_docmap(self) -> None:
+        t = pq.read_table(os.path.join(self.index_root, "docmap"),
+                          columns=["doc_id", "url"])
+        self._url_of = dict(
+            zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist())
+        )
+
+    def bucket(self, b: int) -> _Bucket:
+        bk = self._buckets.get(b)
+        if bk is None:
+            path = os.path.join(self.index_root, "buckets", f"bucket={b}",
+                                "postings.parquet")
+            bk = _Bucket(pq.read_table(path))
+            self._buckets[b] = bk
+        return bk
+
+    # --- term resolution --------------------------------------------------
+
+    def _posting_for(self, term: str) -> dict | None:
+        bk = self.bucket(term_bucket(term, self.num_buckets))
+        i = bk.find(term)
+        return None if i is None else bk.record(i)
+
+    def expand(self, queries: list[str], search_type: str) -> list[str]:
+        """Concrete sorted term list a query scores (same contract as
+        oracle.OracleIndex.expand)."""
+        if search_type == "exact":
+            cands = queries[:1]
+            terms = [q for q in cands if self._posting_for(q) is not None]
+        elif search_type == "or":
+            terms = [q for q in queries if self._posting_for(q) is not None]
+        elif search_type == "prefix":
+            p = queries[0]
+            terms = []
+            for b in range(self.num_buckets):  # fan out to ALL buckets
+                bk = self.bucket(b)
+                terms.extend(bk.terms[i] for i in bk.prefix_range(p))
+        else:
+            raise ValueError(f"unknown search_type {search_type!r}")
+        return sorted(set(terms))
+
+    def vocabulary_size(self) -> int:
+        """Reference tree.size() (SearchEngineConcurrentTree.java:286-300)."""
+        return sum(len(self.bucket(b).terms) for b in range(self.num_buckets))
+
+    # --- scoring ----------------------------------------------------------
+
+    def _gather(self, terms: list[str]) -> list[tuple[str, dict, float]]:
+        out = []
+        for t in terms:
+            rec = self._posting_for(t)
+            if rec is not None:
+                out.append((t, rec, bm25_idf(self.n_docs, rec["df"])))
+        return out
+
+    def search(
+        self,
+        queries: list[str],
+        search_type: str = "exact",
+        k: int = 10,
+        scorer: str = "taat",
+        with_urls: bool = True,
+    ) -> pa.Table:
+        terms = self.expand(queries, search_type)
+        gathered = self._gather(terms)
+        if scorer == "taat":
+            doc_ids, scores = self._score_taat(gathered, k)
+        elif scorer == "bmw":
+            doc_ids, scores = self._score_bmw(gathered, k)
+        else:
+            raise ValueError(f"unknown scorer {scorer!r}")
+        urls = None
+        if with_urls:
+            if self._url_of is None:
+                self._load_docmap()
+            urls = [self._url_of.get(int(d), "") for d in doc_ids]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(doc_ids) + 1, dtype=np.int32)),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+                "url": pa.array(urls if urls is not None
+                                else [""] * len(doc_ids), pa.string()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+    def _score_taat(self, gathered, k: int):
+        if not gathered:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        id_parts, sc_parts = [], []
+        for _, rec, idf in gathered:  # lexicographic term order
+            dec = decode_posting(rec)
+            partial = _partials(dec, self.avgdl, self.k1, self.b)
+            id_parts.append(dec["docids"])
+            sc_parts.append(idf * partial)
+        ids = np.concatenate(id_parts)
+        scs = np.concatenate(sc_parts)
+        order = np.argsort(ids, kind="mergesort")  # stable: term order kept
+        ids, scs = ids[order], scs[order]
+        starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+        uids = ids[starts]
+        totals = np.add.reduceat(scs, starts)
+        top = np.lexsort((uids, -totals))[:k]
+        return uids[top], totals[top]
+
+    def _score_bmw(self, gathered, k: int):
+        """Exact block-max WAND; identical output to taat."""
+        import heapq
+
+        if not gathered:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cursors = []
+        for t, rec, idf in gathered:
+            dec = decode_posting(rec)
+            lasts, maxs = decode_blockmax(rec["blockmax"])
+            cursors.append({
+                "term": t,
+                "docids": dec["docids"],
+                "partial": idf * _partials(dec, self.avgdl, self.k1, self.b),
+                "ub": idf * rec["max_partial"],
+                "block_last": lasts,
+                "block_ub": idf * maxs,
+                "pos": 0,
+            })
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        theta = -np.inf
+        BS = 128
+
+        def alive(c):
+            return c["pos"] < len(c["docids"])
+
+        while True:
+            cs = [c for c in cursors if alive(c)]
+            if not cs:
+                break
+            cs.sort(key=lambda c: (int(c["docids"][c["pos"]]), c["term"]))
+            # find pivot: smallest doc where cumulative global UBs exceed theta
+            acc = 0.0
+            pivot_i = None
+            for i, c in enumerate(cs):
+                acc += c["ub"]
+                if acc > theta:
+                    pivot_i = i
+                    break
+            if pivot_i is None:
+                break  # even the sum of all UBs can't beat theta
+            pivot_doc = int(cs[pivot_i]["docids"][cs[pivot_i]["pos"]])
+            if int(cs[0]["docids"][cs[0]["pos"]]) == pivot_doc:
+                # block-max refinement on the lists that contain pivot_doc
+                block_acc = 0.0
+                involved = []
+                for c in cs:
+                    if not alive(c):
+                        continue
+                    d = int(c["docids"][c["pos"]])
+                    if d > pivot_doc:
+                        break
+                    bi = np.searchsorted(c["block_last"], pivot_doc)
+                    if bi < len(c["block_last"]):
+                        block_acc += float(c["block_ub"][bi])
+                    involved.append(c)
+                if block_acc > theta:
+                    score = 0.0
+                    for c in sorted(involved, key=lambda c: c["term"]):
+                        d = int(c["docids"][c["pos"]])
+                        if d == pivot_doc:
+                            score += float(c["partial"][c["pos"]])
+                    if score > theta or (len(heap) < k and score > -np.inf):
+                        item = (score, -pivot_doc)
+                        if len(heap) < k:
+                            heapq.heappush(heap, item)
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
+                        if len(heap) == k:
+                            theta = heap[0][0]
+                # advance every cursor sitting on pivot_doc
+                for c in cs:
+                    if alive(c) and int(c["docids"][c["pos"]]) == pivot_doc:
+                        c["pos"] += 1
+            else:
+                # advance lists before the pivot up to pivot_doc; use block
+                # metadata to jump whole blocks
+                for c in cs[:pivot_i]:
+                    if not alive(c):
+                        continue
+                    tgt = pivot_doc
+                    c["pos"] += int(
+                        np.searchsorted(c["docids"][c["pos"]:], tgt, "left")
+                    )
+            _ = BS
+        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+        ids = np.array([-d for _, d in out], dtype=np.int64)
+        scs = np.array([s for s, _ in out], dtype=np.float64)
+        return ids, scs
+
+    # --- per-doc rescan (reference Q3/M9) --------------------------------
+
+    def matched_rows(self, doc_id: int, term: str) -> dict[int, list[int]]:
+        """row -> [cols] from stored positions (the reference re-reads and
+        re-tokenizes the file at query time, SimpleSearchManager.java:187-214;
+        we store positions at build time instead)."""
+        rec = self._posting_for(term)
+        if rec is None or not rec["pos_vb"]:
+            return {}
+        dec = decode_posting(rec, with_positions=True)
+        idx = np.searchsorted(dec["docids"], doc_id)
+        if idx >= len(dec["docids"]) or dec["docids"][idx] != doc_id:
+            return {}
+        starts = np.concatenate(([0], np.cumsum(dec["tfs"])))
+        poss = dec["positions"][starts[idx]:starts[idx + 1]]
+        out: dict[int, list[int]] = {}
+        for p in poss.tolist():
+            out.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+        return out
+
+
+def _partials(dec: dict, avgdl: float, k1: float, b: float) -> np.ndarray:
+    from search_engine_ray.codec import bm25_partial
+
+    return bm25_partial(dec["tfs"], dec["doc_lens"], avgdl, k1, b)

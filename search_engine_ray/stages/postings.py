@@ -1,0 +1,257 @@
+"""Stage 3: term-partitioned posting-list construction.
+
+The reference builds its index by inserting tokens one at a time into a
+shared radix tree under a global write lock, on a single thread
+(ref: engine/src/main/java/org/search/engine/tree/
+SearchEngineConcurrentTree.java:47-147, index/IndexationSchedulerTask.java:33-63).
+The bulk-equivalent relation (term -> sorted doc set with tf/positions) is
+computed here as a shuffle: ``groupby(bucket)`` where
+``bucket = hash(term) % P`` co-locates each term's rows, then a vectorized
+per-bucket build (numpy sort + run-boundary split — ONE Python call per
+bucket, one vectorized encode per term).
+
+Skew handling (north-rule requirement): Zipf head terms make some buckets
+hot. With ``salt = S > 1`` the shuffle key becomes ``(bucket, doc_id % S)``
+— each salted sub-group holds a disjoint doc-id slice of the bucket, so no
+single task materializes a head bucket. ``encode_run`` builds per-salt
+sorted runs; ``merge_runs`` then merges the <=S runs per term (doc-id slices
+are disjoint, so merge = concat + sort) and writes the final artifact.
+``S == 1`` takes the direct single-phase path.
+
+Artifact per bucket (``buckets/bucket={b}/postings.parquet``; term-sorted —
+the flat equivalent of the reference's radix-tree ordering, which is what
+serves prefix queries, ref: SearchEngineConcurrentTree.java:176-195):
+
+    term, df, docs_vb, tfs_vb, lens_vb, pos_vb, blockmax, max_partial
+
+Files are committed atomically (write temp + rename) with a per-bucket
+manifest — the resume unit for mid-shuffle restart (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from search_engine_ray.codec import (
+    bm25_partial,
+    delta_decode,
+    delta_encode,
+    encode_blockmax,
+    varbyte_decode,
+    varbyte_encode,
+)
+from search_engine_ray.state.manifest import write_manifest
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("docs_vb", pa.binary()),
+        ("tfs_vb", pa.binary()),
+        ("lens_vb", pa.binary()),
+        ("pos_vb", pa.binary()),
+        ("blockmax", pa.binary()),
+        ("max_partial", pa.float64()),
+    ]
+)
+
+RUN_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("salt", pa.int32()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("docs_vb", pa.binary()),
+        ("tfs_vb", pa.binary()),
+        ("lens_vb", pa.binary()),
+        ("pos_vb", pa.binary()),
+    ]
+)
+
+
+def _term_slices(terms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end offsets of equal-term runs in a term-sorted array."""
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    return starts, ends
+
+
+def _sorted_group_arrays(g: pd.DataFrame) -> dict:
+    """Sort a token group by (term, doc_id); return plain numpy columns."""
+    order = np.lexsort(
+        (g["doc_id"].to_numpy(), g["term"].to_numpy(dtype=object))
+    )
+    return {
+        "term": g["term"].to_numpy(dtype=object)[order],
+        "doc_id": g["doc_id"].to_numpy()[order],
+        "tf": g["tf"].to_numpy()[order].astype(np.int64),
+        "doc_len": g["doc_len"].to_numpy()[order].astype(np.int64),
+        "positions": g["positions"].to_numpy(dtype=object)[order],
+    }
+
+
+def _flat_positions(pos_cells, store_positions: bool) -> bytes:
+    if not store_positions:
+        return b""
+    arrs = [np.asarray(p, dtype=np.int64) for p in pos_cells if p is not None and len(p)]
+    if not arrs:
+        return b""
+    return varbyte_encode(np.concatenate(arrs))
+
+
+def encode_run(g: pd.DataFrame, store_positions: bool = True) -> pd.DataFrame:
+    """Phase-1 (salted path): one sorted, varbyte-encoded run per term for a
+    (bucket, salt) group. No blockmax yet — that needs the full merged list."""
+    cols = _sorted_group_arrays(g)
+    starts, ends = _term_slices(cols["term"])
+    bucket = int(g["bucket"].iloc[0])
+    salt = int(g["salt"].iloc[0])
+    store_pos = store_positions
+    rows = {k: [] for k in ("term", "df", "docs_vb", "tfs_vb", "lens_vb", "pos_vb")}
+    for s, e in zip(starts, ends):
+        rows["term"].append(cols["term"][s])
+        rows["df"].append(int(e - s))
+        rows["docs_vb"].append(varbyte_encode(delta_encode(cols["doc_id"][s:e])))
+        rows["tfs_vb"].append(varbyte_encode(cols["tf"][s:e]))
+        rows["lens_vb"].append(varbyte_encode(cols["doc_len"][s:e]))
+        rows["pos_vb"].append(_flat_positions(cols["positions"][s:e], store_pos))
+    n = len(rows["term"])
+    return pd.DataFrame(
+        {"bucket": [bucket] * n, "salt": [salt] * n, **rows}
+    )
+
+
+def _write_bucket(
+    index_root: str,
+    bucket: int,
+    table: pa.Table,
+    cfg_hash: str,
+    n_postings: int,
+    t0: float,
+) -> None:
+    bdir = os.path.join(index_root, "buckets", f"bucket={bucket}")
+    os.makedirs(bdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".parquet.tmp")
+    os.close(fd)
+    pq.write_table(table, tmp, compression="zstd")
+    final = os.path.join(bdir, "postings.parquet")
+    os.replace(tmp, final)
+    write_manifest(
+        bdir,
+        cfg_hash,
+        metrics={
+            "n_terms": table.num_rows,
+            "n_postings": n_postings,
+            "bytes": os.path.getsize(final),
+            "seconds": round(time.monotonic() - t0, 3),
+        },
+        extra={"bucket": bucket},
+    )
+
+
+def _manifest_row(bucket: int, n_terms: int, n_postings: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"bucket": [bucket], "n_terms": [n_terms], "n_postings": [n_postings]}
+    )
+
+
+def build_bucket_direct(
+    g: pd.DataFrame,
+    index_root: str,
+    cfg_hash: str,
+    avgdl: float,
+    store_positions: bool,
+) -> pd.DataFrame:
+    """Single-phase bucket build (salt == 1): sort, split, encode, write."""
+    t0 = time.monotonic()
+    bucket = int(g["bucket"].iloc[0])
+    cols = _sorted_group_arrays(g)
+    starts, ends = _term_slices(cols["term"])
+    rows = {k: [] for k in POSTINGS_SCHEMA.names}
+    for s, e in zip(starts, ends):
+        docids = cols["doc_id"][s:e]
+        tfs = cols["tf"][s:e]
+        lens = cols["doc_len"][s:e]
+        partials = bm25_partial(tfs, lens, avgdl)
+        rows["term"].append(cols["term"][s])
+        rows["df"].append(int(e - s))
+        rows["docs_vb"].append(varbyte_encode(delta_encode(docids)))
+        rows["tfs_vb"].append(varbyte_encode(tfs))
+        rows["lens_vb"].append(varbyte_encode(lens))
+        rows["pos_vb"].append(_flat_positions(cols["positions"][s:e], store_positions))
+        rows["blockmax"].append(encode_blockmax(docids, partials))
+        rows["max_partial"].append(float(partials.max()))
+    table = pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
+                      for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
+    _write_bucket(index_root, bucket, table, cfg_hash, len(g), t0)
+    return _manifest_row(bucket, table.num_rows, len(g))
+
+
+def merge_runs(
+    g: pd.DataFrame,
+    index_root: str,
+    cfg_hash: str,
+    avgdl: float,
+    store_positions: bool,
+) -> pd.DataFrame:
+    """Phase-2 (salted path): merge per-salt runs of each term into the final
+    posting list + blockmax. Doc-id slices are disjoint across salts, so the
+    merge is concat + argsort (mergesort of disjoint interleaved sets)."""
+    t0 = time.monotonic()
+    bucket = int(g["bucket"].iloc[0])
+    g = g.sort_values(["term", "salt"], kind="mergesort")
+    terms = g["term"].to_numpy(dtype=object)
+    starts, ends = _term_slices(terms)
+    rows = {k: [] for k in POSTINGS_SCHEMA.names}
+    n_postings = 0
+    for s, e in zip(starts, ends):
+        sub = g.iloc[s:e]
+        docid_parts, tf_parts, len_parts, pos_parts = [], [], [], []
+        for _, run in sub.iterrows():
+            df = int(run["df"])
+            docids = delta_decode(varbyte_decode(run["docs_vb"], df))
+            tfs = varbyte_decode(run["tfs_vb"], df).astype(np.int64)
+            lens = varbyte_decode(run["lens_vb"], df).astype(np.int64)
+            docid_parts.append(docids)
+            tf_parts.append(tfs)
+            len_parts.append(lens)
+            if store_positions and run["pos_vb"]:
+                flat = varbyte_decode(run["pos_vb"]).astype(np.int64)
+                splits = np.cumsum(tfs)[:-1]
+                pos_parts.extend(np.split(flat, splits))
+            elif store_positions:
+                pos_parts.extend([np.empty(0, np.int64)] * df)
+        docids = np.concatenate(docid_parts)
+        order = np.argsort(docids, kind="mergesort")
+        docids = docids[order]
+        tfs = np.concatenate(tf_parts)[order]
+        lens = np.concatenate(len_parts)[order]
+        partials = bm25_partial(tfs, lens, avgdl)
+        n_postings += docids.size
+        rows["term"].append(terms[s])
+        rows["df"].append(int(docids.size))
+        rows["docs_vb"].append(varbyte_encode(delta_encode(docids)))
+        rows["tfs_vb"].append(varbyte_encode(tfs))
+        rows["lens_vb"].append(varbyte_encode(lens))
+        if store_positions:
+            reordered = [pos_parts[i] for i in order]
+            rows["pos_vb"].append(_flat_positions(reordered, True))
+        else:
+            rows["pos_vb"].append(b"")
+        rows["blockmax"].append(encode_blockmax(docids, partials))
+        rows["max_partial"].append(float(partials.max()))
+    table = pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
+                      for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
+    _write_bucket(index_root, bucket, table, cfg_hash, n_postings, t0)
+    return _manifest_row(bucket, table.num_rows, n_postings)

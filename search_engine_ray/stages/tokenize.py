@@ -1,0 +1,133 @@
+"""Stage 2: tokenize + explode to per-(doc, term) rows.
+
+The reference streams one file -> lines -> tokens, inserting each token
+individually into a shared tree (ref: engine/src/main/java/org/search/engine/
+index/IndexationSchedulerTask.java:42-45). Here tokenization is a stateless
+``map_batches`` over Arrow batches of cleaned docs that emits the
+postings-input table — ONE row per (doc, term) with the term frequency
+pre-aggregated (an inherent map-side combine: the groupby that builds
+postings later never sees per-occurrence rows).
+
+Output schema:
+    term: string, doc_id: int64, tf: int32, doc_len: int32,
+    positions: list<int64> (packed (row<<32)|col; empty when disabled),
+    bucket: int32  (hash(term) % num_buckets — the shuffle key),
+    salt:   int32  (doc_id % salt — sub-splits head-skewed buckets)
+
+``doc_len`` (total tokens in the doc) rides on every row so BM25 partials
+can be computed inside the postings build without a docmap join.
+
+The tokenizer instance is constructed once per actor/task (``__init__``),
+and the compiled regex does the per-line work in C.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.analyzer.tokenizers import get_tokenizer, split_lines
+
+TOKENS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("doc_len", pa.int32()),
+        ("positions", pa.list_(pa.int64())),
+        ("bucket", pa.int32()),
+        ("salt", pa.int32()),
+        # duplicate of ``bucket`` consumed by write_parquet(partition_cols):
+        # the partition column is stripped from the files, so ``bucket``
+        # itself survives as a data column for the downstream groupby while
+        # the directory layout still allows per-bucket path pruning on resume.
+        ("bucket_part", pa.int32()),
+    ]
+)
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """Stable term -> bucket hash (blake2b, like doc ids; never Python's
+    per-process-salted hash())."""
+    h = hashlib.blake2b(term.encode("utf-8"), digest_size=4).digest()
+    return int.from_bytes(h, "little") % num_buckets
+
+
+class TokenizeBatch:
+    def __init__(
+        self,
+        tokenizer: str = "standard",
+        num_buckets: int = 16,
+        salt: int = 1,
+        store_positions: bool = True,
+    ):
+        self._tok = get_tokenizer(tokenizer)
+        self._re = self._tok._token_re
+        self.num_buckets = num_buckets
+        self.salt = max(1, salt)
+        self.store_positions = store_positions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+
+        terms: list[str] = []
+        out_doc: list[int] = []
+        tfs: list[int] = []
+        doc_lens: list[int] = []
+        pos_lists: list[list[int]] = []
+        salts: list[int] = []
+
+        finditer = self._re.finditer
+        findall = self._re.findall
+        for text, doc_id in zip(texts, doc_ids):
+            n_tok = 0
+            if self.store_positions:
+                per_doc: dict[str, list[int]] = {}
+                if text:
+                    for row, line in enumerate(split_lines(text), start=1):
+                        base = row << 32
+                        for m in finditer(line):
+                            n_tok += 1
+                            per_doc.setdefault(m.group(), []).append(
+                                base | m.start()
+                            )
+                items = ((t, len(p), p) for t, p in per_doc.items())
+            else:
+                counts: dict[str, int] = {}
+                if text:
+                    for line in split_lines(text):
+                        for t in findall(line):
+                            n_tok += 1
+                            counts[t] = counts.get(t, 0) + 1
+                items = ((t, c, []) for t, c in counts.items())
+
+            s = int(doc_id) % self.salt
+            for t, tf, poss in items:
+                terms.append(t)
+                out_doc.append(int(doc_id))
+                tfs.append(tf)
+                doc_lens.append(n_tok)
+                pos_lists.append(poss)
+                salts.append(s)
+
+        buckets = np.fromiter(
+            (term_bucket(t, self.num_buckets) for t in terms),
+            dtype=np.int32,
+            count=len(terms),
+        )
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "tf": pa.array(tfs, pa.int32()),
+                "doc_len": pa.array(doc_lens, pa.int32()),
+                "positions": pa.array(pos_lists, pa.list_(pa.int64())),
+                "bucket": pa.array(buckets, pa.int32()),
+                "salt": pa.array(salts, pa.int32()),
+                "bucket_part": pa.array(buckets, pa.int32()),
+            },
+            schema=TOKENS_SCHEMA,
+        )

@@ -22,8 +22,27 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     yield
     ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session, small_pages, tmp_path_factory):
+    """One index built over the small corpus, shared across query tests."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.build import BuildConfig, build_index
+
+    root = tmp_path_factory.mktemp("idx")
+    pages_dir = root / "pages"
+    pages_dir.mkdir()
+    pq.write_table(small_pages, str(pages_dir / "pages-0.parquet"))
+    index_root = str(root / "index")
+    build_index(str(pages_dir), index_root, BuildConfig(num_buckets=8))
+    return index_root
 
 
 @pytest.fixture(scope="session")

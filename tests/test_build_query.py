@@ -1,0 +1,152 @@
+"""End-to-end build + query tests: rank identity vs the oracle (FIXTURES.md §4).
+
+The oracle (pure-Python dict index) and the engine (Ray Data shuffle-built
+compressed postings) must agree on BM25 scores AND doc ids for every query
+type and both scorers — the distributed path may not change a single bit.
+"""
+
+import numpy as np
+import pytest
+
+from search_engine_ray.idhash import doc_id_for_url
+from search_engine_ray.search import LocalSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    return LocalSearcher(built_index)
+
+
+def _query_set(oracle):
+    """FIXTURES.md §4: heads, mids, sentinels, prefixes, ORs, no-hits."""
+    by_df = sorted(oracle.postings.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    heads = [t for t, _ in by_df[:5]]
+    mids = [t for t, _ in by_df[len(by_df) // 3: len(by_df) // 3 + 10]]
+    sentinels = [t for t, p in by_df if len(p) == 1][:5]
+    queries = [([t], "exact") for t in heads + mids + sentinels]
+    queries += [
+        (heads[:2], "or"),
+        ([mids[0], sentinels[0]], "or"),
+        (heads[:1] + mids[:3], "or"),
+        (["nope1", "nope2"], "or"),
+    ]
+    queries += [([p], "prefix") for p in
+                ["ma", "mil", "bako", "sent", "sentinel00", "zz"]]
+    queries += [(["zzz_none"], "exact"), (["totally absent"], "exact")]
+    return queries
+
+
+@pytest.mark.parametrize("scorer", ["taat", "bmw"])
+@pytest.mark.parametrize("k", [10, 100])
+def test_rank_identity_full_query_set(searcher, small_oracle, scorer, k):
+    for queries, st in _query_set(small_oracle):
+        eng = searcher.search(queries, st, k=k, scorer=scorer)
+        got = list(zip(eng.column("doc_id").to_pylist(),
+                       eng.column("score").to_pylist()))
+        want = [(d, s) for d, s, _ in small_oracle.search(queries, st, k=k)]
+        assert got == want, (st, queries, scorer, k)
+
+
+def test_expand_matches_oracle(searcher, small_oracle):
+    for queries, st in _query_set(small_oracle):
+        assert searcher.expand(queries, st) == small_oracle.expand(queries, st)
+
+
+def test_vocabulary_size_matches(searcher, small_oracle):
+    assert searcher.vocabulary_size() == len(small_oracle.postings)
+
+
+def test_global_stats_match(searcher, small_oracle):
+    assert searcher.n_docs == small_oracle.n_docs
+    assert searcher.avgdl == pytest.approx(small_oracle.avgdl, abs=0)
+
+
+def test_urls_resolved(searcher, small_oracle):
+    eng = searcher.search(["mila"], "exact", k=10)
+    for d, u in zip(eng.column("doc_id").to_pylist(),
+                    eng.column("url").to_pylist()):
+        assert small_oracle.url_of[d] == u
+        assert doc_id_for_url(u) == d
+
+
+def test_property_random_words_hit_their_doc(searcher, small_oracle):
+    """Mirror of the reference's randomized app test
+    (app/src/test/java/org/search/app/SearchEngineAppTest.java:55-100):
+    100 seeded random words sampled from a random doc — its url must appear
+    in the exact-match results for every word."""
+    rng = np.random.default_rng(7)
+    doc_ids = sorted(small_oracle.url_of)
+    doc_id = doc_ids[int(rng.integers(0, len(doc_ids)))]
+    url = small_oracle.url_of[doc_id]
+    doc_terms = sorted(
+        t for t, p in small_oracle.postings.items() if doc_id in p
+    )
+    words = [doc_terms[int(rng.integers(0, len(doc_terms)))] for _ in range(100)]
+    for w in words:
+        res = searcher.search([w], "exact", k=searcher.n_docs)
+        assert doc_id in res.column("doc_id").to_pylist(), (w, url)
+
+
+def test_matched_rows_parity(searcher, small_oracle):
+    """Positions stored at build time reproduce the reference's per-doc
+    rescan output (SimpleSearchManager.java:187-214)."""
+    d2 = doc_id_for_url("https://example.org/parity/00000002")
+    assert searcher.matched_rows(d2, "mama") == \
+        small_oracle.matched_rows(d2, "mama") == {1: [0, 18]}
+    # multi-line doc: any sentinel term
+    sent = next(t for t in small_oracle.postings if t.startswith("sentinel"))
+    d = next(iter(small_oracle.postings[sent]))
+    assert searcher.matched_rows(d, sent) == small_oracle.matched_rows(d, sent)
+    assert searcher.matched_rows(d2, "zzz_none") == {}
+
+
+def test_df_matches_oracle(searcher, small_oracle):
+    for term in list(small_oracle.postings)[:50]:
+        rec = searcher._posting_for(term)
+        assert rec is not None and rec["df"] == len(small_oracle.postings[term])
+
+
+def test_salted_build_bit_identical(ray_session, tmp_path):
+    """salt=4 two-phase shuffle produces byte-identical bucket artifacts."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.build import BuildConfig, build_index
+    from search_engine_ray.corpus import generate_pages
+
+    pages = generate_pages(120, seed=11)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "p.parquet"))
+    build_index(str(pdir), str(tmp_path / "i1"), BuildConfig(num_buckets=4))
+    build_index(str(pdir), str(tmp_path / "i2"),
+                BuildConfig(num_buckets=4, salt=4))
+    for b in range(4):
+        t1 = pq.read_table(str(tmp_path / f"i1/buckets/bucket={b}/postings.parquet"))
+        t2 = pq.read_table(str(tmp_path / f"i2/buckets/bucket={b}/postings.parquet"))
+        # salt participates in the config hash but not the artifact content
+        assert t1.equals(t2), f"bucket {b}"
+
+
+def test_whitespace_tokenizer_build(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.build import BuildConfig, build_index
+    from search_engine_ray.corpus import generate_pages
+    from search_engine_ray.oracle import OracleIndex
+
+    pages = generate_pages(40, seed=5)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "p.parquet"))
+    root = str(tmp_path / "idx")
+    build_index(str(pdir), root,
+                BuildConfig(tokenizer="whitespace", num_buckets=4))
+    s = LocalSearcher(root)
+    o = OracleIndex.build(pages, tokenizer="whitespace")
+    assert s.vocabulary_size() == len(o.postings)
+    # "string." (with dot) is a whitespace token in the parity row
+    eng = s.search(["string."], "exact", k=10)
+    want = [(d, sc) for d, sc, _ in o.search(["string."], "exact", k=10)]
+    got = list(zip(eng.column("doc_id").to_pylist(),
+                   eng.column("score").to_pylist()))
+    assert got == want and len(got) == 1
