@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (nor in the library code these callables use) calls
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over the
+driver testdata tables; every SQL-expressible entry has a matching
+``oracle_sql()`` DuckDB statement with IDENTICAL column names and rounding.
+Non-SQL-expressible pipelines (near-dup sketches, LSH ANN, media plumbing,
+heuristic scorers) are listed without an oracle -> rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +16,155 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from search_engine_ray.functions.textstats import sql_token_pattern
+
+TOK = sql_token_pattern()
+
+_TOKS_CTE = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '"
+    + TOK + "')) AS term FROM documents)"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over the
+    documents table and run the fixed BM25 query set."""
+    from search_engine_ray.pipelines.documents import bm25_topk_docs
+
+    return bm25_topk_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from search_engine_ray.pipelines import documents as d
+    from search_engine_ray.pipelines import embeddings as e
+    from search_engine_ray.pipelines import events as ev
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- search-engine parity surface (SURVEY.md §2) -----------------
+        "doc_token_stats": d.doc_token_stats,          # M1 tokenizer
+        "term_df_top100": d.term_df_top100,            # I1 build aggregate
+        "exact_search_batch": d.exact_search_batchterm,  # I2 EXACT_MATCH
+        "prefix_search_cu": d.prefix_search_cu,        # I3 START_WITH
+        "vocab_total": d.vocab_and_total,              # I8 size()
+        "bm25_topk": d.bm25_topk_docs,                 # Q1-Q3 via the engine
+        # --- training-data pipeline extensions ---------------------------
+        "dedup_exact": d.dedup_exact_docs,
+        "events_hourly": ev.events_hourly_user,
+        "ann_topk": e.ann_bruteforce_topk,
+        # --- rows-only (no SQL oracle; driver records weaker check) ------
+        "quality_scores": d.quality_scores,
+        "langid": d.langid_pred,
+        "fingerprints": d.fingerprints,
+        "minhash_pairs": d.minhash_pairs,
+        "simhash_pairs": d.simhash_pairs,
+        "ann_lsh_topk": e.ann_lsh_topk,
+        "embedding_near_dups": e.embedding_near_dups,
+        "media_features": d.media_features_demo,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = "('the','a','and','of','to','in','is','it','that','for')"
+    bm25_partial = (
+        "tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*(dl.dl/stats.avgdl)))"
+    )
+    idf = "ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))"
+    return {
+        "doc_token_stats": f"""
+            {_TOKS_CTE}
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.n_distinct, 0) AS n_distinct,
+                   coalesce(s.stop_ratio, 0.0) AS stop_ratio
+            FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       count(DISTINCT term) AS n_distinct,
+                       round(sum(CASE WHEN term IN {stop} THEN 1 ELSE 0 END)
+                             / count(*)::DOUBLE, 6) AS stop_ratio
+                FROM toks GROUP BY doc_id) s USING (doc_id)
+        """,
+        "term_df_top100": f"""
+            {_TOKS_CTE}
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY term
+            ORDER BY df DESC, term LIMIT 100
+        """,
+        "exact_search_batch": f"""
+            {_TOKS_CTE}
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'
+        """,
+        "prefix_search_cu": f"""
+            {_TOKS_CTE}
+            SELECT doc_id, count(DISTINCT term) AS n_terms
+            FROM toks WHERE term LIKE 'cu%' GROUP BY doc_id
+        """,
+        "vocab_total": f"""
+            {_TOKS_CTE}
+            SELECT count(DISTINCT term) AS vocab_size,
+                   count(*) AS total_tokens
+            FROM toks
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "bm25_topk": f"""
+            {_TOKS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                             (SELECT count(*)::DOUBLE FROM toks)
+                             / (SELECT count(*)::DOUBLE FROM documents)
+                             AS avgdl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            fixedq(query, term) AS (VALUES
+                ('exact:batch', 'batch'),
+                ('exact:customer', 'customer'),
+                ('exact:vector', 'vector'),
+                ('or:stream|window', 'stream'),
+                ('or:stream|window', 'window'),
+                ('exact:qqqnohit', 'qqqnohit')),
+            prefixq AS (SELECT 'prefix:cu' AS query, term FROM df
+                        WHERE term LIKE 'cu%'),
+            q AS (SELECT * FROM fixedq UNION ALL SELECT * FROM prefixq),
+            scores AS (
+                SELECT q.query, tf.doc_id,
+                       sum({idf} * {bm25_partial}) AS score
+                FROM q
+                JOIN tf ON tf.term = q.term
+                JOIN df ON df.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+                GROUP BY q.query, tf.doc_id)
+            SELECT query, doc_id, round(score, 6) AS score
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY query ORDER BY score DESC, doc_id) AS rn
+                  FROM scores)
+            WHERE rn <= 10
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1
+                              AS query_id,
+                              embedding::DOUBLE[] AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5),
+            sims AS (SELECT q.query_id, e.vec_id,
+                            list_cosine_similarity(q.qe,
+                                e.embedding::DOUBLE[]) AS cos
+                     FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id, round(cos, 6) AS cos
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+                  FROM sims)
+            WHERE rn <= 10
+        """,
+    }

@@ -1,0 +1,49 @@
+"""Similarity-search pipelines over the driver's ``embeddings`` table
+(``vec_id:int64, embedding:list<float>, label:int32``)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+ANN_K = 10
+N_QUERY_VECS = 5
+
+
+def load_embeddings(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+
+def query_matrix(sf_dir: str) -> np.ndarray:
+    """The fixed query set: the first N_QUERY_VECS vectors by vec_id."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy())[:N_QUERY_VECS]
+    vecs = t.column("embedding").to_pylist()
+    return np.asarray([vecs[i] for i in order], dtype=np.float64)
+
+
+def ann_bruteforce_topk(sf_dir: str):
+    """Exact cosine top-k -> (query_id, vec_id, cos) — SQL-checkable."""
+    from search_engine_ray.functions.ann import brute_force_topk
+
+    return brute_force_topk(load_embeddings(sf_dir), query_matrix(sf_dir),
+                            k=ANN_K)
+
+
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate top-k (rows-only check: approximate)."""
+    from search_engine_ray.functions.ann import lsh_topk
+
+    return lsh_topk(load_embeddings(sf_dir), query_matrix(sf_dir), k=ANN_K)
+
+
+def embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (rows-only)."""
+    from search_engine_ray.functions.ann import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(load_embeddings(sf_dir), threshold=0.95)

@@ -1,0 +1,39 @@
+"""Windowed aggregation over the driver's ``events`` stream table
+(``event_id, ts, user_id, event_type, value, props``).
+
+Ray Data has no event-time windows; tumbling windows are expressed as a
+groupby on the truncated timestamp (SURVEY.md §2.7 notes the reference has
+no windows either — this is part of the training-pipeline extension set).
+Ordering assumption: none needed for tumbling count/sum aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _add_hour(df: pd.DataFrame) -> pd.DataFrame:
+    # epoch seconds of the hour bucket — integer, so the DuckDB compare is
+    # exact (no timestamp-locale pitfalls)
+    df["hour_epoch"] = (
+        df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+    )
+    return df[["user_id", "hour_epoch", "value"]]
+
+
+def events_hourly_user(sf_dir: str):
+    """Per (user_id, hour): event count + sum(value) rounded to 6 dp."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "value"])
+    ds = ds.map_batches(_add_hour, batch_format="pandas")
+    agg = ds.groupby(["user_id", "hour_epoch"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_value=df["sum_value"].round(6)),
+        batch_format="pandas",
+    )
