@@ -1,0 +1,204 @@
+"""Benchmark harness (driver contract).
+
+Headline: full-fidelity inverted-index build (positions on) over the
+deterministic synthetic pages corpus + BM25 query latency, plus the
+sf-dir pipelines (dedup, df, ANN, windows) as secondary timed queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-section sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "bm25_p50_ms": ..., "bm25_p95_ms": ...}
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default sf0.1),
+BENCH_PAGES (default 20000 synthetic pages).
+
+``--scaling``: runs the SAME benchmark in fresh processes at num_cpus=8 and
+num_cpus=32 on identical input and reports both index-build throughputs and
+the scaling efficiency (thr32/thr8)/4 — the sandbox substitution for the
+north rule's two-cluster-size criterion (no real multi-node cluster here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "50000"))
+# ~250 words/page (realistic web-page order of magnitude) so the benchmark
+# is compute-dominated rather than scheduling-dominated
+WORDS = (100, 400)
+PAGES_DIR = f"/tmp/bench_pages_{N_PAGES}_w{WORDS[0]}_{WORDS[1]}"
+SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "2"))
+SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "8"))
+
+
+def _ensure_corpus() -> str:
+    from search_engine_ray.corpus import write_pages
+
+    marker = os.path.join(PAGES_DIR, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(PAGES_DIR, ignore_errors=True)
+        write_pages(PAGES_DIR, N_PAGES, seed=42, split="bench",
+                    n_files=32, words_per_doc=WORDS)
+        open(marker, "w").write("ok")
+    # warm the page cache so both scaling runs measure compute, not disk
+    for root, _, files in os.walk(PAGES_DIR):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    return PAGES_DIR
+
+
+def _query_set(searcher, n_terms: int = 30):
+    """Deterministic query mix: head/mid/rare exact, prefixes, ORs."""
+    terms = []
+    for b in range(searcher.num_buckets):
+        bk = searcher.bucket(b)
+        for i in range(0, len(bk.terms), max(1, len(bk.terms) // 4)):
+            terms.append((bk.terms[i], int(bk.df[i])))
+    terms.sort(key=lambda t: (-t[1], t[0]))
+    heads = [t for t, _ in terms[:10]]
+    mids = [t for t, _ in terms[len(terms) // 2:len(terms) // 2 + 10]]
+    rare = [t for t, _ in terms[-10:]]
+    qs = [([t], "exact") for t in (heads + mids + rare)[:n_terms]]
+    qs += [(heads[:3], "or"), (mids[:4], "or")]
+    qs += [([p[:3]], "prefix") for p in heads[:5]]
+    return qs
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from search_engine_ray.build import BuildConfig, build_index
+    from search_engine_ray.search import LocalSearcher
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # untimed warmup: spawn the worker pool and import the library in every
+    # worker so the timed sections measure compute, not process cold-start
+    import ray.data as rd
+
+    from search_engine_ray.stages.tokenize import TokenizeBatch
+
+    rd.range(NUM_CPUS * 2).map_batches(
+        lambda b: __import__("search_engine_ray") and b,
+        batch_size=1, num_cpus=1,
+    ).count()
+    TokenizeBatch()  # compile regexes on the driver too
+
+    pages = _ensure_corpus()
+    index_root = f"/tmp/bench_index_{NUM_CPUS}"
+    shutil.rmtree(index_root, ignore_errors=True)
+
+    # --- headline: index build -------------------------------------------
+    t0 = time.monotonic()
+    m = build_index(
+        pages, index_root,
+        BuildConfig(num_buckets=64, dedup_buckets=64, batch_size=512),
+    )
+    t_build = time.monotonic() - t0
+    queries["index_build"] = round(t_build, 3)
+    extras["docs_per_sec"] = round(m["n_docs"] / t_build, 1)
+    extras["n_docs"] = m["n_docs"]
+
+    # --- BM25 query latency ----------------------------------------------
+    s = LocalSearcher(index_root)
+    qs = _query_set(s)
+    for q, st in qs:  # untimed warm pass (loads bucket files once)
+        s.search(q, st, k=10, with_urls=False)
+    lat = []
+    t0 = time.monotonic()
+    for _ in range(3):
+        for q, st in qs:
+            tq = time.monotonic()
+            s.search(q, st, k=10, with_urls=False)
+            lat.append((time.monotonic() - tq) * 1000)
+    queries["bm25_queries"] = round(time.monotonic() - t0, 3)
+    extras["bm25_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
+    extras["bm25_p95_ms"] = round(float(np.percentile(lat, 95)), 3)
+
+    # --- secondary pipelines over the sf dir -----------------------------
+    from search_engine_ray.pipelines import documents as d
+    from search_engine_ray.pipelines import embeddings as e
+    from search_engine_ray.pipelines import events as ev
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        # consume (count) to force full execution of lazy datasets
+        if hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    timed("dedup_exact", d.dedup_exact_docs)
+    timed("term_df_top100", d.term_df_top100)
+    timed("minhash_pairs", d.minhash_pairs)
+    timed("ann_topk", e.ann_bruteforce_topk)
+    timed("events_hourly", ev.events_hourly_user)
+
+    ray.shutdown()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "index-build + BM25 query + data-pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 vs 32, identical input."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_PAGES=str(N_PAGES))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = SCALE_LO, SCALE_HI
+    r_lo = one(lo)
+    r_hi = one(hi)
+    thr_lo = r_lo["docs_per_sec"]
+    thr_hi = r_hi["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency (N vs 4N cpus)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "docs_per_sec_lo": thr_lo, "docs_per_sec_hi": thr_hi,
+        "sec_lo": r_lo["queries"]["index_build"],
+        "sec_hi": r_hi["queries"]["index_build"],
+        "scaling_efficiency": round(eff, 3),
+        "n_docs": r_lo.get("n_docs"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -41,7 +41,7 @@ from search_engine_ray.codec import BLOCK_SIZE, BM25_B, BM25_K1
 from search_engine_ray.extract import EXTRACTOR_VERSION
 from search_engine_ray.stages.clean import CleanBatch, dedup_group, filter_lang
 from search_engine_ray.stages.postings import (
-    build_bucket_direct,
+    build_bucket_from_files,
     encode_run,
     merge_runs,
 )
@@ -68,6 +68,10 @@ class BuildConfig:
     dedup_buckets: int = 64
     lang_filter: list[str] | None = None
     batch_size: int = 1024             # rows per tokenize batch (wide text)
+    # bound the partitioned token write to this many writer blocks: files
+    # per bucket == writer blocks, so this caps small-file blowup
+    # (None = keep the upstream block count)
+    token_write_blocks: int | None = 8
     k1: float = BM25_K1
     b: float = BM25_B
 
@@ -97,6 +101,14 @@ def _commit_dir(tmp_dir: str, final_dir: str) -> None:
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
     os.replace(tmp_dir, final_dir)
+
+
+def _count_rows(parquet_dir: str) -> int:
+    """Row count from parquet footers — no data scan."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in _expand_inputs(parquet_dir))
 
 
 def invalidate_index(index_root: str) -> None:
@@ -142,7 +154,7 @@ def build_index(
                 fn_kwargs={"langs": cfg.lang_filter},
             )
         ds = ds.map_batches(
-            CleanBatch(cfg.dedup_buckets),
+            CleanBatch(cfg.dedup_buckets, cfg.tokenizer),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
@@ -153,10 +165,9 @@ def build_index(
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
         _commit_dir(tmp, docs_clean)
-        n_docs = rd.read_parquet(docs_clean, columns=["doc_id"]).count()
         write_manifest(
             docs_clean, run_hash, inputs,
-            metrics={"n_docs": n_docs,
+            metrics={"n_docs": _count_rows(docs_clean),
                      "seconds": round(time.monotonic() - t0, 3)},
         )
         metrics["stages"]["clean"] = {"seconds": round(time.monotonic() - t0, 3),
@@ -179,6 +190,8 @@ def build_index(
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
+        if cfg.token_write_blocks:
+            ds = ds.repartition(cfg.token_write_blocks)
         tmp = tokens_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp, partition_cols=["bucket_part"])
@@ -201,9 +214,11 @@ def build_index(
             stats = None
     if stats is None:
         t0 = time.monotonic()
-        n_docs = rd.read_parquet(docs_clean, columns=["doc_id"]).count()
-        token_files = _expand_inputs(tokens_dir)
-        total_tokens = rd.read_parquet(token_files, columns=["tf"]).sum("tf") or 0
+        n_docs = _count_rows(docs_clean)  # parquet metadata, no scan
+        # doc_len lives on docs_clean: one tiny int column scan, not a pass
+        # over the exploded token table
+        total_tokens = rd.read_parquet(
+            docs_clean, columns=["doc_len"]).sum("doc_len") or 0
         stats = {
             "n_docs": int(n_docs),
             "total_tokens": int(total_tokens),
@@ -222,32 +237,43 @@ def build_index(
     ]
     built = []
     # per-bucket path pruning: only read token partitions still pending
+    pending_items = []
     pending_files: list[str] = []
     for b in pending:
         d = os.path.join(tokens_dir, f"bucket_part={b}")
         if os.path.isdir(d):
-            pending_files.extend(_expand_inputs(d))
-    if pending_files:
+            files = _expand_inputs(d)
+            pending_items.append({"bucket": b, "files": files})
+            pending_files.extend(files)
+    common = dict(
+        index_root=index_root,
+        cfg_hash=run_hash,
+        avgdl=stats["avgdl"],
+        store_positions=cfg.store_positions,
+    )
+    if pending_items and cfg.salt > 1:
+        # salted two-phase: per-(bucket, salt) sorted runs, then per-bucket
+        # merge — bounds any single task's memory to a doc-id slice.
         ds = rd.read_parquet(pending_files)
-        common = dict(
-            index_root=index_root,
-            cfg_hash=run_hash,
-            avgdl=stats["avgdl"],
-            store_positions=cfg.store_positions,
+        runs = ds.groupby(["bucket", "salt"]).map_groups(
+            encode_run, batch_format="pandas",
+            fn_kwargs={"store_positions": cfg.store_positions},
         )
-        if cfg.salt > 1:
-            runs = ds.groupby(["bucket", "salt"]).map_groups(
-                encode_run, batch_format="pandas",
-                fn_kwargs={"store_positions": cfg.store_positions},
-            )
-            result = runs.groupby("bucket").map_groups(
-                merge_runs, batch_format="pandas", fn_kwargs=common,
-            )
-        else:
-            result = ds.groupby("bucket").map_groups(
-                build_bucket_direct, batch_format="pandas", fn_kwargs=common,
-            )
-        built = result.to_pandas().to_dict("records")  # one row per bucket
+        result = runs.groupby("bucket").map_groups(
+            merge_runs, batch_format="pandas", fn_kwargs=common,
+        )
+        built = result.to_pandas().to_dict("records")
+    elif pending_items:
+        # direct path: tokens are already hash-partitioned on disk by the
+        # tokenize stage's partitioned write (the map side of the shuffle);
+        # one reducer task per bucket reads its own partition — no Ray-level
+        # sort/groupby exchange.
+        ds = rd.from_items(pending_items)
+        result = ds.map_batches(
+            build_bucket_from_files, batch_format="pandas", batch_size=1,
+            fn_kwargs=common,
+        )
+        built = result.to_pandas().to_dict("records")
     metrics["stages"]["postings"] = {
         "seconds": round(time.monotonic() - t0, 3),
         "buckets_built": len(built),
@@ -268,19 +294,9 @@ def build_index(
             write_manifest(bdir, run_hash, metrics={"n_terms": 0},
                            extra={"bucket": b})
 
-    # ---- docmap (url <-> doc metadata projection) ------------------------
-    docmap = os.path.join(index_root, "docmap")
-    if not (resume and is_fresh(docmap, run_hash)):
-        t0 = time.monotonic()
-        invalidate(docmap)
-        ds = rd.read_parquet(docs_clean,
-                             columns=["doc_id", "url", "warc_ts", "lang"])
-        tmp = docmap + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
-        _commit_dir(tmp, docmap)
-        write_manifest(docmap, run_hash,
-                       metrics={"seconds": round(time.monotonic() - t0, 3)})
+    # docmap note: no separate artifact — docs_clean IS the docmap (parquet
+    # is columnar, so reading only (doc_id, url, warc_ts, lang) skips the
+    # text bytes entirely; a second projection write would only duplicate).
 
     # ---- root manifest ---------------------------------------------------
     cfg_dict = asdict(cfg)

@@ -45,10 +45,19 @@ class ExactHashBatch:
 
 
 def exact_dedup(ds, batch_size: int = 4096):
-    """Canonical representative (min doc_id) per exact text hash."""
+    """Canonical representative (min doc_id) per exact text hash.
+
+    Hash cardinality ~ corpus size, so this uses the coarse-bucket
+    aggregate (stages/agg.py) instead of a per-group groupby."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
     hashed = ds.map_batches(ExactHashBatch(), batch_format="pyarrow",
                             batch_size=batch_size)
-    return hashed.groupby("text_md5").min("doc_id")
+    return bucketed_group_agg(
+        hashed, ["text_md5"],
+        lambda g: g.groupby("text_md5", as_index=False).agg(
+            doc_id=("doc_id", "min")),
+    )
 
 
 def _shingles(tokens: list[str], k: int) -> set[bytes]:
@@ -118,14 +127,22 @@ class MinHashBatch:
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (cap combinatorial blowup —
-    a bucket holding B docs emits B*(B-1)/2; genuinely hot buckets mean the
-    docs really are near-identical, cap at 50 per bucket)."""
-    docs = sorted(set(g["doc_id"].tolist()))[:50]
+    """Candidate pairs from ALL LSH buckets in one coarse partition.
+
+    Vectorized group sizing first (pandas, C); the Python pair loop only
+    touches buckets with >=2 docs — the rare case. Per-bucket cap of 50
+    docs bounds combinatorial blowup (a hotter bucket means the docs are
+    near-identical anyway; the cap is logged via the pair count)."""
     a, b = [], []
-    for x, y in combinations(docs, 2):
-        a.append(x)
-        b.append(y)
+    sizes = g.groupby(["band_id", "band_hash"])["doc_id"].nunique()
+    multi = sizes[sizes >= 2]
+    if len(multi):
+        sub = g.set_index(["band_id", "band_hash"]).loc[multi.index]
+        for key in multi.index:
+            docs = sorted(set(sub.loc[[key]]["doc_id"].tolist()))[:50]
+            for x, y in combinations(docs, 2):
+                a.append(x)
+                b.append(y)
     return pd.DataFrame(
         {"doc_a": pd.Series(a, dtype="int64"),
          "doc_b": pd.Series(b, dtype="int64")}
@@ -191,13 +208,11 @@ def minhash_near_dups(
         MinHashBatch(shingle_k, n_perm, n_bands),
         batch_format="pyarrow", batch_size=batch_size,
     )
-    pairs = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+
+    pairs = bucketed_group_agg(sigs, ["band_id", "band_hash"], _bucket_pairs)
     # distinct pairs (several bands can propose the same pair)
-    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"])
     verified = pairs.map_batches(
         JaccardVerify,
         batch_format="pyarrow",
@@ -255,18 +270,23 @@ class SimHashBatch:
 
 
 def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
-    rows = (
-        g[["doc_id", "simhash"]].drop_duplicates("doc_id")
-        .sort_values("doc_id").itertuples(index=False)
-    )
-    docs = list(rows)[:50]
+    """Pairs from all chunk buckets in one coarse partition (>=2-doc
+    buckets only; 50-doc cap per bucket as in _bucket_pairs)."""
     out_a, out_b, out_h = [], [], []
-    for (da, sa), (db, sb) in combinations(docs, 2):
-        h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
-        if h <= max_hamming:
-            out_a.append(da)
-            out_b.append(db)
-            out_h.append(h)
+    sizes = g.groupby(["chunk_id", "chunk_val"])["doc_id"].nunique()
+    multi = sizes[sizes >= 2]
+    if len(multi):
+        sub = g.set_index(["chunk_id", "chunk_val"])
+        for key in multi.index:
+            rows = (sub.loc[[key]][["doc_id", "simhash"]]
+                    .drop_duplicates("doc_id").sort_values("doc_id")
+                    .itertuples(index=False))
+            for (da, sa), (db, sb) in combinations(list(rows)[:50], 2):
+                h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+                if h <= max_hamming:
+                    out_a.append(da)
+                    out_b.append(db)
+                    out_h.append(h)
     return pd.DataFrame(
         {"doc_a": pd.Series(out_a, dtype="int64"),
          "doc_b": pd.Series(out_b, dtype="int64"),
@@ -276,12 +296,10 @@ def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame
 
 def simhash_near_dups(ds, max_hamming: int = 3, batch_size: int = 2048):
     """SimHash blocking + Hamming verification -> (doc_a, doc_b, hamming)."""
+    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+
     sigs = ds.map_batches(SimHashBatch(), batch_format="pyarrow",
                           batch_size=batch_size)
-    pairs = sigs.groupby(["chunk_id", "chunk_val"]).map_groups(
-        _simhash_bucket_pairs, batch_format="pandas",
-        fn_kwargs={"max_hamming": max_hamming},
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = bucketed_group_agg(
+        sigs, ["chunk_id", "chunk_val"], _simhash_bucket_pairs)
+    return bucketed_distinct(pairs, ["doc_a", "doc_b", "hamming"])

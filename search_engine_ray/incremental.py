@@ -1,0 +1,278 @@
+"""Incremental index maintenance: add / update / delete deltas + merge.
+
+Reference semantics (SURVEY.md §2.6): an updated document's token-set diff
+is applied as per-token ADD/REMOVE events against the shared tree
+(ref: engine/src/main/java/org/search/engine/index/DocumentUpdateTask.java:40-83);
+a removed document is purged everywhere
+(ref: DocumentRemoveTask.java:40-58, tree removeByValue :270-280).
+
+The batch equivalent replaces a doc's postings wholesale (a superset of the
+token-set diff — same final state): given a delta snapshot of pages
+(new + changed urls) and a tombstone url list,
+
+1. run the normal clean stage on the delta pages (dedup within delta),
+2. ``affected = delta doc_ids  ∪ tombstone doc_ids``,
+3. rewrite ``docs_clean`` = old rows minus affected + delta rows
+   (anti-join = broadcast the affected-id set, filter inside map_batches),
+4. tokenize ONLY the delta docs (partitioned write, as in a full build),
+5. recompute global stats from the merged docs_clean ``doc_len`` column,
+6. per bucket: decode old postings, drop affected doc ids (vectorized
+   ``np.isin``), append the bucket's delta token rows, re-sort, re-encode
+   with the NEW avgdl. Buckets with no delta terms still get their
+   block-max refreshed (avgdl changed), so the result is BYTE-IDENTICAL
+   to a from-scratch build over the merged corpus
+   (tests/test_incremental.py).
+
+The delta build reuses the manifest machinery: the index's root manifest
+gains a ``generations`` list recording each applied delta's lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from search_engine_ray.build import (
+    BuildConfig,
+    _commit_dir,
+    _count_rows,
+    _expand_inputs,
+)
+from search_engine_ray.idhash import doc_ids_for_urls
+from search_engine_ray.stages.clean import CleanBatch, dedup_group
+from search_engine_ray.stages.postings import POSTINGS_SCHEMA
+from search_engine_ray.stages.tokenize import TokenizeBatch
+from search_engine_ray.state.manifest import (
+    atomic_write_json,
+    config_hash,
+    input_fingerprint,
+    write_manifest,
+)
+
+
+def _merge_bucket(
+    batch: pd.DataFrame,
+    index_root: str,
+    cfg_hash: str,
+    avgdl: float,
+    store_positions: bool,
+    affected_ref,
+) -> pd.DataFrame:
+    """Merge one bucket: old postings minus affected docs plus delta rows."""
+    from search_engine_ray.codec import decode_posting
+    from search_engine_ray.stages.postings import _write_bucket
+
+    affected = ray.get(affected_ref)  # sorted int64 ndarray (broadcast once)
+    out = []
+    for _, row in batch.iterrows():
+        t0 = time.monotonic()
+        bucket = int(row["bucket"])
+        bdir = os.path.join(index_root, "buckets", f"bucket={bucket}")
+        old = pq.read_table(os.path.join(bdir, "postings.parquet"))
+
+        # explode old postings (decode) into flat arrays, dropping affected
+        terms_l, di_l, tf_l, dl_l, pos_l = [], [], [], [], []
+        for i in range(old.num_rows):
+            rec = {k: old.column(k)[i].as_py() for k in
+                   ("df", "docs_vb", "tfs_vb", "lens_vb", "pos_vb")}
+            dec = decode_posting(rec, with_positions=store_positions)
+            keep = ~np.isin(dec["docids"], affected, assume_unique=False)
+            if not keep.any():
+                continue
+            n_keep = int(keep.sum())
+            terms_l.append(np.full(n_keep, old.column("term")[i].as_py(),
+                                   dtype=object))
+            di_l.append(dec["docids"][keep])
+            tf_l.append(dec["tfs"][keep])
+            dl_l.append(dec["doc_lens"][keep])
+            if store_positions:
+                splits = np.cumsum(dec["tfs"])[:-1]
+                per_doc = np.split(dec.get("positions",
+                                           np.empty(0, np.int64)), splits) \
+                    if rec["pos_vb"] else [np.empty(0, np.int64)] * len(keep)
+                pos_l.extend(p for p, k in zip(per_doc, keep) if k)
+
+        # delta rows for this bucket (token files written by the delta
+        # tokenize stage)
+        delta_files = list(row["files"]) if row["files"] else []
+        if delta_files:
+            import pyarrow.dataset as pds
+
+            dt = pds.dataset(delta_files).to_table(
+                columns=["term", "doc_id", "tf", "doc_len", "positions"])
+            terms_l.append(np.asarray(dt.column("term").to_pylist(),
+                                      dtype=object))
+            di_l.append(dt.column("doc_id").to_numpy(zero_copy_only=False))
+            tf_l.append(dt.column("tf").to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            dl_l.append(dt.column("doc_len").to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            if store_positions:
+                pos_l.extend(np.asarray(p, dtype=np.int64)
+                             for p in dt.column("positions").to_pylist())
+
+        if terms_l:
+            cols = {
+                "term": np.concatenate(terms_l),
+                "doc_id": np.concatenate(di_l),
+                "tf": np.concatenate(tf_l).astype(np.int64),
+                "doc_len": np.concatenate(dl_l).astype(np.int64),
+            }
+            order = np.lexsort((cols["doc_id"], cols["term"]))
+            for k in ("term", "doc_id", "tf", "doc_len"):
+                cols[k] = cols[k][order]
+            if store_positions:
+                pos_arr = np.empty(len(pos_l), dtype=object)
+                for i, p in enumerate(pos_l):
+                    pos_arr[i] = p
+                cols["positions"] = pos_arr[order]
+            else:
+                cols["positions"] = np.empty(len(cols["term"]), dtype=object)
+            from search_engine_ray.stages.postings import _encode_sorted_bucket
+
+            table = _encode_sorted_bucket(cols, avgdl, store_positions)
+        else:
+            table = POSTINGS_SCHEMA.empty_table()
+        n_post = int(sum(len(x) for x in di_l)) if di_l else 0
+        _write_bucket(index_root, bucket, table, cfg_hash, n_post, t0)
+        out.append((bucket, table.num_rows, n_post))
+    return pd.DataFrame(out, columns=["bucket", "n_terms", "n_postings"])
+
+
+def apply_delta(
+    index_root: str,
+    delta_pages_path: str | list[str] | None,
+    deleted_urls: list[str] | None = None,
+    config: BuildConfig | None = None,
+) -> dict:
+    """Apply a delta snapshot (new/changed pages) + deletions to an index.
+
+    Returns metrics. The resulting artifacts are byte-identical to a
+    from-scratch ``build_index`` over the merged corpus.
+    """
+    cfg = config or BuildConfig()
+    with open(os.path.join(index_root, "_manifest.json")) as f:
+        root_manifest = json.load(f)
+    t_start = time.monotonic()
+    docs_clean = os.path.join(index_root, "docs_clean")
+    metrics: dict = {}
+
+    # ---- 1. clean the delta pages ---------------------------------------
+    delta_root = os.path.join(index_root, "_delta_tmp")
+    shutil.rmtree(delta_root, ignore_errors=True)
+    os.makedirs(delta_root, exist_ok=True)
+    delta_clean = os.path.join(delta_root, "docs_clean")
+    delta_ids = np.empty(0, dtype=np.int64)
+    if delta_pages_path is not None:
+        inputs = input_fingerprint(_expand_inputs(delta_pages_path))
+        ds = rd.read_parquet(
+            [f["path"] for f in inputs],
+            columns=["url", "warc_ts", "html", "text", "lang"],
+        )
+        ds = ds.map_batches(CleanBatch(cfg.dedup_buckets, cfg.tokenizer),
+                            batch_format="pyarrow", batch_size=cfg.batch_size)
+        ds = ds.groupby("dedup_bucket").map_groups(dedup_group,
+                                                   batch_format="pandas")
+        ds.write_parquet(delta_clean)
+        delta_ids = pq.read_table(delta_clean, columns=["doc_id"]) \
+            .column("doc_id").to_numpy()
+    else:
+        inputs = []
+
+    tomb_ids = (doc_ids_for_urls(deleted_urls)
+                if deleted_urls else np.empty(0, dtype=np.int64))
+    affected = np.unique(np.concatenate((delta_ids, tomb_ids)))
+
+    # ---- 2. rewrite docs_clean (old - affected + delta) ------------------
+    aff_ref = ray.put(np.sort(affected))
+
+    def drop_affected(t: pa.Table) -> pa.Table:
+        aff = ray.get(aff_ref)
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(~np.isin(ids, aff)))
+
+    old_ds = rd.read_parquet(_expand_inputs(docs_clean))
+    kept = old_ds.map_batches(drop_affected, batch_format="pyarrow")
+    merged = kept.union(rd.read_parquet(_expand_inputs(delta_clean))) \
+        if delta_pages_path is not None and os.path.exists(delta_clean) \
+        else kept
+    tmp = docs_clean + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write_parquet(tmp)
+    _commit_dir(tmp, docs_clean)
+
+    # ---- 3. stats over merged corpus ------------------------------------
+    n_docs = _count_rows(docs_clean)
+    total_tokens = rd.read_parquet(
+        docs_clean, columns=["doc_len"]).sum("doc_len") or 0
+    avgdl = (float(total_tokens) / n_docs) if n_docs else 0.0
+    gen_id = len(root_manifest.get("generations", [])) + 1
+    run_hash = config_hash({
+        "base": root_manifest.get("config_hash"),
+        "gen": gen_id, "inputs": inputs,
+        "deleted": sorted(deleted_urls or []),
+    })
+    stats = {"n_docs": int(n_docs), "total_tokens": int(total_tokens),
+             "avgdl": avgdl, "run_hash": run_hash}
+    atomic_write_json(os.path.join(index_root, "global_stats.json"), stats)
+    write_manifest(docs_clean, run_hash, inputs,
+                   metrics={"n_docs": int(n_docs)})
+
+    # ---- 4. tokenize the delta ------------------------------------------
+    delta_tokens = os.path.join(delta_root, "tokens")
+    if delta_pages_path is not None:
+        ds = rd.read_parquet(_expand_inputs(delta_clean),
+                             columns=["doc_id", "text"])
+        ds = ds.map_batches(
+            TokenizeBatch(tokenizer=cfg.tokenizer,
+                          num_buckets=cfg.num_buckets, salt=cfg.salt,
+                          store_positions=cfg.store_positions),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
+        ds.write_parquet(delta_tokens, partition_cols=["bucket_part"])
+
+    # ---- 5. merge every bucket ------------------------------------------
+    items = []
+    for b in range(cfg.num_buckets):
+        d = os.path.join(delta_tokens, f"bucket_part={b}")
+        files = _expand_inputs(d) if os.path.isdir(d) else []
+        items.append({"bucket": b, "files": files})
+    result = rd.from_items(items).map_batches(
+        _merge_bucket, batch_format="pandas", batch_size=1,
+        fn_kwargs=dict(index_root=index_root, cfg_hash=run_hash,
+                       avgdl=avgdl, store_positions=cfg.store_positions,
+                       affected_ref=aff_ref),
+    )
+    built = result.to_pandas()
+    shutil.rmtree(delta_root, ignore_errors=True)
+
+    # ---- 6. root manifest generation record ------------------------------
+    gens = root_manifest.get("generations", [])
+    gens.append({"gen": gen_id, "run_hash": run_hash,
+                 "delta_inputs": inputs,
+                 "n_deleted": int(len(tomb_ids)),
+                 "n_delta_docs": int(len(delta_ids))})
+    root_manifest["generations"] = gens
+    root_manifest["metrics"]["last_delta_seconds"] = round(
+        time.monotonic() - t_start, 3)
+    atomic_write_json(os.path.join(index_root, "_manifest.json"),
+                      root_manifest)
+    metrics.update({"n_docs": int(n_docs), "avgdl": avgdl,
+                    "buckets_merged": int(len(built)),
+                    "seconds": round(time.monotonic() - t_start, 3)})
+    return metrics
+
+
+def remove_urls(index_root: str, urls: list[str],
+                config: BuildConfig | None = None) -> dict:
+    """Delete documents by url (reference DocumentRemoveTask semantics)."""
+    return apply_delta(index_root, None, deleted_urls=urls, config=config)

@@ -123,12 +123,7 @@ def dedup_exact_docs(sf_dir: str):
     """Canonical min-doc_id per exact text hash (md5 matches DuckDB)."""
     from search_engine_ray.functions.dedup import exact_dedup
 
-    out = exact_dedup(load_documents(sf_dir))
-    # ray names the aggregate column min(doc_id); align with the SQL alias
-    return out.map_batches(
-        lambda df: df.rename(columns={"min(doc_id)": "doc_id"}),
-        batch_format="pandas",
-    )
+    return exact_dedup(load_documents(sf_dir))
 
 
 # --- BM25 over documents via the real engine ------------------------------

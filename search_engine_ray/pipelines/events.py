@@ -13,7 +13,8 @@ import os
 
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+
+from search_engine_ray.stages.agg import bucketed_group_agg
 
 
 def _add_hour(df: pd.DataFrame) -> pd.DataFrame:
@@ -25,15 +26,21 @@ def _add_hour(df: pd.DataFrame) -> pd.DataFrame:
     return df[["user_id", "hour_epoch", "value"]]
 
 
+def _hourly_agg(g: pd.DataFrame) -> pd.DataFrame:
+    out = g.groupby(["user_id", "hour_epoch"], as_index=False).agg(
+        n_events=("value", "size"), sum_value=("value", "sum")
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
 def events_hourly_user(sf_dir: str):
-    """Per (user_id, hour): event count + sum(value) rounded to 6 dp."""
+    """Per (user_id, hour): event count + sum(value) rounded to 6 dp.
+
+    (user_id, hour) cardinality ~ the table size, so this uses the
+    coarse-bucket aggregate (stages/agg.py), not a per-group groupby.
+    """
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "user_id", "value"])
     ds = ds.map_batches(_add_hour, batch_format="pandas")
-    agg = ds.groupby(["user_id", "hour_epoch"]).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
-    )
-    return agg.map_batches(
-        lambda df: df.assign(sum_value=df["sum_value"].round(6)),
-        batch_format="pandas",
-    )
+    return bucketed_group_agg(ds, ["user_id", "hour_epoch"], _hourly_agg)

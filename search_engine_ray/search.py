@@ -123,7 +123,9 @@ class LocalSearcher:
             self._load_docmap()
 
     def _load_docmap(self) -> None:
-        t = pq.read_table(os.path.join(self.index_root, "docmap"),
+        # docs_clean doubles as the docmap: columnar read of just
+        # (doc_id, url) skips the text column's bytes entirely.
+        t = pq.read_table(os.path.join(self.index_root, "docs_clean"),
                           columns=["doc_id", "url"])
         self._url_of = dict(
             zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist())

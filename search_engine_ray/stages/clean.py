@@ -30,11 +30,17 @@ DEDUP_BUCKETS_DEFAULT = 64
 
 
 class CleanBatch:
-    """Stateless Arrow-batch UDF (plain function-style; class kept for
-    symmetry with stateful stages and to hold the bucket count)."""
+    """Stateless Arrow-batch UDF. Besides text resolution and doc ids it
+    counts each doc's tokens (``doc_len``) so global stats (N, avgdl) and
+    incremental merges read a tiny per-doc int column instead of re-scanning
+    the exploded token table."""
 
-    def __init__(self, dedup_buckets: int = DEDUP_BUCKETS_DEFAULT):
+    def __init__(self, dedup_buckets: int = DEDUP_BUCKETS_DEFAULT,
+                 tokenizer: str = "standard"):
+        from search_engine_ray.analyzer.tokenizers import get_tokenizer
+
         self.dedup_buckets = dedup_buckets
+        self._tok = get_tokenizer(tokenizer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -46,6 +52,7 @@ class CleanBatch:
                 for t, h in zip(texts, htmls)
             ]
         doc_ids = doc_ids_for_urls(urls)
+        doc_lens = [len(self._tok.document_tokens(t)) for t in texts]
         out = pa.table(
             {
                 "url": batch.column("url"),
@@ -53,6 +60,7 @@ class CleanBatch:
                 "warc_ts": batch.column("warc_ts"),
                 "lang": batch.column("lang"),
                 "text": pa.array(texts, pa.string()),
+                "doc_len": pa.array(doc_lens, pa.int32()),
                 "dedup_bucket": pa.array(
                     doc_ids % self.dedup_buckets, pa.int32()
                 ),

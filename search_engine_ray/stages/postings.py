@@ -166,17 +166,10 @@ def _manifest_row(bucket: int, n_terms: int, n_postings: int) -> pd.DataFrame:
     )
 
 
-def build_bucket_direct(
-    g: pd.DataFrame,
-    index_root: str,
-    cfg_hash: str,
-    avgdl: float,
-    store_positions: bool,
-) -> pd.DataFrame:
-    """Single-phase bucket build (salt == 1): sort, split, encode, write."""
-    t0 = time.monotonic()
-    bucket = int(g["bucket"].iloc[0])
-    cols = _sorted_group_arrays(g)
+def _encode_sorted_bucket(
+    cols: dict, avgdl: float, store_positions: bool
+) -> pa.Table:
+    """Encode a (term, doc_id)-sorted column dict into the postings table."""
     starts, ends = _term_slices(cols["term"])
     rows = {k: [] for k in POSTINGS_SCHEMA.names}
     for s, e in zip(starts, ends):
@@ -192,10 +185,101 @@ def build_bucket_direct(
         rows["pos_vb"].append(_flat_positions(cols["positions"][s:e], store_positions))
         rows["blockmax"].append(encode_blockmax(docids, partials))
         rows["max_partial"].append(float(partials.max()))
-    table = pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
-                      for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
+    return pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
+                     for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
+
+
+def build_bucket_direct(
+    g: pd.DataFrame,
+    index_root: str,
+    cfg_hash: str,
+    avgdl: float,
+    store_positions: bool,
+) -> pd.DataFrame:
+    """Single-phase bucket build (salt == 1): sort, split, encode, write."""
+    t0 = time.monotonic()
+    bucket = int(g["bucket"].iloc[0])
+    cols = _sorted_group_arrays(g)
+    table = _encode_sorted_bucket(cols, avgdl, store_positions)
     _write_bucket(index_root, bucket, table, cfg_hash, len(g), t0)
     return _manifest_row(bucket, table.num_rows, len(g))
+
+
+def build_bucket_from_files(
+    batch: pd.DataFrame,
+    index_root: str,
+    cfg_hash: str,
+    avgdl: float,
+    store_positions: bool,
+) -> pd.DataFrame:
+    """Reducer task for the partitioned-write shuffle: the tokenize stage
+    already wrote tokens hash-partitioned by bucket (``bucket_part=``), so
+    the map side of the shuffle lives on shared storage — each task here
+    reads ONE bucket's files directly and encodes it, with no Ray-level
+    sort/groupby exchange at all (classic external shuffle; the bucket is
+    also the resume unit).
+
+    Everything stays in Arrow/numpy C kernels: one dataset read per bucket,
+    ``Table.sort_by`` for the (term, doc_id) order, term-run boundaries via
+    a vectorized not-equal on the sorted column, and positions flattened
+    through the ListArray's offsets — no per-row Python objects."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    out = []
+    for _, row in batch.iterrows():
+        t0 = time.monotonic()
+        bucket = int(row["bucket"])
+        t = pds.dataset(list(row["files"])).to_table(
+            columns=["term", "doc_id", "tf", "doc_len", "positions"]
+        )
+        t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        t = t.combine_chunks()
+        term_col = t.column("term").chunk(0) if t.column("term").num_chunks \
+            else pa.array([], pa.string())
+        n = len(term_col)
+        if n > 1:
+            neq = pc.not_equal(term_col.slice(1), term_col.slice(0, n - 1))
+            starts = np.concatenate(
+                ([0],
+                 np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1)
+            )
+        else:
+            starts = np.zeros(min(n, 1), dtype=np.int64)
+        ends = np.concatenate((starts[1:], [n])) if n else starts
+        di = t.column("doc_id").to_numpy()
+        tf = t.column("tf").to_numpy().astype(np.int64)
+        dl = t.column("doc_len").to_numpy().astype(np.int64)
+        pos_list = t.column("positions").chunk(0) if (
+            store_positions and t.column("positions").num_chunks) else None
+        if pos_list is not None:
+            pos_offsets = pos_list.offsets.to_numpy()
+            pos_values = pos_list.values.to_numpy() if len(pos_list.values) \
+                else np.empty(0, np.int64)
+
+        rows = {k: [] for k in POSTINGS_SCHEMA.names}
+        for s, e in zip(starts, ends):
+            docids = di[s:e]
+            tfs = tf[s:e]
+            lens = dl[s:e]
+            partials = bm25_partial(tfs, lens, avgdl)
+            rows["term"].append(term_col[s].as_py())
+            rows["df"].append(int(e - s))
+            rows["docs_vb"].append(varbyte_encode(delta_encode(docids)))
+            rows["tfs_vb"].append(varbyte_encode(tfs))
+            rows["lens_vb"].append(varbyte_encode(lens))
+            if pos_list is not None:
+                flat = pos_values[pos_offsets[s]:pos_offsets[e]]
+                rows["pos_vb"].append(varbyte_encode(flat) if flat.size else b"")
+            else:
+                rows["pos_vb"].append(b"")
+            rows["blockmax"].append(encode_blockmax(docids, partials))
+            rows["max_partial"].append(float(partials.max()))
+        table = pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
+                          for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
+        _write_bucket(index_root, bucket, table, cfg_hash, t.num_rows, t0)
+        out.append((bucket, table.num_rows, t.num_rows))
+    return pd.DataFrame(out, columns=["bucket", "n_terms", "n_postings"])
 
 
 def merge_runs(

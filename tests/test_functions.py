@@ -31,7 +31,7 @@ def test_exact_dedup(docs_ds):
 
     out = exact_dedup(docs_ds).to_pandas()
     assert len(out) == 21  # 22 docs, one exact duplicate pair
-    reps = set(out["min(doc_id)"])
+    reps = set(out["doc_id"])
     assert 0 in reps and 21 not in reps
 
 
