@@ -114,6 +114,18 @@ def unpack_position(pos: int) -> tuple[int, int]:
     return pos >> 32, pos & 0xFFFFFFFF
 
 
+def re2_document_token_pattern(separators: tuple[str, ...]) -> str:
+    """RE2-syntax pattern matching document-level tokens: maximal runs of
+    non-separator chars, with \\r\\n added to the class so the match set is
+    identical to per-line tokenization (usable with Arrow's
+    count_substring_regex and DuckDB's regexp functions)."""
+    def esc(c: str) -> str:
+        return "\\" + c if c in "\\]^-" else c
+
+    cls = "".join(esc(c) for c in separators) + "\\r\\n"
+    return f"[^{cls}]+"
+
+
 _REGISTRY: dict[str, Callable[[], Tokenizer]] = {
     "standard": StandardTokenizer,
     "whitespace": WhitespaceTokenizer,

@@ -39,7 +39,13 @@ import ray.data as rd
 
 from search_engine_ray.codec import BLOCK_SIZE, BM25_B, BM25_K1
 from search_engine_ray.extract import EXTRACTOR_VERSION
-from search_engine_ray.stages.clean import CleanBatch, dedup_group, filter_lang
+from search_engine_ray.stages.clean import (
+    CleanBatch,
+    DedupFilterBatch,
+    compute_dup_winners,
+    dedup_group,
+    filter_lang,
+)
 from search_engine_ray.stages.postings import (
     build_bucket_from_files,
     encode_run,
@@ -56,7 +62,7 @@ from search_engine_ray.state.manifest import (
     write_manifest,
 )
 
-CODEC_VERSION = "delta+varbyte/v1"
+CODEC_VERSION = "delta+varbyte/v2"  # v2: per-doc delta-coded positions
 
 
 @dataclass
@@ -68,15 +74,22 @@ class BuildConfig:
     dedup_buckets: int = 64
     lang_filter: list[str] | None = None
     batch_size: int = 1024             # rows per tokenize batch (wide text)
-    # bound the partitioned token write to this many writer blocks: files
-    # per bucket == writer blocks, so this caps small-file blowup
-    # (None = keep the upstream block count)
-    token_write_blocks: int | None = 8
+    # exact-dedup strategy: "auto"/"broadcast" = light (url, warc_ts) pass +
+    # broadcast loser filter (no text shuffle); "shuffle" = full groupby on
+    # the doc bucket (scale-proof for any dup volume). auto falls back to
+    # shuffle on ties or oversized winner maps. NOT part of the config hash
+    # (same output either way).
+    dedup_mode: str = "auto"
+    # tokenize map-task count (== files per token bucket). None (default):
+    # 4x cluster CPUs — enough parallelism, no small-file explosion.
+    token_write_blocks: int | None = None
     k1: float = BM25_K1
     b: float = BM25_B
 
     def to_config_hash(self) -> str:
         cfg = asdict(self)
+        cfg.pop("dedup_mode", None)
+        cfg.pop("token_write_blocks", None)  # layout knob, not semantics
         cfg["extractor"] = EXTRACTOR_VERSION
         cfg["codec"] = CODEC_VERSION
         cfg["block_size"] = BLOCK_SIZE
@@ -158,9 +171,30 @@ def build_index(
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
-        ds = ds.groupby("dedup_bucket").map_groups(
-            dedup_group, batch_format="pandas"
-        )
+        mode = cfg.dedup_mode
+        winners = None
+        if mode in ("auto", "broadcast"):
+            # light pass over (url, warc_ts) only; falls back to the full
+            # shuffle when ties make broadcast filtering non-deterministic
+            # or the winner map is too large to broadcast
+            winners, has_ties = compute_dup_winners(
+                [f["path"] for f in inputs])
+            if has_ties or (mode == "auto" and len(winners) > 5_000_000):
+                winners = None
+        if winners is not None:
+            import ray as _ray
+
+            ref = _ray.put(winners)
+            ds = ds.map_batches(
+                DedupFilterBatch, batch_format="pyarrow",
+                batch_size=cfg.batch_size, concurrency=(1, 8),
+                fn_constructor_kwargs={"winners_ref": ref},
+            )
+            ds = ds.drop_columns(["dedup_bucket"])
+        else:
+            ds = ds.groupby("dedup_bucket").map_groups(
+                dedup_group, batch_format="pandas"
+            )
         tmp = docs_clean + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
@@ -179,7 +213,16 @@ def build_index(
     if not (resume and is_fresh(tokens_dir, run_hash)):
         t0 = time.monotonic()
         invalidate(tokens_dir)
-        ds = rd.read_parquet(docs_clean, columns=["doc_id", "text"])
+        # bound map-task count: every tokenize task writes one file per
+        # bucket it touches, so files-per-bucket == map tasks. 4x cluster
+        # CPUs keeps the pipeline busy without a small-file explosion
+        # (10k+ tiny files measurably slow the reducer reads).
+        import ray as _ray
+
+        n_blocks = cfg.token_write_blocks or max(
+            16, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+        ds = rd.read_parquet(docs_clean, columns=["doc_id", "text"],
+                             override_num_blocks=n_blocks)
         ds = ds.map_batches(
             TokenizeBatch(
                 tokenizer=cfg.tokenizer,
@@ -190,8 +233,6 @@ def build_index(
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
-        if cfg.token_write_blocks:
-            ds = ds.repartition(cfg.token_write_blocks)
         tmp = tokens_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp, partition_cols=["bucket_part"])
@@ -268,7 +309,8 @@ def build_index(
         # tokenize stage's partitioned write (the map side of the shuffle);
         # one reducer task per bucket reads its own partition — no Ray-level
         # sort/groupby exchange.
-        ds = rd.from_items(pending_items)
+        ds = rd.from_items(pending_items,
+                           override_num_blocks=len(pending_items))
         result = ds.map_batches(
             build_bucket_from_files, batch_format="pandas", batch_size=1,
             fn_kwargs=common,

@@ -31,7 +31,11 @@ _U64 = np.uint64
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64/int64 array to varbyte bytes (vectorized)."""
+    """Encode a uint64/int64 array to varbyte bytes (vectorized).
+
+    Fast paths: early exit once no value needs another byte; a dense
+    column-wise writer when all values share one byte-width (the common
+    case for delta-coded ids and positions)."""
     v = np.ascontiguousarray(values, dtype=_U64)
     n = v.size
     if n == 0:
@@ -39,7 +43,22 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     # bytes needed per value: 1 + number of 7-bit groups above the first
     nb = np.ones(n, dtype=np.int64)
     for k in range(1, 10):
-        nb[v >= (_U64(1) << _U64(7 * k))] = k + 1
+        mask = v >= (_U64(1) << _U64(7 * k))
+        if not mask.any():
+            break
+        nb[mask] = k + 1
+    w_min, w_max = int(nb[0]), int(nb[0])
+    if n > 1:
+        w_min, w_max = int(nb.min()), int(nb.max())
+    if w_min == w_max:
+        # uniform width: write column-wise into an (n, w) matrix — no
+        # fancy-index scatter
+        w = w_min
+        out = np.empty((n, w), dtype=np.uint8)
+        for j in range(w):
+            out[:, j] = (v >> _U64(7 * j)).astype(np.uint8) & 0x7F
+        out[:, w - 1] |= 0x80
+        return out.tobytes()
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -53,20 +72,37 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(data: bytes, count: int | None = None) -> np.ndarray:
-    """Decode varbyte bytes back to a uint64 array (vectorized)."""
+    """Decode varbyte bytes back to a uint64 array (vectorized).
+
+    Assembly is <=10 gather-OR passes over int64 (bitwise ops are
+    width-exact, and int64 kernels stay on numpy's fast path — uint64
+    cumsum/reduceat fall off it by an order of magnitude)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     if arr.size == 0:
         return np.empty(0, dtype=_U64)
-    is_last = (arr & 0x80) != 0
-    ends = np.flatnonzero(is_last)
-    starts = np.concatenate(([0], ends[:-1] + 1))
-    lens = ends - starts + 1
-    offsets = np.arange(arr.size, dtype=np.int64) - np.repeat(starts, lens)
-    contrib = (arr & 0x7F).astype(_U64) << (_U64(7) * offsets.astype(_U64))
-    vals = np.add.reduceat(contrib, starts)
-    if count is not None and vals.size != count:
-        raise ValueError(f"varbyte_decode: expected {count} values, got {vals.size}")
-    return vals
+    ends = np.flatnonzero(arr & 0x80)
+    n = ends.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    widths = ends - starts + 1
+    payload = (arr & 0x7F).astype(np.int64)
+    vals = np.zeros(n, dtype=np.int64)
+    w_max = int(widths.max())
+    if w_max == int(widths.min()):
+        # uniform width: dense reshape, no gathers
+        mat = payload.reshape(n, w_max)
+        for j in range(w_max):
+            vals |= mat[:, j] << (7 * j)
+    else:
+        np.take(payload, starts, out=vals)  # byte 0: every value has one
+        for j in range(1, w_max):
+            m = widths > j
+            vals[m] |= payload[starts[m] + j] << (7 * j)
+    out = vals.view(_U64)
+    if count is not None and out.size != count:
+        raise ValueError(f"varbyte_decode: expected {count} values, got {out.size}")
+    return out
 
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
@@ -80,7 +116,42 @@ def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
 
 
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
-    return np.cumsum(deltas.astype(_U64)).astype(np.int64)
+    # int64 cumsum (fast path); two's-complement wrap == modular uint64,
+    # so bit-level results are exact for any 64-bit payload
+    return np.cumsum(deltas.view(np.int64) if deltas.dtype == _U64
+                     else deltas.astype(np.int64))
+
+
+def encode_positions(flat: np.ndarray, seg_lens: np.ndarray) -> bytes:
+    """Delta+varbyte a flattened positions array segmented per doc.
+
+    ``flat`` concatenates each doc's packed (row<<32|col) positions in
+    docid order; positions are STRICTLY INCREASING within a doc, so
+    per-segment deltas (first value absolute) are small — usually 1-2
+    bytes instead of 5. ``seg_lens`` = tfs (one segment per doc)."""
+    if flat.size == 0:
+        return b""
+    u = np.ascontiguousarray(flat, dtype=np.int64).view(_U64)  # zero-copy
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    d = np.empty(u.size, dtype=_U64)
+    d[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=d[1:])
+    seg_starts = np.cumsum(seg_lens)[:-1]
+    d[seg_starts] = u[seg_starts]
+    return varbyte_encode(d)
+
+
+def decode_positions(data: bytes, seg_lens: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions -> flat int64 positions."""
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    vals = varbyte_decode(data, int(seg_lens.sum())).view(np.int64)
+    c = np.cumsum(vals)  # int64 fast path; wrap-safe (bitwise-exact)
+    seg_ends = np.cumsum(seg_lens)
+    bases = np.zeros(seg_lens.size, dtype=np.int64)
+    bases[1:] = c[seg_ends[:-1] - 1]
+    return c - np.repeat(bases, seg_lens)
 
 
 def bm25_partial(
@@ -142,7 +213,9 @@ def encode_posting(
         "blockmax": encode_blockmax(docids, partials),
         "max_partial": float(partials.max()) if partials.size else 0.0,
     }
-    rec["pos_vb"] = varbyte_encode(positions) if positions is not None else b""
+    rec["pos_vb"] = (
+        encode_positions(positions, tfs) if positions is not None else b""
+    )
     return rec
 
 
@@ -153,5 +226,5 @@ def decode_posting(rec: dict, with_positions: bool = False) -> dict:
     doc_lens = varbyte_decode(rec["lens_vb"], df).astype(np.int64)
     out = {"docids": docids, "tfs": tfs, "doc_lens": doc_lens}
     if with_positions and rec.get("pos_vb"):
-        out["positions"] = varbyte_decode(rec["pos_vb"]).astype(np.int64)
+        out["positions"] = decode_positions(rec["pos_vb"], tfs)
     return out

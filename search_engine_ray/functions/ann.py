@@ -83,7 +83,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     local = ds.map_batches(
         BatchTopK, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=2, fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
     )
     return local.groupby("query_id").map_groups(
         _final_topk, batch_format="pandas",
@@ -152,7 +153,7 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 6,
             )
 
     local = ds.map_batches(BucketedTopK, batch_format="pyarrow",
-                           batch_size=batch_size, concurrency=2)
+                           batch_size=batch_size, concurrency=(1, 4))
     return local.groupby("query_id").map_groups(
         _final_topk, batch_format="pandas",
         fn_kwargs={"k": k, "round_to": round_to},

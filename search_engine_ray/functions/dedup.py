@@ -191,7 +191,7 @@ def minhash_near_dups(
     threshold: float = 0.7,
     batch_size: int = 2048,
     texts_ref=None,
-    verify_concurrency: int = 2,
+    verify_concurrency=(1, 4),
 ):
     """Full MinHash-LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
 

@@ -246,7 +246,7 @@ def apply_delta(
         d = os.path.join(delta_tokens, f"bucket_part={b}")
         files = _expand_inputs(d) if os.path.isdir(d) else []
         items.append({"bucket": b, "files": files})
-    result = rd.from_items(items).map_batches(
+    result = rd.from_items(items, override_num_blocks=len(items)).map_batches(
         _merge_bucket, batch_format="pandas", batch_size=1,
         fn_kwargs=dict(index_root=index_root, cfg_hash=run_hash,
                        avgdl=avgdl, store_positions=cfg.store_positions,

@@ -1,0 +1,130 @@
+"""``ray job submit``-able entrypoints (north-rule requirement).
+
+On a real cluster:
+
+    ray job submit --working-dir . -- python -m search_engine_ray.jobs \
+        build --input /data/pages --index /data/index --num-buckets 512
+
+    ray job submit --working-dir . -- python -m search_engine_ray.jobs \
+        query --index /data/index --terms mila --type exact -k 10
+
+    ray job submit --working-dir . -- python -m search_engine_ray.jobs \
+        delta --index /data/index --input /data/pages_delta \
+        --delete-urls-file deleted.txt
+
+In this sandbox the same module runs standalone (Ray Data auto-inits local).
+Guarded ``ray.init`` so it also works when a driver initialised Ray first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    from search_engine_ray.build import BuildConfig, build_index
+
+    cfg = BuildConfig(
+        tokenizer=args.tokenizer,
+        num_buckets=args.num_buckets,
+        salt=args.salt,
+        store_positions=not args.no_positions,
+    )
+    m = build_index(args.input, args.index, cfg, resume=not args.no_resume)
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from search_engine_ray.search import LocalSearcher
+
+    s = LocalSearcher(args.index)
+    res = s.search(args.terms, args.type, k=args.k, scorer=args.scorer)
+    print(json.dumps(res.to_pylist()))
+    return 0
+
+
+def cmd_delta(args) -> int:
+    from search_engine_ray.build import BuildConfig
+    from search_engine_ray.incremental import apply_delta
+
+    deleted = []
+    if args.delete_urls_file:
+        with open(args.delete_urls_file) as f:
+            deleted = [ln.strip() for ln in f if ln.strip()]
+    cfg = BuildConfig(num_buckets=args.num_buckets, tokenizer=args.tokenizer,
+                      store_positions=not args.no_positions)
+    m = apply_delta(args.index, args.input, deleted_urls=deleted, config=cfg)
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_invalidate(args) -> int:
+    from search_engine_ray.build import invalidate_index
+
+    invalidate_index(args.index)
+    print(json.dumps({"invalidated": args.index}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="search_engine_ray.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--tokenizer", default="standard")
+    b.add_argument("--num-buckets", type=int, default=64)
+    b.add_argument("--salt", type=int, default=1)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--terms", nargs="+", required=True)
+    q.add_argument("--type", default="exact",
+                   choices=["exact", "or", "prefix"])
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
+    q.set_defaults(fn=cmd_query)
+
+    d = sub.add_parser("delta")
+    d.add_argument("--input", default=None)
+    d.add_argument("--index", required=True)
+    d.add_argument("--delete-urls-file", default=None)
+    d.add_argument("--tokenizer", default="standard")
+    d.add_argument("--num-buckets", type=int, default=64)
+    d.add_argument("--no-positions", action="store_true")
+    d.set_defaults(fn=cmd_delta)
+
+    i = sub.add_parser("invalidate")
+    i.add_argument("--index", required=True)
+    i.set_defaults(fn=cmd_invalidate)
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -320,6 +320,26 @@ class LocalSearcher:
         scs = np.array([s for s, _ in out], dtype=np.float64)
         return ids, scs
 
+    # --- forward index (reference I5: getKeys(docId)) --------------------
+
+    def doc_terms(self, doc_id: int) -> list[tuple[str, int]]:
+        """All (term, tf) of one document — the reference walks the WHOLE
+        tree collecting nodes containing the doc id (O(index),
+        SearchEngineConcurrentTree.java:203-233); we re-derive it from the
+        doc's stored text in docs_clean (O(doc)), which is what the
+        update/delete diff machinery needs it for."""
+        t = pq.read_table(
+            os.path.join(self.index_root, "docs_clean"),
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "=", int(doc_id))],
+        )
+        if t.num_rows == 0:
+            return []
+        counts: dict[str, int] = {}
+        for tok in self._tok.document_tokens(t.column("text")[0].as_py()):
+            counts[tok] = counts.get(tok, 0) + 1
+        return sorted(counts.items())
+
     # --- per-doc rescan (reference Q3/M9) --------------------------------
 
     def matched_rows(self, doc_id: int, term: str) -> dict[int, list[int]]:

@@ -1,0 +1,185 @@
+"""Distributed query serving: Ray actors over the index artifacts.
+
+The reference serves queries from one in-heap tree in one JVM
+(ref: engine/src/main/java/org/search/engine/search/SimpleSearchManager.java:50-85).
+Two actor topologies replace it, both returning results identical to
+``LocalSearcher`` (tests/test_serve.py):
+
+* ``SearcherReplicaPool`` — N replica actors, each holding a full
+  ``LocalSearcher`` (buckets loaded lazily, cached per actor). One query is
+  served entirely by one replica -> linear QPS scaling; the index must be
+  loadable per node (bucket files page in on demand). This is the right
+  topology while a node can hold the working set.
+
+* ``BucketShardServer`` — the term-partitioned topology for indexes larger
+  than a node: each actor owns a GROUP of term buckets (loaded once in
+  ``__init__``); a query's terms are hash-routed to their owning actors,
+  each returns its terms' (doc_id, idf*partial) score fragments, and the
+  driver accumulates + top-ks. Exact (same float-order invariant: fragments
+  are merged in lexicographic term order). Transfer cost is the posting
+  size of the query's terms — the same bytes LocalSearcher reads from disk.
+  Prefix queries fan out to all shard actors (hash partitioning destroys
+  prefix locality — SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from search_engine_ray.codec import bm25_idf
+from search_engine_ray.search import RESULT_SCHEMA, LocalSearcher, _partials
+from search_engine_ray.stages.tokenize import term_bucket
+
+
+@ray.remote
+class _Replica:
+    def __init__(self, index_root: str):
+        self.searcher = LocalSearcher(index_root)
+
+    def search(self, queries, search_type, k, scorer):
+        t = self.searcher.search(queries, search_type, k=k, scorer=scorer)
+        return t
+
+
+class SearcherReplicaPool:
+    """Round-robin pool of full-index replica actors (QPS scaling)."""
+
+    def __init__(self, index_root: str, num_replicas: int = 2):
+        self._replicas = [
+            _Replica.remote(index_root) for _ in range(num_replicas)
+        ]
+        self._next = 0
+
+    def search_async(self, queries, search_type="exact", k=10,
+                     scorer="taat"):
+        r = self._replicas[self._next % len(self._replicas)]
+        self._next += 1
+        return r.search.remote(queries, search_type, k, scorer)
+
+    def search(self, queries, search_type="exact", k=10, scorer="taat"):
+        return ray.get(self.search_async(queries, search_type, k, scorer))
+
+    def shutdown(self):
+        for r in self._replicas:
+            ray.kill(r)
+        self._replicas = []
+
+
+@ray.remote
+class _BucketShard:
+    """Owns a contiguous group of term buckets; loads them once."""
+
+    def __init__(self, index_root: str, buckets: list[int]):
+        self._s = LocalSearcher(index_root, load_docmap=False)
+        self.buckets = set(buckets)
+        for b in buckets:  # eager load: the 'stateful actor' cost paid once
+            self._s.bucket(b)
+
+    def fragments(self, terms: list[str]):
+        """(term -> (docids, scores)) for the owned terms present here."""
+        out = {}
+        for t in terms:
+            b = term_bucket(t, self._s.num_buckets)
+            if b not in self.buckets:
+                continue
+            rec = self._s._posting_for(t)
+            if rec is None:
+                continue
+            from search_engine_ray.codec import decode_posting
+
+            dec = decode_posting(rec)
+            idf = bm25_idf(self._s.n_docs, rec["df"])
+            out[t] = (dec["docids"],
+                      idf * _partials(dec, self._s.avgdl, self._s.k1,
+                                      self._s.b))
+        return out
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        terms = []
+        for b in self.buckets:
+            bk = self._s.bucket(b)
+            terms.extend(bk.terms[i] for i in bk.prefix_range(prefix))
+        return terms
+
+
+class BucketShardServer:
+    """Term-partitioned serving across shard actors + driver-side merge."""
+
+    def __init__(self, index_root: str, num_shards: int = 4):
+        probe = LocalSearcher(index_root, load_docmap=False)
+        self.num_buckets = probe.num_buckets
+        groups = [list(range(self.num_buckets))[i::num_shards]
+                  for i in range(num_shards)]
+        self._shards = [
+            _BucketShard.remote(index_root, g) for g in groups if g
+        ]
+        self._bucket_to_shard = {}
+        for si, g in enumerate(groups):
+            for b in g:
+                self._bucket_to_shard[b] = si
+        self._local = probe  # for docmap-free metadata
+
+    def _route(self, terms: list[str]) -> dict[int, list[str]]:
+        by_shard: dict[int, list[str]] = {}
+        for t in terms:
+            si = self._bucket_to_shard[term_bucket(t, self.num_buckets)]
+            by_shard.setdefault(si, []).append(t)
+        return by_shard
+
+    def search(self, queries: list[str], search_type: str = "exact",
+               k: int = 10) -> pa.Table:
+        if search_type == "exact":
+            terms = queries[:1]
+        elif search_type == "or":
+            terms = list(queries)
+        elif search_type == "prefix":
+            terms = sorted(set().union(*ray.get([
+                s.expand_prefix.remote(queries[0]) for s in self._shards
+            ])))
+        else:
+            raise ValueError(f"unknown search_type {search_type!r}")
+        terms = sorted(set(terms))
+        by_shard = self._route(terms)
+        frags = ray.get([
+            self._shards[si].fragments.remote(ts)
+            for si, ts in by_shard.items()
+        ])
+        merged: dict[str, tuple] = {}
+        for f in frags:
+            merged.update(f)
+        # accumulate in lexicographic term order (float-order invariant)
+        id_parts, sc_parts = [], []
+        for t in sorted(merged):
+            ids, scs = merged[t]
+            id_parts.append(ids)
+            sc_parts.append(scs)
+        if not id_parts:
+            ids = np.empty(0, np.int64)
+            scores = np.empty(0, np.float64)
+        else:
+            ids_all = np.concatenate(id_parts)
+            scs_all = np.concatenate(sc_parts)
+            order = np.argsort(ids_all, kind="mergesort")
+            ids_all, scs_all = ids_all[order], scs_all[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(ids_all[1:] != ids_all[:-1]) + 1))
+            uids = ids_all[starts]
+            totals = np.add.reduceat(scs_all, starts)
+            top = np.lexsort((uids, -totals))[:k]
+            ids, scores = uids[top], totals[top]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int32)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+                "url": pa.array([""] * len(ids), pa.string()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+    def shutdown(self):
+        for s in self._shards:
+            ray.kill(s)
+        self._shards = []

@@ -37,10 +37,18 @@ class CleanBatch:
 
     def __init__(self, dedup_buckets: int = DEDUP_BUCKETS_DEFAULT,
                  tokenizer: str = "standard"):
-        from search_engine_ray.analyzer.tokenizers import get_tokenizer
+        from search_engine_ray.analyzer.tokenizers import (
+            get_tokenizer,
+            re2_document_token_pattern,
+        )
 
         self.dedup_buckets = dedup_buckets
         self._tok = get_tokenizer(tokenizer)
+        # doc_len is counted with Arrow's C-level regex kernel — no Python
+        # string allocation; the pattern matches the tokenizer exactly
+        # (validated against per-line tokenization in tests)
+        self._count_pattern = re2_document_token_pattern(
+            self._tok.separators)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -52,7 +60,9 @@ class CleanBatch:
                 for t, h in zip(texts, htmls)
             ]
         doc_ids = doc_ids_for_urls(urls)
-        doc_lens = [len(self._tok.document_tokens(t)) for t in texts]
+        doc_lens = pc.count_substring_regex(
+            pa.array(texts, pa.string()), pattern=self._count_pattern
+        ).cast(pa.int32())
         out = pa.table(
             {
                 "url": batch.column("url"),
@@ -60,7 +70,7 @@ class CleanBatch:
                 "warc_ts": batch.column("warc_ts"),
                 "lang": batch.column("lang"),
                 "text": pa.array(texts, pa.string()),
-                "doc_len": pa.array(doc_lens, pa.int32()),
+                "doc_len": doc_lens,
                 "dedup_bucket": pa.array(
                     doc_ids % self.dedup_buckets, pa.int32()
                 ),
@@ -81,6 +91,86 @@ def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
             f"doc_id hash collision between urls: {sorted(dup_ids['url'])[:4]}"
         )
     return g.drop(columns=["dedup_bucket"])
+
+
+def compute_dup_winners(input_files: list[str], batch_size: int = 8192):
+    """Light dedup pass: scan ONLY (url, warc_ts) — parquet column pruning
+    keeps html/text bytes on disk — and return {doc_id: winner_warc_ts}
+    for urls that occur more than once. The heavy pass then just filters
+    losers with this broadcast dict instead of shuffling the text payload.
+
+    Also returns ``has_ties``: True when some url has MULTIPLE rows at its
+    max warc_ts — the broadcast filter cannot pick one deterministically
+    across blocks, so the caller falls back to the full shuffle dedup for
+    that build (rare; the shuffle path tie-breaks on text).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_files, columns=["url", "warc_ts"])
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(doc_ids_for_urls(urls), pa.int64()),
+            # second, independent url hash: detects doc_id collisions
+            # between DIFFERENT urls (idhash.py contract)
+            "url_h2": pa.array(doc_ids_for_urls(
+                [u + "\x00#2" for u in urls]), pa.int64()),
+            # int64 micros: avoids pandas/pyarrow timestamp-equality traps
+            "warc_ts": pc.cast(batch.column("warc_ts"), pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        col = g.groupby("doc_id")["url_h2"].nunique()
+        if (col > 1).any():
+            raise ValueError(
+                f"doc_id hash collision between urls: ids {list(col[col > 1].index)[:4]}")
+        agg = g.groupby("doc_id", as_index=False).agg(
+            n=("warc_ts", "size"), max_ts=("warc_ts", "max"))
+        dups = agg[agg["n"] > 1]
+        if not len(dups):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "max_ts": pd.Series(dtype=g["warc_ts"].dtype),
+                                 "n_at_max": pd.Series(dtype="int64")})
+        at_max = g.merge(dups[["doc_id", "max_ts"]], on="doc_id")
+        at_max = at_max[at_max["warc_ts"] == at_max["max_ts"]]
+        n_at_max = at_max.groupby("doc_id").size().rename("n_at_max")
+        return dups.merge(n_at_max, on="doc_id")[
+            ["doc_id", "max_ts", "n_at_max"]]
+
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    dups = bucketed_group_agg(
+        ds.map_batches(to_ids, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["doc_id"], per_bucket,
+    ).to_pandas()
+    if len(dups) == 0 or "doc_id" not in dups.columns:
+        return {}, False  # no duplicates anywhere
+    winners = dict(zip(dups["doc_id"].tolist(), dups["max_ts"].tolist()))
+    has_ties = bool((dups["n_at_max"] > 1).any())
+    return winners, has_ties
+
+
+class DedupFilterBatch:
+    """Drop loser rows of duplicated urls using the broadcast winners map
+    (fetched once per actor/task from the object store)."""
+
+    def __init__(self, winners_ref):
+        import ray
+
+        self._winners = ray.get(winners_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._winners:
+            return batch
+        doc_ids = batch.column("doc_id").to_pylist()
+        tss = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+        keep = [
+            (d not in self._winners) or (ts == self._winners[d])
+            for d, ts in zip(doc_ids, tss)
+        ]
+        return batch.filter(pa.array(keep))
 
 
 def filter_lang(batch: pa.Table, langs: list[str]) -> pa.Table:

@@ -41,9 +41,11 @@ import pyarrow.parquet as pq
 
 from search_engine_ray.codec import (
     bm25_partial,
+    decode_positions,
     delta_decode,
     delta_encode,
     encode_blockmax,
+    encode_positions,
     varbyte_decode,
     varbyte_encode,
 )
@@ -107,7 +109,8 @@ def _flat_positions(pos_cells, store_positions: bool) -> bytes:
     arrs = [np.asarray(p, dtype=np.int64) for p in pos_cells if p is not None and len(p)]
     if not arrs:
         return b""
-    return varbyte_encode(np.concatenate(arrs))
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    return encode_positions(np.concatenate(arrs), lens)
 
 
 def encode_run(g: pd.DataFrame, store_positions: bool = True) -> pd.DataFrame:
@@ -270,7 +273,8 @@ def build_bucket_from_files(
             rows["lens_vb"].append(varbyte_encode(lens))
             if pos_list is not None:
                 flat = pos_values[pos_offsets[s]:pos_offsets[e]]
-                rows["pos_vb"].append(varbyte_encode(flat) if flat.size else b"")
+                rows["pos_vb"].append(
+                    encode_positions(flat, tfs) if flat.size else b"")
             else:
                 rows["pos_vb"].append(b"")
             rows["blockmax"].append(encode_blockmax(docids, partials))
@@ -311,7 +315,7 @@ def merge_runs(
             tf_parts.append(tfs)
             len_parts.append(lens)
             if store_positions and run["pos_vb"]:
-                flat = varbyte_decode(run["pos_vb"]).astype(np.int64)
+                flat = decode_positions(run["pos_vb"], tfs)
                 splits = np.cumsum(tfs)[:-1]
                 pos_parts.extend(np.split(flat, splits))
             elif store_positions:

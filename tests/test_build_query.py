@@ -150,3 +150,29 @@ def test_whitespace_tokenizer_build(ray_session, tmp_path):
     got = list(zip(eng.column("doc_id").to_pylist(),
                    eng.column("score").to_pylist()))
     assert got == want and len(got) == 1
+
+
+def test_dedup_modes_equivalent(ray_session, tmp_path):
+    """broadcast (light pass + filter) and shuffle dedup produce identical
+    indexes on a dup-heavy corpus."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.build import BuildConfig, build_index
+    from search_engine_ray.corpus import generate_pages
+
+    pages = generate_pages(150, seed=17)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "p.parquet"))
+    build_index(str(pdir), str(tmp_path / "ib"),
+                BuildConfig(num_buckets=4, dedup_mode="broadcast"))
+    build_index(str(pdir), str(tmp_path / "is"),
+                BuildConfig(num_buckets=4, dedup_mode="shuffle"))
+    for b in range(4):
+        t1 = pq.read_table(str(tmp_path / f"ib/buckets/bucket={b}/postings.parquet"))
+        t2 = pq.read_table(str(tmp_path / f"is/buckets/bucket={b}/postings.parquet"))
+        assert t1.equals(t2), f"bucket {b}"
+    import json
+    a = json.load(open(tmp_path / "ib/global_stats.json"))
+    b_ = json.load(open(tmp_path / "is/global_stats.json"))
+    assert (a["n_docs"], a["total_tokens"]) == (b_["n_docs"], b_["total_tokens"])

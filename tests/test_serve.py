@@ -1,0 +1,47 @@
+"""Actor-based serving == LocalSearcher (both topologies)."""
+
+import pytest
+
+from search_engine_ray.search import LocalSearcher
+
+
+@pytest.fixture(scope="module")
+def served(ray_session, built_index):
+    from search_engine_ray.serve import BucketShardServer, SearcherReplicaPool
+
+    pool = SearcherReplicaPool(built_index, num_replicas=2)
+    shards = BucketShardServer(built_index, num_shards=3)
+    yield {"local": LocalSearcher(built_index), "pool": pool,
+           "shards": shards}
+    pool.shutdown()
+    shards.shutdown()
+
+
+QUERIES = [
+    (["mila"], "exact"), (["mam"], "prefix"), (["bako", "kota"], "or"),
+    (["zzz_none"], "exact"), (["sentinel00"], "prefix"),
+]
+
+
+@pytest.mark.parametrize("q,st", QUERIES)
+def test_replica_pool_matches_local(served, q, st):
+    want = served["local"].search(q, st, k=20)
+    got = served["pool"].search(q, st, k=20)
+    assert got.equals(want)
+
+
+@pytest.mark.parametrize("q,st", QUERIES)
+def test_shard_server_matches_local(served, q, st):
+    want = served["local"].search(q, st, k=20, with_urls=False)
+    got = served["shards"].search(q, st, k=20)
+    assert got.equals(want)
+
+
+def test_pool_concurrent_queries(served):
+    import ray
+
+    refs = [served["pool"].search_async(["mila"], "exact", 10, "taat")
+            for _ in range(8)]
+    results = ray.get(refs)
+    first = results[0]
+    assert all(r.equals(first) for r in results[1:])

@@ -1,0 +1,82 @@
+"""Forward index (I5), suggestion expansion (M10/ST3), CLI jobs surface."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from search_engine_ray.idhash import doc_id_for_url
+from search_engine_ray.search import LocalSearcher
+from search_engine_ray.suggest import SuggestionExpander
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    return LocalSearcher(built_index)
+
+
+def test_doc_terms_forward_index(searcher, small_oracle):
+    d = doc_id_for_url("https://example.org/parity/00000002")
+    got = searcher.doc_terms(d)
+    # "mama mila doma hi mama i am here"
+    assert got == [("am", 1), ("doma", 1), ("here", 1), ("hi", 1),
+                   ("i", 1), ("mama", 2), ("mila", 1)]
+    # oracle cross-check on an arbitrary doc
+    any_doc = sorted(small_oracle.url_of)[7]
+    want = sorted(
+        (t, p[any_doc][0])
+        for t, p in small_oracle.postings.items() if any_doc in p
+    )
+    assert searcher.doc_terms(any_doc) == want
+    assert searcher.doc_terms(123456789) == []
+
+
+def test_suggestion_expansion(searcher, small_oracle):
+    exp = SuggestionExpander(searcher)
+    # 'mila' and 'milak' both exist; same-length substitution only
+    sug = exp.suggest("mila")
+    assert "mila" in sug
+    assert all(len(s) == 4 for s in sug)
+    # search_with_suggestions == oracle OR over the same expansion
+    res = exp.search_with_suggestions("mila", k=20)
+    want = small_oracle.search(exp.suggest("mila"), "or", k=20)
+    got = list(zip(res.column("doc_id").to_pylist(),
+                   res.column("score").to_pylist()))
+    assert got == [(d, s) for d, s, _ in want]
+    # unknown word with no same-length vocab neighbours -> falls back
+    res2 = exp.search_with_suggestions("qqqqqqqqqqqqqqqqqqqqqq")
+    assert res2.num_rows == 0
+
+
+def test_jobs_cli_build_and_query(ray_session, tmp_path):
+    """Drive the ray-job entrypoint module end-to-end in a subprocess."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.corpus import generate_pages
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(generate_pages(40, seed=6), str(pdir / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "build",
+         "--input", str(pdir), "--index", idx, "--num-buckets", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["n_docs"] == 40
+
+    out2 = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "query",
+         "--index", idx, "--terms", "mila", "--type", "exact"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    rows = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert len(rows) == 2
+    assert {r["url"] for r in rows} == {
+        "https://example.org/parity/00000002",
+        "https://example.org/parity/00000003",
+    }
