@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": ev.events_hourly_user,
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
+        "phrase_search": d.phrase_search_docs,   # M9 positions
         "quality_scores": d.quality_scores,
         "langid": d.langid_pred,
         "fingerprints": d.fingerprints,
@@ -120,19 +121,24 @@ def oracle_sql() -> dict[str, str]:
                              / (SELECT count(*)::DOUBLE FROM documents)
                              AS avgdl),
             df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-            fixedq(query, term) AS (VALUES
-                ('exact:batch', 'batch'),
-                ('exact:customer', 'customer'),
-                ('exact:vector', 'vector'),
-                ('or:stream|window', 'stream'),
-                ('or:stream|window', 'window'),
-                ('exact:qqqnohit', 'qqqnohit')),
-            prefixq AS (SELECT 'prefix:cu' AS query, term FROM df
-                        WHERE term LIKE 'cu%'),
+            fixedq(query, term, conj) AS (VALUES
+                ('exact:batch', 'batch', 0),
+                ('exact:customer', 'customer', 0),
+                ('exact:vector', 'vector', 0),
+                ('or:stream|window', 'stream', 0),
+                ('or:stream|window', 'window', 0),
+                ('and:stream&window', 'stream', 1),
+                ('and:stream&window', 'window', 1),
+                ('exact:qqqnohit', 'qqqnohit', 0)),
+            prefixq AS (SELECT 'prefix:cu' AS query, term, 0 AS conj
+                        FROM df WHERE term LIKE 'cu%'),
             q AS (SELECT * FROM fixedq UNION ALL SELECT * FROM prefixq),
+            qn AS (SELECT query, count(*) AS nt, max(conj) AS conj
+                   FROM q GROUP BY query),
             scores AS (
                 SELECT q.query, tf.doc_id,
-                       sum({idf} * {bm25_partial}) AS score
+                       sum({idf} * {bm25_partial}) AS score,
+                       count(DISTINCT q.term) AS nmatch
                 FROM q
                 JOIN tf ON tf.term = q.term
                 JOIN df ON df.term = q.term
@@ -140,9 +146,11 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN stats
                 GROUP BY q.query, tf.doc_id)
             SELECT query, doc_id, round(score, 6) AS score
-            FROM (SELECT *, row_number() OVER
-                      (PARTITION BY query ORDER BY score DESC, doc_id) AS rn
-                  FROM scores)
+            FROM (SELECT s.query, s.doc_id, s.score, row_number() OVER
+                      (PARTITION BY s.query
+                       ORDER BY s.score DESC, s.doc_id) AS rn
+                  FROM scores s JOIN qn ON qn.query = s.query
+                  WHERE qn.conj = 0 OR s.nmatch = qn.nt)
             WHERE rn <= 10
         """,
         "events_hourly": """

@@ -41,7 +41,7 @@ from search_engine_ray.codec import BLOCK_SIZE, BM25_B, BM25_K1
 from search_engine_ray.extract import EXTRACTOR_VERSION
 from search_engine_ray.stages.clean import (
     CleanBatch,
-    DedupFilterBatch,
+    dedup_filter,
     compute_dup_winners,
     dedup_group,
     filter_lang,
@@ -186,9 +186,9 @@ def build_index(
 
             ref = _ray.put(winners)
             ds = ds.map_batches(
-                DedupFilterBatch, batch_format="pyarrow",
-                batch_size=cfg.batch_size, concurrency=(1, 8),
-                fn_constructor_kwargs={"winners_ref": ref},
+                dedup_filter, batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                fn_kwargs={"winners_ref": ref},
             )
             ds = ds.drop_columns(["dedup_bucket"])
         else:

@@ -36,6 +36,18 @@ from search_engine_ray.extract import extract_text
 from search_engine_ray.idhash import doc_id_for_url
 
 
+def ordered_in_row(cols_per_term: list[list[int]]) -> bool:
+    """Greedy left-to-right chain: can the terms appear in order (strictly
+    increasing columns) within one line? Shared by oracle and engine."""
+    prev = -1
+    for cols in cols_per_term:
+        nxt = min((c for c in cols if c > prev), default=None)
+        if nxt is None:
+            return False
+        prev = nxt
+    return True
+
+
 def resolve_text(text: str | None, html: bytes | None) -> str:
     """The engine-wide rule: use ``text`` when present, else extract."""
     return text if text is not None else extract_text(html)
@@ -94,6 +106,12 @@ class OracleIndex:
             terms = [q for q in queries[:1] if q in self.postings]
         elif search_type == "or":
             terms = [q for q in queries if q in self.postings]
+        elif search_type == "and":
+            # conjunctive: every query term must exist, else no results
+            if all(q in self.postings for q in queries) and queries:
+                terms = list(queries)
+            else:
+                terms = []
         elif search_type == "prefix":
             p = queries[0]
             lo = bisect_left(self._sorted_terms, p)
@@ -123,8 +141,31 @@ class OracleIndex:
                     self.avgdl, k1, b,
                 )[0]
                 acc[doc_id] = acc.get(doc_id, 0.0) + idf * float(partial)
+        if search_type == "and" and terms:
+            docs = set(self.postings[terms[0]])
+            for t in terms[1:]:
+                docs &= set(self.postings[t])
+            acc = {d: s for d, s in acc.items() if d in docs}
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(d, s, self.url_of[d]) for d, s in ranked]
+
+    def phrase_search(self, terms: list[str], k: int = 10
+                      ) -> list[tuple[int, float, str]]:
+        """Ordered same-line proximity: docs where all terms occur on one
+        line with strictly increasing columns, ranked by BM25 over the
+        terms (the positions-aware analogue of the reference's per-row
+        match lists, SimpleSearchManager.java:187-214)."""
+        base = self.search(terms, "and", k=self.n_docs or 1)
+        out = []
+        for d, s, u in base:
+            rows_per_term = [self.matched_rows(d, t) for t in terms]
+            common_rows = set(rows_per_term[0])
+            for r in rows_per_term[1:]:
+                common_rows &= set(r)
+            if any(ordered_in_row([rpt[row] for rpt in rows_per_term])
+                   for row in common_rows):
+                out.append((d, s, u))
+        return out[:k]
 
     def matched_rows(self, doc_id: int, term: str) -> dict[int, list[int]]:
         """row -> [cols] for a term in a doc (the reference's per-doc rescan,

@@ -31,6 +31,7 @@ BM25_QUERIES: list[tuple[str, list[str], str]] = [
     ("exact:customer", ["customer"], "exact"),
     ("exact:vector", ["vector"], "exact"),
     ("or:stream|window", ["stream", "window"], "or"),
+    ("and:stream&window", ["stream", "window"], "and"),
     ("prefix:cu", ["cu"], "prefix"),
     ("exact:qqqnohit", ["qqqnohit"], "exact"),
 ]
@@ -219,6 +220,25 @@ def bm25_topk_docs(sf_dir: str, k: int = BM25_K):
 
 
 # --- rows-only pipelines (no SQL oracle) ----------------------------------
+
+
+def phrase_search_docs(sf_dir: str):
+    """Positions-based ordered-proximity search ('batch ... window' in
+    order on one line), BM25-ranked — needs the positions index
+    (rows-only check: SQL cannot see stored positions)."""
+    from search_engine_ray.search import LocalSearcher
+
+    index_root = ensure_documents_index(sf_dir, store_positions=True)
+    s = LocalSearcher(index_root)
+    res = s.phrase_search(["batch", "window"], k=20)
+    out_d = [int(u[6:]) for u in res.column("url").to_pylist()]
+    import pyarrow as pa_
+
+    return pa_.table({
+        "doc_id": pa_.array(out_d, pa_.int64()),
+        "score": pa_.array([round(x, 6) for x in
+                            res.column("score").to_pylist()], pa_.float64()),
+    })
 
 
 def quality_scores(sf_dir: str):

@@ -155,6 +155,13 @@ class LocalSearcher:
             terms = [q for q in cands if self._posting_for(q) is not None]
         elif search_type == "or":
             terms = [q for q in queries if self._posting_for(q) is not None]
+        elif search_type == "and":
+            # conjunctive: all terms must exist, else the result is empty
+            if queries and all(self._posting_for(q) is not None
+                               for q in queries):
+                terms = list(queries)
+            else:
+                terms = []
         elif search_type == "prefix":
             p = queries[0]
             terms = []
@@ -189,7 +196,9 @@ class LocalSearcher:
     ) -> pa.Table:
         terms = self.expand(queries, search_type)
         gathered = self._gather(terms)
-        if scorer == "taat":
+        if search_type == "and":
+            doc_ids, scores = self._score_and(gathered, k)
+        elif scorer == "taat":
             doc_ids, scores = self._score_taat(gathered, k)
         elif scorer == "bmw":
             doc_ids, scores = self._score_bmw(gathered, k)
@@ -229,6 +238,52 @@ class LocalSearcher:
         totals = np.add.reduceat(scs, starts)
         top = np.lexsort((uids, -totals))[:k]
         return uids[top], totals[top]
+
+    def _score_and(self, gathered, k: int):
+        """Conjunctive BM25: posting-list intersection (sorted-array
+        intersect, smallest list first), then per-term score gathers at the
+        surviving doc ids — in lexicographic term order, as always."""
+        if not gathered:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        decs = [(t, decode_posting(rec), idf) for t, rec, idf in gathered]
+        ids = None
+        for _, dec, _ in sorted(decs, key=lambda x: x[1]["docids"].size):
+            ids = dec["docids"] if ids is None else np.intersect1d(
+                ids, dec["docids"], assume_unique=True)
+            if ids.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        totals = np.zeros(ids.size, dtype=np.float64)
+        for _, dec, idf in decs:  # lexicographic (gathered is term-sorted)
+            pos = np.searchsorted(dec["docids"], ids)
+            partial = _partials(dec, self.avgdl, self.k1, self.b)
+            totals += idf * partial[pos]
+        top = np.lexsort((ids, -totals))[:k]
+        return ids[top], totals[top]
+
+    def phrase_search(self, terms: list[str], k: int = 10,
+                      with_urls: bool = True) -> pa.Table:
+        """Ordered same-line proximity over stored positions: docs where
+        the terms appear on one line in order (oracle.ordered_in_row),
+        BM25-ranked. Requires a positions-bearing index."""
+        from search_engine_ray.oracle import ordered_in_row
+
+        base = self.search(terms, "and", k=self.n_docs or 1,
+                           with_urls=with_urls)
+        keep = []
+        for i, d in enumerate(base.column("doc_id").to_pylist()):
+            rows_per_term = [self.matched_rows(d, t) for t in terms]
+            common = set(rows_per_term[0])
+            for r in rows_per_term[1:]:
+                common &= set(r)
+            if any(ordered_in_row([rpt[row] for rpt in rows_per_term])
+                   for row in common):
+                keep.append(i)
+            if len(keep) >= k:
+                break
+        out = base.take(pa.array(keep, pa.int64()))
+        return out.set_column(
+            0, "rank", pa.array(np.arange(1, out.num_rows + 1,
+                                          dtype=np.int32)))
 
     def _score_bmw(self, gathered, k: int):
         """Exact block-max WAND; identical output to taat."""

@@ -132,7 +132,7 @@ class BucketShardServer:
                k: int = 10) -> pa.Table:
         if search_type == "exact":
             terms = queries[:1]
-        elif search_type == "or":
+        elif search_type in ("or", "and"):
             terms = list(queries)
         elif search_type == "prefix":
             terms = sorted(set().union(*ray.get([
@@ -149,6 +149,8 @@ class BucketShardServer:
         merged: dict[str, tuple] = {}
         for f in frags:
             merged.update(f)
+        if search_type == "and" and len(merged) < len(set(terms)):
+            merged = {}  # a conjunctive term is missing entirely
         # accumulate in lexicographic term order (float-order invariant)
         id_parts, sc_parts = [], []
         for t in sorted(merged):
@@ -167,6 +169,10 @@ class BucketShardServer:
                 ([0], np.flatnonzero(ids_all[1:] != ids_all[:-1]) + 1))
             uids = ids_all[starts]
             totals = np.add.reduceat(scs_all, starts)
+            if search_type == "and":
+                sizes = np.diff(np.concatenate((starts, [ids_all.size])))
+                full = sizes == len(merged)
+                uids, totals = uids[full], totals[full]
             top = np.lexsort((uids, -totals))[:k]
             ids, scores = uids[top], totals[top]
         return pa.table(

@@ -104,6 +104,37 @@ def compute_dup_winners(input_files: list[str], batch_size: int = 8192):
     across blocks, so the caller falls back to the full shuffle dedup for
     that build (rare; the shuffle path tie-breaks on text).
     """
+    import pyarrow.parquet as pq
+
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in input_files)
+    if n_rows <= 5_000_000:
+        # small corpus: one driver-side pass over the two tiny columns is
+        # cheaper than a Ray execution; the distributed path below is the
+        # scale path (same outputs, tested equivalent)
+        import pyarrow as pa_
+
+        t = pa.concat_tables([
+            pq.read_table(f, columns=["url", "warc_ts"])
+            for f in input_files
+        ])
+        urls = t.column("url").to_pylist()
+        ids = doc_ids_for_urls(urls)
+        ts = pc.cast(t.column("warc_ts"), pa_.int64()).to_numpy()
+        df = pd.DataFrame({"doc_id": ids, "ts": ts, "url": urls})
+        g = df.groupby("doc_id")
+        sizes = g.size()
+        dup_ids = sizes[sizes > 1].index
+        if len(dup_ids) == 0:
+            return {}, False
+        sub = df[df["doc_id"].isin(dup_ids)]
+        if sub.groupby("doc_id")["url"].nunique().gt(1).any():
+            raise ValueError("doc_id hash collision between urls")
+        winners = sub.groupby("doc_id")["ts"].max()
+        at_max = sub.merge(winners.rename("max_ts"), on="doc_id")
+        ties = (at_max[at_max["ts"] == at_max["max_ts"]]
+                .groupby("doc_id").size() > 1).any()
+        return dict(winners.items()), bool(ties)
+
     import ray.data as rd
 
     ds = rd.read_parquet(input_files, columns=["url", "warc_ts"])
@@ -152,25 +183,24 @@ def compute_dup_winners(input_files: list[str], batch_size: int = 8192):
     return winners, has_ties
 
 
-class DedupFilterBatch:
-    """Drop loser rows of duplicated urls using the broadcast winners map
-    (fetched once per actor/task from the object store)."""
+def dedup_filter(batch: pa.Table, winners_ref) -> pa.Table:
+    """Drop loser rows of duplicated urls using the broadcast winners map.
 
-    def __init__(self, winners_ref):
-        import ray
+    Stateless on purpose: a plain function fuses with the upstream
+    CleanBatch map (no actor-pool spawn cost); the ``ray.get`` of the
+    broadcast ref is a local object-store hit after the first call."""
+    import ray
 
-        self._winners = ray.get(winners_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self._winners:
-            return batch
-        doc_ids = batch.column("doc_id").to_pylist()
-        tss = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
-        keep = [
-            (d not in self._winners) or (ts == self._winners[d])
-            for d, ts in zip(doc_ids, tss)
-        ]
-        return batch.filter(pa.array(keep))
+    winners = ray.get(winners_ref)
+    if not winners:
+        return batch
+    doc_ids = batch.column("doc_id").to_pylist()
+    tss = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+    keep = [
+        (d not in winners) or (ts == winners[d])
+        for d, ts in zip(doc_ids, tss)
+    ]
+    return batch.filter(pa.array(keep))
 
 
 def filter_lang(batch: pa.Table, langs: list[str]) -> pa.Table:

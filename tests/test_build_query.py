@@ -176,3 +176,33 @@ def test_dedup_modes_equivalent(ray_session, tmp_path):
     a = json.load(open(tmp_path / "ib/global_stats.json"))
     b_ = json.load(open(tmp_path / "is/global_stats.json"))
     assert (a["n_docs"], a["total_tokens"]) == (b_["n_docs"], b_["total_tokens"])
+
+
+@pytest.mark.parametrize("queries", [
+    ["mila", "mama"], ["mila", "ruka"], ["bako", "zzz_missing"],
+    ["mila"], [],
+])
+def test_and_matches_oracle(searcher, small_oracle, queries):
+    eng = searcher.search(queries, "and", k=50)
+    got = list(zip(eng.column("doc_id").to_pylist(),
+                   eng.column("score").to_pylist()))
+    want = [(d, s) for d, s, _ in small_oracle.search(queries, "and", k=50)]
+    assert got == want
+    # conjunctive result is a subset of each term's exact result
+    for t in queries:
+        exact_ids = set(searcher.search([t], "exact", k=500)
+                        .column("doc_id").to_pylist())
+        assert set(eng.column("doc_id").to_pylist()) <= exact_ids or not exact_ids
+
+
+def test_phrase_search_matches_oracle(searcher, small_oracle):
+    cases = [["mama", "mila"], ["mila", "doma"], ["doma", "mila"],
+             ["mama", "here"], ["ruka", "ram"]]
+    for terms in cases:
+        eng = searcher.phrase_search(terms, k=50)
+        want = [d for d, _, _ in small_oracle.phrase_search(terms, k=50)]
+        assert eng.column("doc_id").to_pylist() == want, terms
+    # "mama mila doma hi mama i am here": 'mila doma' in order, not 'doma mila'
+    hits = searcher.phrase_search(["mila", "doma"], k=10)
+    assert "https://example.org/parity/00000002" in hits.column("url").to_pylist()
+    assert searcher.phrase_search(["doma", "mila"], k=10).num_rows == 0

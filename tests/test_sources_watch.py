@@ -1,0 +1,62 @@
+"""Sources (S1-S3) + corpus-watch sync (U4/U5 analogue)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.build import BuildConfig, build_index
+from search_engine_ray.corpus import generate_pages
+from search_engine_ray.search import LocalSearcher
+from search_engine_ray.sources.pages import read_pages, read_url
+from search_engine_ray.watch import diff_snapshot, sync_index
+
+CFG = BuildConfig(num_buckets=4)
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    pages = generate_pages(60, seed=12)
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(pages, str(d / "p0.parquet"))
+    return str(d)
+
+
+def test_read_pages_prunes_and_filters(ray_session, corpus):
+    ds = read_pages(corpus, columns=["url", "lang"], langs=["de"])
+    df = ds.to_pandas()
+    assert list(df.columns) == ["url", "lang"]
+    assert set(df["lang"]) <= {"de"}
+
+
+def test_read_url_single_doc(ray_session, corpus):
+    ds = read_url(corpus, "https://example.org/parity/00000002")
+    rows = ds.take_all()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "mama mila doma hi mama i am here"
+
+
+def test_watch_sync_applies_new_fragment(ray_session, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, CFG)
+    assert diff_snapshot(idx, corpus) == {"new": [], "changed": [],
+                                          "removed": []}
+    # a new crawl fragment lands
+    extra = generate_pages(10, seed=77, split="late", include_parity=False)
+    pq.write_table(extra, os.path.join(corpus, "p1.parquet"))
+    d = diff_snapshot(idx, corpus)
+    assert len(d["new"]) == 1 and not d["changed"]
+
+    res = sync_index(idx, corpus, CFG)
+    assert res["applied"]
+    s = LocalSearcher(idx)
+    assert s.n_docs == 70
+    # a term from the new fragment is searchable
+    late_url = extra.column("url")[0].as_py()
+    tok = extra.column("text")[0].as_py().split()[0]
+    hits = s.search([tok], "exact", k=70).column("url").to_pylist()
+    assert late_url in hits
+    # idempotent: nothing pending afterwards
+    assert diff_snapshot(idx, corpus)["new"] == []
+    assert not sync_index(idx, corpus, CFG)["applied"]
