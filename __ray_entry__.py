@@ -16,9 +16,13 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from search_engine_ray.functions.textstats import sql_token_pattern
+from search_engine_ray.functions.textstats import (
+    BPE_PRETOKEN_PATTERN,
+    sql_token_pattern,
+)
 
 TOK = sql_token_pattern()
+BPE_SQL = BPE_PRETOKEN_PATTERN.replace("'", "''")
 
 _TOKS_CTE = (
     "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '"
@@ -42,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- search-engine parity surface (SURVEY.md §2) -----------------
         "doc_token_stats": d.doc_token_stats,          # M1 tokenizer
+        "bpe_token_counts": d.bpe_token_counts,        # LM token budgeting
         "term_df_top100": d.term_df_top100,            # I1 build aggregate
         "exact_search_batch": d.exact_search_batchterm,  # I2 EXACT_MATCH
         "prefix_search_cu": d.prefix_search_cu,        # I3 START_WITH
@@ -84,6 +89,12 @@ def oracle_sql() -> dict[str, str]:
                        round(sum(CASE WHEN term IN {stop} THEN 1 ELSE 0 END)
                              / count(*)::DOUBLE, 6) AS stop_ratio
                 FROM toks GROUP BY doc_id) s USING (doc_id)
+        """,
+        "bpe_token_counts": f"""
+            SELECT doc_id,
+                   coalesce(len(regexp_extract_all(text, '{BPE_SQL}')), 0)
+                       AS n_pretokens
+            FROM documents
         """,
         "term_df_top100": f"""
             {_TOKS_CTE}

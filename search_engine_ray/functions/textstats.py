@@ -14,6 +14,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from search_engine_ray.analyzer.tokenizers import STANDARD_SEPARATORS
 
@@ -39,6 +40,33 @@ def sql_token_pattern() -> str:
 
     cls = "".join(esc(c) for c in STANDARD_SEPARATORS) + "\\r\\n"
     return f"[^{cls}]+".replace("'", "''")
+
+
+# simplified GPT-2-style pretokenizer (ASCII classes, no lookahead — the
+# same pattern is valid Python-re AND RE2, so DuckDB can cross-check it).
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+class BpeTokenCountBatch:
+    """Per-doc BPE-ish pretoken count (the LM-training 'how many tokens is
+    this document' estimator; regex compiled once per actor/task)."""
+
+    def __init__(self):
+        self._re = re.compile(BPE_PRETOKEN_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = pc.count_substring_regex(
+            batch.column("text").combine_chunks().cast(pa.string()),
+            pattern=BPE_PRETOKEN_PATTERN,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pretokens": counts.cast(pa.int64()).fill_null(0),
+            }
+        )
 
 
 class TokenStatsBatch:

