@@ -139,7 +139,7 @@ def run_bench() -> dict:
     if os.environ.get("BENCH_WARM_BUILD", "1") == "1":
         shutil.rmtree(index_root, ignore_errors=True)
         build_index(pages, index_root,
-                    BuildConfig(num_buckets=64, dedup_buckets=64,
+                    BuildConfig(num_buckets=256, dedup_buckets=64,
                                 batch_size=512))
     shutil.rmtree(index_root, ignore_errors=True)
 
@@ -147,7 +147,7 @@ def run_bench() -> dict:
     t0 = time.monotonic()
     m = build_index(
         pages, index_root,
-        BuildConfig(num_buckets=64, dedup_buckets=64, batch_size=512),
+        BuildConfig(num_buckets=256, dedup_buckets=64, batch_size=512),
     )
     t_build = time.monotonic() - t0
     queries["index_build"] = round(t_build, 3)
@@ -212,7 +212,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=N vs 4N, identical input."""
+    """Same job, fresh processes, num_cpus=N vs 4N, identical input.
+
+    Uses its own (larger) corpus size: the criterion needs the build to be
+    compute-dominated at BOTH levels, so fixed per-stage costs (barriers,
+    commits, metadata) don't masquerade as poor scaling."""
+    scale_pages = int(os.environ.get("BENCH_SCALE_PAGES", "500000"))
+    global N_PAGES, PAGES_DIR
+    N_PAGES = scale_pages
+    PAGES_DIR = f"{BENCH_DIR}/pages_{N_PAGES}_w{WORDS[0]}_{WORDS[1]}"
     # pre-generate the shared corpus at full parallelism so neither timed
     # subprocess pays the generation cost
     if not os.path.exists(os.path.join(PAGES_DIR, ".complete")):

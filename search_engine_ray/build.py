@@ -52,6 +52,11 @@ from search_engine_ray.stages.postings import (
     merge_runs,
 )
 from search_engine_ray.stages.tokenize import TokenizeBatch
+from search_engine_ray.state.ordinals import (
+    ORDINALS_FILE,
+    load_ordinals,
+    write_ordinals,
+)
 from search_engine_ray.state.manifest import (
     atomic_write_json,
     config_hash,
@@ -62,7 +67,7 @@ from search_engine_ray.state.manifest import (
     write_manifest,
 )
 
-CODEC_VERSION = "delta+varbyte/v2"  # v2: per-doc delta-coded positions
+CODEC_VERSION = "delta+varbyte/v3"  # v3: dense doc ordinals in postings
 
 
 @dataclass
@@ -199,6 +204,7 @@ def build_index(
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
         _commit_dir(tmp, docs_clean)
+        write_ordinals(index_root, docs_clean)
         write_manifest(
             docs_clean, run_hash, inputs,
             metrics={"n_docs": _count_rows(docs_clean),
@@ -223,6 +229,9 @@ def build_index(
             16, 2 * int(_ray.cluster_resources().get("CPU", 8)))
         ds = rd.read_parquet(docs_clean, columns=["doc_id", "text"],
                              override_num_blocks=n_blocks)
+        if not os.path.exists(os.path.join(index_root, ORDINALS_FILE)):
+            write_ordinals(index_root, docs_clean)
+        ord_ref = _ray.put(load_ordinals(index_root))
         ds = ds.map_batches(
             TokenizeBatch(
                 tokenizer=cfg.tokenizer,
@@ -232,6 +241,7 @@ def build_index(
             ),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
+            fn_kwargs={"ordinals_ref": ord_ref},
         )
         tmp = tokens_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)

@@ -89,16 +89,37 @@ def varbyte_decode(data: bytes, count: int | None = None) -> np.ndarray:
     payload = (arr & 0x7F).astype(np.int64)
     vals = np.zeros(n, dtype=np.int64)
     w_max = int(widths.max())
-    if w_max == int(widths.min()):
+    w_min = int(widths.min())
+    if w_max == w_min:
         # uniform width: dense reshape, no gathers
         mat = payload.reshape(n, w_max)
         for j in range(w_max):
             vals |= mat[:, j] << (7 * j)
+    elif n > 2 and int(widths[1:].min()) == int(widths[1:].max()):
+        # delta streams: one absolute head value, uniform tail — decode the
+        # tail densely, the head scalar-wise
+        w0 = int(widths[0])
+        head = 0
+        for j in range(w0):
+            head |= int(payload[j]) << (7 * j)
+        vals[0] = np.uint64(head & 0xFFFFFFFFFFFFFFFF).astype(np.int64)
+        wt = int(widths[1])
+        mat = payload[w0:].reshape(n - 1, wt)
+        tail = vals[1:]
+        for j in range(wt):
+            tail |= mat[:, j] << (7 * j)
     else:
-        np.take(payload, starts, out=vals)  # byte 0: every value has one
-        for j in range(1, w_max):
-            m = widths > j
-            vals[m] |= payload[starts[m] + j] << (7 * j)
+        # width-grouped dense decode: integer-index gathers per distinct
+        # width (boolean-masked |= passes are far slower on wide mixes)
+        for w in range(w_min, w_max + 1):
+            sel = np.flatnonzero(widths == w)
+            if sel.size == 0:
+                continue
+            s_w = starts[sel]
+            acc = payload[s_w].copy()
+            for j in range(1, w):
+                acc |= payload[s_w + j] << (7 * j)
+            vals[sel] = acc
     out = vals.view(_U64)
     if count is not None and out.size != count:
         raise ValueError(f"varbyte_decode: expected {count} values, got {out.size}")

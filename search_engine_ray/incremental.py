@@ -66,12 +66,22 @@ def _merge_bucket(
     avgdl: float,
     store_positions: bool,
     affected_ref,
+    old_map_ref,
+    new_map_ref,
 ) -> pd.DataFrame:
-    """Merge one bucket: old postings minus affected docs plus delta rows."""
+    """Merge one bucket: old postings minus affected docs plus delta rows.
+
+    Postings store ordinals (state/ordinals.py); the doc-id space changes
+    with the delta, so surviving old entries are translated old-ordinal ->
+    real doc_id -> new-ordinal (vectorized lookups against the two
+    broadcast sorted-id arrays)."""
     from search_engine_ray.codec import decode_posting
     from search_engine_ray.stages.postings import _write_bucket
+    from search_engine_ray.state.ordinals import to_ordinals
 
     affected = ray.get(affected_ref)  # sorted int64 ndarray (broadcast once)
+    old_map = ray.get(old_map_ref)
+    new_map = ray.get(new_map_ref)
     out = []
     for _, row in batch.iterrows():
         t0 = time.monotonic()
@@ -85,13 +95,14 @@ def _merge_bucket(
             rec = {k: old.column(k)[i].as_py() for k in
                    ("df", "docs_vb", "tfs_vb", "lens_vb", "pos_vb")}
             dec = decode_posting(rec, with_positions=store_positions)
-            keep = ~np.isin(dec["docids"], affected, assume_unique=False)
+            real_ids = old_map[dec["docids"]]
+            keep = ~np.isin(real_ids, affected, assume_unique=False)
             if not keep.any():
                 continue
             n_keep = int(keep.sum())
             terms_l.append(np.full(n_keep, old.column("term")[i].as_py(),
                                    dtype=object))
-            di_l.append(dec["docids"][keep])
+            di_l.append(to_ordinals(real_ids[keep], new_map))
             tf_l.append(dec["tfs"][keep])
             dl_l.append(dec["doc_lens"][keep])
             if store_positions:
@@ -165,6 +176,9 @@ def apply_delta(
     t_start = time.monotonic()
     docs_clean = os.path.join(index_root, "docs_clean")
     metrics: dict = {}
+    from search_engine_ray.state.ordinals import load_ordinals, write_ordinals
+
+    old_sorted_ids = load_ordinals(index_root)
 
     # ---- 1. clean the delta pages ---------------------------------------
     delta_root = os.path.join(index_root, "_delta_tmp")
@@ -209,6 +223,7 @@ def apply_delta(
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write_parquet(tmp)
     _commit_dir(tmp, docs_clean)
+    new_sorted_ids = write_ordinals(index_root, docs_clean)
 
     # ---- 3. stats over merged corpus ------------------------------------
     n_docs = _count_rows(docs_clean)
@@ -232,11 +247,13 @@ def apply_delta(
     if delta_pages_path is not None:
         ds = rd.read_parquet(_expand_inputs(delta_clean),
                              columns=["doc_id", "text"])
+        new_map_ref_tok = ray.put(new_sorted_ids)
         ds = ds.map_batches(
             TokenizeBatch(tokenizer=cfg.tokenizer,
                           num_buckets=cfg.num_buckets, salt=cfg.salt,
                           store_positions=cfg.store_positions),
             batch_format="pyarrow", batch_size=cfg.batch_size,
+            fn_kwargs={"ordinals_ref": new_map_ref_tok},
         )
         ds.write_parquet(delta_tokens, partition_cols=["bucket_part"])
 
@@ -250,7 +267,9 @@ def apply_delta(
         _merge_bucket, batch_format="pandas", batch_size=1,
         fn_kwargs=dict(index_root=index_root, cfg_hash=run_hash,
                        avgdl=avgdl, store_positions=cfg.store_positions,
-                       affected_ref=aff_ref),
+                       affected_ref=aff_ref,
+                       old_map_ref=ray.put(old_sorted_ids),
+                       new_map_ref=ray.put(new_sorted_ids)),
     )
     built = result.to_pandas()
     shutil.rmtree(delta_root, ignore_errors=True)

@@ -1,4 +1,4 @@
-"""Query engine over index artifacts: exact / prefix / OR BM25 top-k.
+"""Query engine over index artifacts: exact/prefix/or/and/phrase BM25 top-k.
 
 Mirrors the reference's search surface (ref: engine/src/main/java/org/search/
 engine/search/SimpleSearchManager.java:50-85, model/SearchType.java:3-5):
@@ -9,7 +9,14 @@ engine/search/SimpleSearchManager.java:50-85, model/SearchType.java:3-5):
 * ``prefix``  — START_WITH: radix-subtree union (:176-195) — here a binary
   search in each bucket's term-sorted postings file; hash partitioning
   destroys prefix locality, so prefix queries fan out to ALL buckets
-  (SURVEY.md §7.3) — each fan-out is one P-way binary search, cheap.
+  (SURVEY.md §7.3) — each fan-out is one P-way binary search, cheap,
+* ``and``     — conjunctive posting-list intersection (north-star wording),
+* ``phrase_search`` — ordered same-line proximity over stored positions.
+
+Postings hold dense per-index ORDINALS (state/ordinals.py) — translation to
+real doc ids happens only on the way out, and ordinal order == doc_id order
+so tie-breaks are unchanged. Disjunctive accumulation uses a dense bincount
+accumulator up to DENSE_ACC_MAX_DOCS, else sort-merge.
 
 Ranking is BM25 (the reference returns an UNRANKED list capped at 100,
 :64-70 — scoring is our extension, checked against oracle.py). Two exact
@@ -119,6 +126,7 @@ class LocalSearcher:
         self._tok = get_tokenizer(self.config["tokenizer"])
         self._buckets: dict[int, _Bucket] = {}
         self._url_of: dict[int, str] | None = None
+        self._ordmap: np.ndarray | None = None
         if load_docmap:
             self._load_docmap()
 
@@ -130,6 +138,15 @@ class LocalSearcher:
         self._url_of = dict(
             zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist())
         )
+
+    def ords(self) -> np.ndarray:
+        """Sorted doc_id array: postings hold ordinals into this
+        (state/ordinals.py); loaded once per searcher."""
+        if self._ordmap is None:
+            from search_engine_ray.state.ordinals import load_ordinals
+
+            self._ordmap = load_ordinals(self.index_root)
+        return self._ordmap
 
     def bucket(self, b: int) -> _Bucket:
         bk = self._buckets.get(b)
@@ -204,6 +221,7 @@ class LocalSearcher:
             doc_ids, scores = self._score_bmw(gathered, k)
         else:
             raise ValueError(f"unknown scorer {scorer!r}")
+        doc_ids = self.ords()[doc_ids] if len(doc_ids) else doc_ids
         urls = None
         if with_urls:
             if self._url_of is None:
@@ -229,15 +247,13 @@ class LocalSearcher:
             partial = _partials(dec, self.avgdl, self.k1, self.b)
             id_parts.append(dec["docids"])
             sc_parts.append(idf * partial)
+        if len(id_parts) == 1:
+            # single term: docids are already unique+sorted — no merge pass
+            top = _topk_indices(id_parts[0], sc_parts[0], k)
+            return id_parts[0][top], sc_parts[0][top]
         ids = np.concatenate(id_parts)
         scs = np.concatenate(sc_parts)
-        order = np.argsort(ids, kind="mergesort")  # stable: term order kept
-        ids, scs = ids[order], scs[order]
-        starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
-        uids = ids[starts]
-        totals = np.add.reduceat(scs, starts)
-        top = np.lexsort((uids, -totals))[:k]
-        return uids[top], totals[top]
+        return _accumulate_topk(ids, scs, k, self.n_docs)
 
     def _score_and(self, gathered, k: int):
         """Conjunctive BM25: posting-list intersection (sorted-array
@@ -257,7 +273,7 @@ class LocalSearcher:
             pos = np.searchsorted(dec["docids"], ids)
             partial = _partials(dec, self.avgdl, self.k1, self.b)
             totals += idf * partial[pos]
-        top = np.lexsort((ids, -totals))[:k]
+        top = _topk_indices(ids, totals, k)
         return ids[top], totals[top]
 
     def phrase_search(self, terms: list[str], k: int = 10,
@@ -404,9 +420,16 @@ class LocalSearcher:
         rec = self._posting_for(term)
         if rec is None or not rec["pos_vb"]:
             return {}
+        from search_engine_ray.state.ordinals import to_ordinals
+
+        try:
+            doc_ord = int(to_ordinals(np.array([doc_id], dtype=np.int64),
+                                      self.ords())[0])
+        except KeyError:
+            return {}
         dec = decode_posting(rec, with_positions=True)
-        idx = np.searchsorted(dec["docids"], doc_id)
-        if idx >= len(dec["docids"]) or dec["docids"][idx] != doc_id:
+        idx = np.searchsorted(dec["docids"], doc_ord)
+        if idx >= len(dec["docids"]) or dec["docids"][idx] != doc_ord:
             return {}
         starts = np.concatenate(([0], np.cumsum(dec["tfs"])))
         poss = dec["positions"][starts[idx]:starts[idx + 1]]
@@ -414,6 +437,47 @@ class LocalSearcher:
         for p in poss.tolist():
             out.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
         return out
+
+
+# dense-accumulator ceiling: 8 B x n_docs scratch per query. Fine for any
+# per-node shard (<= 50M docs -> 400 MB); beyond that fall back to the
+# sort-merge path (doc-space sharding keeps real deployments under this).
+DENSE_ACC_MAX_DOCS = 50_000_000
+
+
+def _accumulate_topk(ids: np.ndarray, scs: np.ndarray, k: int,
+                     n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-doc contributions (input arrives concatenated in
+    lexicographic term order, preserving the float-addition-order
+    invariant: both paths add sequentially in encounter order) and take
+    the exact (score desc, ordinal asc) top-k."""
+    if 0 < n_docs <= DENSE_ACC_MAX_DOCS:
+        acc = np.bincount(ids, weights=scs, minlength=n_docs)
+        cand = np.flatnonzero(acc > 0)
+        totals = acc[cand]
+        top = _topk_indices(cand, totals, k)
+        return cand[top], totals[top]
+    order = np.argsort(ids, kind="mergesort")  # stable: term order kept
+    ids, scs = ids[order], scs[order]
+    starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+    uids = ids[starts]
+    totals = np.add.reduceat(scs, starts)
+    top = _topk_indices(uids, totals, k)
+    return uids[top], totals[top]
+
+
+def _topk_indices(uids: np.ndarray, totals: np.ndarray, k: int) -> np.ndarray:
+    """Exact (score desc, doc_id asc) top-k without a full sort:
+    argpartition to the k-th score, widen to score ties at the threshold,
+    lexsort only the candidate set. Identical output to a full lexsort."""
+    n = totals.size
+    if n <= k or n <= 1024:
+        return np.lexsort((uids, -totals))[:k]
+    part = np.argpartition(-totals, k - 1)[:k]
+    thr = totals[part].min()
+    cand = np.flatnonzero(totals >= thr)
+    order = np.lexsort((uids[cand], -totals[cand]))[:k]
+    return cand[order]
 
 
 def _partials(dec: dict, avgdl: float, k1: float, b: float) -> np.ndarray:

@@ -29,7 +29,12 @@ import pyarrow as pa
 import ray
 
 from search_engine_ray.codec import bm25_idf
-from search_engine_ray.search import RESULT_SCHEMA, LocalSearcher, _partials
+from search_engine_ray.search import (
+    RESULT_SCHEMA,
+    LocalSearcher,
+    _partials,
+    _topk_indices,
+)
 from search_engine_ray.stages.tokenize import term_bucket
 
 
@@ -160,7 +165,7 @@ class BucketShardServer:
         if not id_parts:
             ids = np.empty(0, np.int64)
             scores = np.empty(0, np.float64)
-        else:
+        elif search_type == "and":
             ids_all = np.concatenate(id_parts)
             scs_all = np.concatenate(sc_parts)
             order = np.argsort(ids_all, kind="mergesort")
@@ -169,12 +174,19 @@ class BucketShardServer:
                 ([0], np.flatnonzero(ids_all[1:] != ids_all[:-1]) + 1))
             uids = ids_all[starts]
             totals = np.add.reduceat(scs_all, starts)
-            if search_type == "and":
-                sizes = np.diff(np.concatenate((starts, [ids_all.size])))
-                full = sizes == len(merged)
-                uids, totals = uids[full], totals[full]
-            top = np.lexsort((uids, -totals))[:k]
-            ids, scores = uids[top], totals[top]
+            sizes = np.diff(np.concatenate((starts, [ids_all.size])))
+            full = sizes == len(merged)
+            uids, totals = uids[full], totals[full]
+            top = _topk_indices(uids, totals, k)
+            # fragments carry ordinals; translate to real doc ids here
+            ids, scores = self._local.ords()[uids[top]], totals[top]
+        else:
+            from search_engine_ray.search import _accumulate_topk
+
+            uids, totals = _accumulate_topk(
+                np.concatenate(id_parts), np.concatenate(sc_parts), k,
+                self._local.n_docs)
+            ids, scores = self._local.ords()[uids], totals
         return pa.table(
             {
                 "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int32)),

@@ -69,9 +69,18 @@ class TokenizeBatch:
         self.salt = max(1, salt)
         self.store_positions = store_positions
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, ordinals_ref=None) -> pa.Table:
         texts = batch.column("text").to_pylist()
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if ordinals_ref is not None:
+            # postings store dense ORDINALS, not raw hash ids — see
+            # state/ordinals.py. The broadcast sorted-id array is a local
+            # object-store hit after the first call.
+            import ray
+
+            from search_engine_ray.state.ordinals import to_ordinals
+
+            doc_ids = to_ordinals(doc_ids, ray.get(ordinals_ref))
 
         terms: list[str] = []
         out_doc: list[int] = []
