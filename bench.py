@@ -139,7 +139,7 @@ def run_bench() -> dict:
     if os.environ.get("BENCH_WARM_BUILD", "1") == "1":
         shutil.rmtree(index_root, ignore_errors=True)
         build_index(pages, index_root,
-                    BuildConfig(num_buckets=256, dedup_buckets=64,
+                    BuildConfig(num_buckets=128, dedup_buckets=64,
                                 batch_size=512))
     shutil.rmtree(index_root, ignore_errors=True)
 
@@ -147,7 +147,7 @@ def run_bench() -> dict:
     t0 = time.monotonic()
     m = build_index(
         pages, index_root,
-        BuildConfig(num_buckets=256, dedup_buckets=64, batch_size=512),
+        BuildConfig(num_buckets=128, dedup_buckets=64, batch_size=512),
     )
     t_build = time.monotonic() - t0
     queries["index_build"] = round(t_build, 3)

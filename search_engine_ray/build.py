@@ -33,7 +33,7 @@ import json
 import os
 import shutil
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 import ray.data as rd
 
@@ -294,8 +294,13 @@ def build_index(
         d = os.path.join(tokens_dir, f"bucket_part={b}")
         if os.path.isdir(d):
             files = _expand_inputs(d)
-            pending_items.append({"bucket": b, "files": files})
+            size = sum(os.path.getsize(f) for f in files)
+            pending_items.append({"bucket": b, "files": files,
+                                  "size": size})
             pending_files.extend(files)
+    # LPT order: biggest (head-term) buckets start first so the straggler
+    # overlaps the rest of the work instead of running after it
+    pending_items.sort(key=lambda it: -it["size"])
     common = dict(
         index_root=index_root,
         cfg_hash=run_hash,

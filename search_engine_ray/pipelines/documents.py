@@ -20,7 +20,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from search_engine_ray.functions.textstats import TokenStatsBatch, token_regex
 
