@@ -111,12 +111,18 @@ class LocalSearcher:
     """Single-process searcher over index artifacts (the per-shard kernel
     that serve.py wraps in actors)."""
 
-    def __init__(self, index_root: str, load_docmap: bool = True):
+    def __init__(self, index_root: str, load_docmap: bool = True,
+                 stats_override: dict | None = None):
+        """``stats_override`` ({"n_docs", "avgdl"}) replaces the index-local
+        collection stats — used by sharded.ShardedSearcher so every shard
+        scores with the GLOBAL corpus statistics (BM25 rank identity)."""
         self.index_root = index_root
         with open(os.path.join(index_root, "_manifest.json")) as f:
             self.manifest = json.load(f)
         with open(os.path.join(index_root, "global_stats.json")) as f:
             self.stats = json.load(f)
+        if stats_override:
+            self.stats = {**self.stats, **stats_override}
         self.config = self.manifest["config"]
         self.num_buckets = int(self.config["num_buckets"])
         self.n_docs = int(self.stats["n_docs"])
