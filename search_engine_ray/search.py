@@ -201,6 +201,27 @@ class LocalSearcher:
 
     # --- scoring ----------------------------------------------------------
 
+    _DECODE_CACHE_MAX = 2048  # decoded postings kept hot (LRU, per searcher)
+
+    def _decode(self, term: str, rec: dict) -> dict:
+        """decode_posting with a small LRU — repeated terms (serving
+        workloads, prefix expansions re-probed across queries) skip the
+        varbyte decode entirely."""
+        if not hasattr(self, "_decode_cache"):
+            from collections import OrderedDict
+
+            self._decode_cache = OrderedDict()
+        cache = self._decode_cache
+        hit = cache.get(term)
+        if hit is not None:
+            cache.move_to_end(term)
+            return hit
+        dec = decode_posting(rec)
+        cache[term] = dec
+        if len(cache) > self._DECODE_CACHE_MAX:
+            cache.popitem(last=False)
+        return dec
+
     def _gather(self, terms: list[str]) -> list[tuple[str, dict, float]]:
         out = []
         for t in terms:
@@ -248,8 +269,8 @@ class LocalSearcher:
         if not gathered:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         id_parts, sc_parts = [], []
-        for _, rec, idf in gathered:  # lexicographic term order
-            dec = decode_posting(rec)
+        for t, rec, idf in gathered:  # lexicographic term order
+            dec = self._decode(t, rec)
             partial = _partials(dec, self.avgdl, self.k1, self.b)
             id_parts.append(dec["docids"])
             sc_parts.append(idf * partial)
@@ -267,7 +288,7 @@ class LocalSearcher:
         surviving doc ids — in lexicographic term order, as always."""
         if not gathered:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        decs = [(t, decode_posting(rec), idf) for t, rec, idf in gathered]
+        decs = [(t, self._decode(t, rec), idf) for t, rec, idf in gathered]
         ids = None
         for _, dec, _ in sorted(decs, key=lambda x: x[1]["docids"].size):
             ids = dec["docids"] if ids is None else np.intersect1d(
@@ -315,7 +336,7 @@ class LocalSearcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cursors = []
         for t, rec, idf in gathered:
-            dec = decode_posting(rec)
+            dec = self._decode(t, rec)
             lasts, maxs = decode_blockmax(rec["blockmax"])
             cursors.append({
                 "term": t,
