@@ -278,9 +278,7 @@ class LocalSearcher:
             # single term: docids are already unique+sorted — no merge pass
             top = _topk_indices(id_parts[0], sc_parts[0], k)
             return id_parts[0][top], sc_parts[0][top]
-        ids = np.concatenate(id_parts)
-        scs = np.concatenate(sc_parts)
-        return _accumulate_topk(ids, scs, k, self.n_docs)
+        return _accumulate_topk(id_parts, sc_parts, k, self.n_docs)
 
     def _score_and(self, gathered, k: int):
         """Conjunctive BM25: posting-list intersection (sorted-array
@@ -472,23 +470,32 @@ class LocalSearcher:
 DENSE_ACC_MAX_DOCS = 50_000_000
 
 
-def _accumulate_topk(ids: np.ndarray, scs: np.ndarray, k: int,
+def _accumulate_topk(id_parts: list, sc_parts: list, k: int,
                      n_docs: int) -> tuple[np.ndarray, np.ndarray]:
-    """Sum per-doc contributions (input arrives concatenated in
-    lexicographic term order, preserving the float-addition-order
-    invariant: both paths add sequentially in encounter order) and take
-    the exact (score desc, ordinal asc) top-k."""
+    """Sum per-doc contributions over the per-term arrays (given in
+    lexicographic term order) and take the exact (score desc, ordinal asc)
+    top-k.
+
+    Dense path: one vectorized scatter-add per term — each doc receives
+    its term contributions IN TERM ORDER, bit-identical to the oracle's
+    sequential accumulation (np.bincount is NOT used: its internal
+    accumulation can differ by 1 ulp). Falls back to stable sort-merge +
+    reduceat past DENSE_ACC_MAX_DOCS (same addition order)."""
     if 0 < n_docs <= DENSE_ACC_MAX_DOCS:
-        acc = np.bincount(ids, weights=scs, minlength=n_docs)
+        acc = np.zeros(n_docs, dtype=np.float64)
+        for ids_t, scs_t in zip(id_parts, sc_parts):  # term lex order
+            acc[ids_t] += scs_t  # ids unique within a term
         cand = np.flatnonzero(acc > 0)
         totals = acc[cand]
         top = _topk_indices(cand, totals, k)
         return cand[top], totals[top]
-    order = np.argsort(ids, kind="mergesort")  # stable: term order kept
-    ids, scs = ids[order], scs[order]
-    starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
-    uids = ids[starts]
-    totals = np.add.reduceat(scs, starts)
+    # sparse fallback: compress doc ids to slots, then the SAME per-term
+    # sequential scatter-adds (np.add.reduceat would sum pairwise and
+    # diverge from the oracle by ulps)
+    uids = np.unique(np.concatenate(id_parts))
+    totals = np.zeros(uids.size, dtype=np.float64)
+    for ids_t, scs_t in zip(id_parts, sc_parts):  # term lex order
+        totals[np.searchsorted(uids, ids_t)] += scs_t
     top = _topk_indices(uids, totals, k)
     return uids[top], totals[top]
 

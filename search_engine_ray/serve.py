@@ -166,26 +166,22 @@ class BucketShardServer:
             ids = np.empty(0, np.int64)
             scores = np.empty(0, np.float64)
         elif search_type == "and":
-            ids_all = np.concatenate(id_parts)
-            scs_all = np.concatenate(sc_parts)
-            order = np.argsort(ids_all, kind="mergesort")
-            ids_all, scs_all = ids_all[order], scs_all[order]
-            starts = np.concatenate(
-                ([0], np.flatnonzero(ids_all[1:] != ids_all[:-1]) + 1))
-            uids = ids_all[starts]
-            totals = np.add.reduceat(scs_all, starts)
-            sizes = np.diff(np.concatenate((starts, [ids_all.size])))
-            full = sizes == len(merged)
-            uids, totals = uids[full], totals[full]
-            top = _topk_indices(uids, totals, k)
+            # intersect then per-term sequential adds (bit-exact with
+            # LocalSearcher._score_and / the oracle)
+            cand = id_parts[0]
+            for ids_t in id_parts[1:]:
+                cand = np.intersect1d(cand, ids_t, assume_unique=True)
+            totals = np.zeros(cand.size, dtype=np.float64)
+            for ids_t, scs_t in zip(id_parts, sc_parts):  # term lex order
+                totals += scs_t[np.searchsorted(ids_t, cand)]
+            top = _topk_indices(cand, totals, k)
             # fragments carry ordinals; translate to real doc ids here
-            ids, scores = self._local.ords()[uids[top]], totals[top]
+            ids, scores = self._local.ords()[cand[top]], totals[top]
         else:
             from search_engine_ray.search import _accumulate_topk
 
-            uids, totals = _accumulate_topk(
-                np.concatenate(id_parts), np.concatenate(sc_parts), k,
-                self._local.n_docs)
+            uids, totals = _accumulate_topk(id_parts, sc_parts, k,
+                                            self._local.n_docs)
             ids, scores = self._local.ords()[uids], totals
         return pa.table(
             {
