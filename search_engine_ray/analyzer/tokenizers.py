@@ -22,6 +22,13 @@ Line splitting matches Java ``BufferedReader.readLine``: terminators are
 ``\\n``, ``\\r`` and ``\\r\\n`` only (NOT the wider Unicode set Python's
 ``str.splitlines`` uses).
 
+Known deviation: token ``position`` counts Unicode CODE POINTS
+(``m.start()`` on a Python str), while the reference's char-walk counts
+UTF-16 code units (Java ``charAt``). On lines containing astral-plane
+characters (emoji etc.) positions differ by the number of preceding
+surrogate pairs; token STRINGS and engine/oracle internal consistency are
+unaffected (both sides of every test use code points).
+
 The tokenizer is a plug-in point, as in the reference
 (engine/.../analyzer/Tokenizer.java:11-20): ``register_tokenizer`` lets users
 supply their own; pipelines refer to tokenizers by name so the choice is

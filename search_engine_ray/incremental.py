@@ -170,9 +170,28 @@ def apply_delta(
     Returns metrics. The resulting artifacts are byte-identical to a
     from-scratch ``build_index`` over the merged corpus.
     """
-    cfg = config or BuildConfig()
     with open(os.path.join(index_root, "_manifest.json")) as f:
         root_manifest = json.load(f)
+    # The EFFECTIVE config is the one the index was built with (persisted in
+    # the root manifest) — never the caller's: a mismatched
+    # num_buckets/tokenizer would tokenize delta terms with the wrong bucket
+    # modulus and merge only a subset of buckets while the ordinal map is
+    # rewritten for all of them => silent corruption. A caller-supplied
+    # config is only VALIDATED against the stored hash.
+    from dataclasses import fields as _dc_fields
+
+    stored_cfg = root_manifest.get("config") or {}
+    known = {f.name for f in _dc_fields(BuildConfig)}
+    cfg = BuildConfig(**{k: v for k, v in stored_cfg.items() if k in known})
+    if config is not None:
+        want = root_manifest.get("config_hash")
+        got = config.to_config_hash()
+        if want is not None and got != want:
+            raise ValueError(
+                "apply_delta: supplied BuildConfig (hash "
+                f"{got}) does not match the index's stored config (hash "
+                f"{want}); omit `config` to use the stored one"
+            )
     t_start = time.monotonic()
     docs_clean = os.path.join(index_root, "docs_clean")
     metrics: dict = {}

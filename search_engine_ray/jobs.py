@@ -58,16 +58,16 @@ def cmd_query(args) -> int:
 
 
 def cmd_delta(args) -> int:
-    from search_engine_ray.build import BuildConfig
     from search_engine_ray.incremental import apply_delta
 
     deleted = []
     if args.delete_urls_file:
         with open(args.delete_urls_file) as f:
             deleted = [ln.strip() for ln in f if ln.strip()]
-    cfg = BuildConfig(num_buckets=args.num_buckets, tokenizer=args.tokenizer,
-                      store_positions=not args.no_positions)
-    m = apply_delta(args.index, args.input, deleted_urls=deleted, config=cfg)
+    # no config flags on purpose: the delta always uses the config persisted
+    # in the index's root manifest (a mismatched config would corrupt the
+    # bucket layout — incremental.apply_delta validates/loads it).
+    m = apply_delta(args.index, args.input, deleted_urls=deleted)
     print(json.dumps(m))
     return 0
 
@@ -107,9 +107,6 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--input", default=None)
     d.add_argument("--index", required=True)
     d.add_argument("--delete-urls-file", default=None)
-    d.add_argument("--tokenizer", default="standard")
-    d.add_argument("--num-buckets", type=int, default=64)
-    d.add_argument("--no-positions", action="store_true")
     d.set_defaults(fn=cmd_delta)
 
     i = sub.add_parser("invalidate")

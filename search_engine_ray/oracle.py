@@ -54,11 +54,16 @@ def resolve_text(text: str | None, html: bytes | None) -> str:
 
 
 def dedup_latest(pages: pa.Table) -> list[dict]:
-    """Keep max-warc_ts row per url; deterministic; returns python rows."""
+    """Keep max-warc_ts row per url (ties: max resolved text) — the SAME
+    rule as the engine's stages/clean.dedup_group, so oracle and engine
+    agree even when one url has two different texts at its max warc_ts."""
     best: dict[str, dict] = {}
     for row in pages.to_pylist():
         cur = best.get(row["url"])
-        if cur is None or row["warc_ts"] > cur["warc_ts"]:
+        if cur is None:
+            best[row["url"]] = row
+        elif (row["warc_ts"], resolve_text(row["text"], row["html"])) > (
+                cur["warc_ts"], resolve_text(cur["text"], cur["html"])):
             best[row["url"]] = row
     return [best[u] for u in sorted(best)]
 

@@ -278,7 +278,11 @@ class LocalSearcher:
             # single term: docids are already unique+sorted — no merge pass
             top = _topk_indices(id_parts[0], sc_parts[0], k)
             return id_parts[0][top], sc_parts[0][top]
-        return _accumulate_topk(id_parts, sc_parts, k, self.n_docs)
+        # dense-accumulator bound = LOCAL ordinal-space size (postings hold
+        # ordinals into this index's ordinal map) — NOT stats n_docs, which
+        # under ShardedSearcher's stats_override is the GLOBAL corpus size
+        # and would allocate 8 B x global-N per shard per query.
+        return _accumulate_topk(id_parts, sc_parts, k, len(self.ords()))
 
     def _score_and(self, gathered, k: int):
         """Conjunctive BM25: posting-list intersection (sorted-array

@@ -180,8 +180,10 @@ class BucketShardServer:
         else:
             from search_engine_ray.search import _accumulate_topk
 
+            # dense-accumulator bound = local ordinal-space size (fragments
+            # carry ordinals), not collection n_docs
             uids, totals = _accumulate_topk(id_parts, sc_parts, k,
-                                            self._local.n_docs)
+                                            len(self._local.ords()))
             ids, scores = self._local.ords()[uids], totals
         return pa.table(
             {

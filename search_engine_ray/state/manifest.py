@@ -46,11 +46,16 @@ def config_hash(config: dict) -> str:
 
 
 def input_fingerprint(paths: list[str]) -> list[dict]:
-    """Lineage record for a list of input files: (path, size)."""
+    """Lineage record for a list of input files: (path, size, mtime_ns).
+
+    mtime_ns catches in-place rewrites that keep the byte size unchanged —
+    without it a resume (or watch.diff_snapshot) would silently treat stale
+    data as fresh."""
     out = []
     for p in sorted(paths):
         st = os.stat(p)
-        out.append({"path": p, "size": st.st_size})
+        out.append({"path": p, "size": st.st_size,
+                    "mtime_ns": st.st_mtime_ns})
     return out
 
 

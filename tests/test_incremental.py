@@ -110,6 +110,31 @@ def test_searches_match_scratch(scenario):
     assert not deleted & set(res.column("url").to_pylist())
 
 
+def test_delta_rejects_mismatched_config(scenario):
+    """A caller-supplied config whose hash differs from the index's stored
+    config must be rejected (it would merge the wrong bucket subset)."""
+    with pytest.raises(ValueError, match="stored config"):
+        apply_delta(scenario["incr"], None, deleted_urls=["http://x/"],
+                    config=BuildConfig(num_buckets=64))
+
+
+def test_delta_uses_stored_config(ray_session, tmp_path):
+    """config=None loads the effective config from the root manifest —
+    num_buckets comes from the index, not the BuildConfig default."""
+    base = generate_pages(40, seed=11)
+    base_dir = _write(base, str(tmp_path / "pages"))
+    idx = str(tmp_path / "idx")
+    build_index(base_dir, idx, BuildConfig(num_buckets=4))
+    s = LocalSearcher(idx)
+    hit = s.search(["mila"], "exact", k=10)
+    assert hit.num_rows >= 1
+    url = hit.column("url")[0].as_py()
+    apply_delta(idx, None, deleted_urls=[url])  # no config supplied
+    s2 = LocalSearcher(idx)
+    assert url not in s2.search(["mila"], "exact", k=50
+                                ).column("url").to_pylist()
+
+
 def test_pure_deletion(ray_session, tmp_path):
     base = generate_pages(60, seed=9)
     base_dir = _write(base, str(tmp_path / "pages"))
