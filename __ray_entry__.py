@@ -164,6 +164,127 @@ def oracle_sql() -> dict[str, str]:
                   WHERE qn.conj = 0 OR s.nmatch = qn.nt)
             WHERE rn <= 10
         """,
+        "quality_scores": f"""
+            {_TOKS_CTE},
+            agg AS (SELECT doc_id, count(*) AS n,
+                           sum(length(term)) AS sumlen,
+                           sum(CASE WHEN term IN {stop} THEN 1 ELSE 0 END)
+                               AS sh
+                    FROM toks GROUP BY doc_id),
+            base AS (SELECT d.doc_id,
+                            coalesce(a.n, 0) AS n,
+                            coalesce(a.sumlen, 0) AS sumlen,
+                            coalesce(a.sh, 0) AS sh,
+                            CASE WHEN length(coalesce(d.text, '')) > 0
+                                 THEN len(regexp_extract_all(
+                                          d.text, '[A-Za-z]'))::DOUBLE
+                                      / length(d.text)
+                                 ELSE 0.0 END AS alpha
+                     FROM documents d LEFT JOIN agg a USING (doc_id))
+            SELECT doc_id,
+                   round(CASE WHEN n > 0 THEN sumlen::DOUBLE / n
+                              ELSE 0.0 END, 6) AS mean_token_len,
+                   round(alpha, 6) AS alpha_ratio,
+                   round(0.4 * least(1.0, n / 50.0)
+                         + 0.3 * least(1.0, alpha * 1.25)
+                         + 0.3 * least(1.0, sh::DOUBLE / greatest(1, n) * 10),
+                         6) AS quality
+            FROM base
+        """,
+        "langid": f"""
+            WITH toks AS (SELECT doc_id, lower(term) AS term FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '{TOK}')) AS term
+                FROM documents)),
+            agg AS (SELECT doc_id, count(*) AS n,
+                           sum(CASE WHEN term IN {stop}
+                               THEN 1 ELSE 0 END)::DOUBLE AS en_h,
+                           sum(CASE WHEN term IN ('der','die','das','und',
+                               'ist','nicht','ein','zu','mit')
+                               THEN 1 ELSE 0 END)::DOUBLE AS de_h,
+                           sum(CASE WHEN term IN ('le','la','et','les','des',
+                               'un','une','est','dans')
+                               THEN 1 ELSE 0 END)::DOUBLE AS fr_h
+                    FROM toks GROUP BY doc_id),
+            sc AS (SELECT d.doc_id,
+                          coalesce(a.n, 0) AS n,
+                          CASE WHEN coalesce(a.n, 0) > 0
+                               THEN a.en_h / a.n ELSE 0.0 END AS en_s,
+                          CASE WHEN coalesce(a.n, 0) > 0
+                               THEN a.de_h / a.n ELSE 0.0 END AS de_s,
+                          CASE WHEN coalesce(a.n, 0) > 0
+                               THEN a.fr_h / a.n ELSE 0.0 END AS fr_s
+                   FROM documents d LEFT JOIN agg a USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN n = 0 OR greatest(de_s, en_s, fr_s) = 0
+                            THEN 'und'
+                        WHEN de_s >= en_s AND de_s >= fr_s THEN 'de'
+                        WHEN en_s >= fr_s THEN 'en'
+                        ELSE 'fr' END AS lang_pred,
+                   round(greatest(de_s, en_s, fr_s), 6) AS lang_conf
+            FROM sc
+        """,
+        "fingerprints": f"""
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0::HUGEINT, list_transform(
+                           regexp_extract_all(coalesce(text, ''), '{TOK}'),
+                           t -> md5_number_lower(t)::HUGEINT)),
+                       (acc, x) -> (acc * 1000003 + x)
+                                   % 2305843009213693951)::BIGINT
+                       AS rolling_fp,
+                   md5(coalesce(text, '')) AS text_md5
+            FROM documents
+        """,
+        "phrase_search": f"""
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\r\\n|\\r|\\n'))
+                           AS line,
+                       generate_subscripts(
+                           string_split_regex(text, '\\r\\n|\\r|\\n'), 1)
+                           AS line_no
+                FROM documents),
+            lt AS (
+                SELECT doc_id, line_no,
+                       unnest(regexp_extract_all(line, '{TOK}')) AS term,
+                       generate_subscripts(
+                           regexp_extract_all(line, '{TOK}'), 1) AS tpos
+                FROM lines),
+            phrase_docs AS (
+                SELECT DISTINCT a.doc_id
+                FROM lt a JOIN lt b
+                  ON a.doc_id = b.doc_id AND a.line_no = b.line_no
+                WHERE a.term = 'batch' AND b.term = 'window'
+                  AND a.tpos < b.tpos),
+            toks AS (SELECT doc_id,
+                            unnest(regexp_extract_all(text, '{TOK}')) AS term
+                     FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM toks WHERE term IN ('batch', 'window')
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                             (SELECT count(*)::DOUBLE FROM toks)
+                             / (SELECT count(*)::DOUBLE FROM documents)
+                             AS avgdl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id, sum({idf} * {bm25_partial}) AS score
+                FROM tf
+                JOIN df ON df.term = tf.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+                HAVING count(DISTINCT tf.term) = 2)
+            SELECT doc_id, round(score, 6) AS score
+            FROM (SELECT s.doc_id, s.score, row_number() OVER
+                      (ORDER BY s.score DESC, s.doc_id) AS rn
+                  FROM scores s
+                  JOIN phrase_docs p ON p.doc_id = s.doc_id)
+            WHERE rn <= 20
+        """,
         "events_hourly": """
             SELECT user_id,
                    epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,

@@ -98,10 +98,24 @@ class TokenStatsBatch:
         )
 
 
+def round_half_away(x: float, nd: int = 6) -> float:
+    """Round-half-away-from-zero on the scaled value — matches SQL
+    ``round()`` (DuckDB/ANSI); Python's built-in ``round`` is banker's
+    rounding and diverges on dyadic ties like 0.8203125."""
+    scale = 10.0 ** nd
+    import math
+
+    return math.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1)
+
+
 class QualityScoreBatch:
     """Heuristic quality scoring: mean token length, alpha ratio, and a
     composite [0,1] quality score (length/punct/stopword heuristics — the
-    usual pre-training corpus filters, expressed as one vectorizable pass)."""
+    usual pre-training corpus filters, expressed as one vectorizable pass).
+
+    Rounding is half-away-from-zero (round_half_away): alpha ratios are
+    dyadic fractions (chars/len) that actually HIT .5 ties at 6 dp, where
+    Python's banker's rounding would diverge from the SQL oracle."""
 
     def __init__(self):
         self._re = token_regex()
@@ -124,10 +138,10 @@ class QualityScoreBatch:
             stop_hits = sum(1 for w in toks if w in self._stop)
             has_stop = min(1.0, stop_hits / max(1, n) * 10)
             len_ok = min(1.0, n / 50.0)
-            q = round(0.4 * len_ok + 0.3 * min(1.0, alpha * 1.25)
-                      + 0.3 * has_stop, 6)
-            out["mean_token_len"].append(round(mtl, 6))
-            out["alpha_ratio"].append(round(alpha, 6))
+            q = round_half_away(0.4 * len_ok + 0.3 * min(1.0, alpha * 1.25)
+                                + 0.3 * has_stop)
+            out["mean_token_len"].append(round_half_away(mtl))
+            out["alpha_ratio"].append(round_half_away(alpha))
             out["quality"].append(q)
         return pa.table(out)
 
@@ -170,7 +184,12 @@ class LangIdBatch:
 
 class FingerprintBatch:
     """Deterministic document fingerprints: a rolling polynomial hash over
-    the token stream (order-sensitive) + md5 of the raw text (exact)."""
+    the token stream (order-sensitive) + md5 of the raw text (exact).
+
+    The per-token hash is the LOWER 8 md5 digest bytes, little-endian —
+    exactly DuckDB's ``md5_number_lower`` — so the whole fingerprint is
+    reproducible in SQL (``list_reduce`` over ``md5_number_lower`` per
+    token) and the operator is oracle-checkable cross-engine."""
 
     _MOD = (1 << 61) - 1
     _BASE = 1_000_003
@@ -185,9 +204,8 @@ class FingerprintBatch:
         for i, t in enumerate(texts):
             h = 0
             for w in self._re.findall(t) if t else []:
-                wh = int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                )
+                wh = int.from_bytes(hashlib.md5(w.encode()).digest()[8:],
+                                    "little")
                 h = (h * self._BASE + wh) % self._MOD
             rolls[i] = h
             md5s.append(hashlib.md5((t or "").encode()).hexdigest())

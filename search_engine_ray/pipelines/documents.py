@@ -231,22 +231,31 @@ def bm25_topk_docs(sf_dir: str, k: int = BM25_K):
 # --- rows-only pipelines (no SQL oracle) ----------------------------------
 
 
+PHRASE_K = 20
+
+
 def phrase_search_docs(sf_dir: str):
     """Positions-based ordered-proximity search ('batch ... window' in
-    order on one line), BM25-ranked — needs the positions index
-    (rows-only check: SQL cannot see stored positions)."""
+    order on one line), BM25-ranked top-20 — SQL-checkable: ordered
+    same-line co-occurrence is expressible over per-line token arrays
+    (unnest + generate_subscripts), and the score is the conjunctive BM25
+    of the two terms. Tie handling mirrors bm25_topk_docs: over-fetch the
+    boundary tie group and re-break on the ORIGINAL doc_id."""
     from search_engine_ray.search import LocalSearcher
 
     index_root = ensure_documents_index(sf_dir, store_positions=True)
     s = LocalSearcher(index_root)
-    res = s.phrase_search(["batch", "window"], k=20)
-    out_d = [int(u[6:]) for u in res.column("url").to_pylist()]
+    res = s.phrase_search(["batch", "window"], k=PHRASE_K + 50)
+    rows = sorted(
+        (-sc, int(u[6:]))
+        for u, sc in zip(res.column("url").to_pylist(),
+                         res.column("score").to_pylist())
+    )[:PHRASE_K]
     import pyarrow as pa_
 
     return pa_.table({
-        "doc_id": pa_.array(out_d, pa_.int64()),
-        "score": pa_.array([round(x, 6) for x in
-                            res.column("score").to_pylist()], pa_.float64()),
+        "doc_id": pa_.array([d for _, d in rows], pa_.int64()),
+        "score": pa_.array([round(-n, 6) for n, _ in rows], pa_.float64()),
     })
 
 

@@ -305,30 +305,89 @@ class LocalSearcher:
         top = _topk_indices(ids, totals, k)
         return ids[top], totals[top]
 
+    def _decode_positions(self, term: str, rec: dict) -> dict | None:
+        """Positions-bearing decode, cached per term (LRU alongside
+        _decode): docids + per-doc position-slice starts. Decoded ONCE per
+        term per cache lifetime — NOT once per candidate doc."""
+        if not rec["pos_vb"]:
+            return None
+        if not hasattr(self, "_pos_cache"):
+            from collections import OrderedDict
+
+            self._pos_cache = OrderedDict()
+        cache = self._pos_cache
+        hit = cache.get(term)
+        if hit is not None:
+            cache.move_to_end(term)
+            return hit
+        dec = decode_posting(rec, with_positions=True)
+        dec["starts"] = np.concatenate(([0], np.cumsum(dec["tfs"])))
+        cache[term] = dec
+        if len(cache) > self._DECODE_CACHE_MAX:
+            cache.popitem(last=False)
+        return dec
+
     def phrase_search(self, terms: list[str], k: int = 10,
                       with_urls: bool = True) -> pa.Table:
         """Ordered same-line proximity over stored positions: docs where
         the terms appear on one line in order (oracle.ordered_in_row),
-        BM25-ranked. Requires a positions-bearing index."""
+        BM25-ranked. Requires a positions-bearing index.
+
+        Cost shape: one AND intersection + ONE positions decode per distinct
+        term (LRU-cached), then per-candidate numpy slice + position walk,
+        early-exiting after k phrase matches — candidates x terms slice
+        lookups, not candidates x full-posting decodes."""
         from search_engine_ray.oracle import ordered_in_row
 
-        base = self.search(terms, "and", k=self.n_docs or 1,
-                           with_urls=with_urls)
-        keep = []
-        for i, d in enumerate(base.column("doc_id").to_pylist()):
-            rows_per_term = [self.matched_rows(d, t) for t in terms]
+        empty = pa.table(
+            {"rank": pa.array([], pa.int32()),
+             "doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             "url": pa.array([], pa.string())}, schema=RESULT_SCHEMA)
+        uniq = sorted(set(terms))
+        gathered = self._gather(uniq)
+        if not terms or len(gathered) < len(uniq):
+            return empty  # conjunctive: a missing term empties the result
+        pos_decs: dict[str, dict] = {}
+        for t, rec, _ in gathered:
+            dec = self._decode_positions(t, rec)
+            if dec is None:
+                return empty  # index built without positions
+            pos_decs[t] = dec
+        # all AND candidates, ranked (score desc, ordinal asc)
+        ords, scores = self._score_and(gathered, k=self.n_docs or 1)
+        keep_ords, keep_scores = [], []
+        for o, sc in zip(ords.tolist(), scores.tolist()):
+            rows_per_term = []
+            for t in terms:  # PHRASE order, not lexicographic
+                dec = pos_decs[t]
+                i = int(np.searchsorted(dec["docids"], o))
+                poss = dec["positions"][dec["starts"][i]:dec["starts"][i + 1]]
+                rows: dict[int, list[int]] = {}
+                for p in poss.tolist():
+                    rows.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+                rows_per_term.append(rows)
             common = set(rows_per_term[0])
             for r in rows_per_term[1:]:
                 common &= set(r)
             if any(ordered_in_row([rpt[row] for rpt in rows_per_term])
                    for row in common):
-                keep.append(i)
-            if len(keep) >= k:
-                break
-        out = base.take(pa.array(keep, pa.int64()))
-        return out.set_column(
-            0, "rank", pa.array(np.arange(1, out.num_rows + 1,
-                                          dtype=np.int32)))
+                keep_ords.append(o)
+                keep_scores.append(sc)
+                if len(keep_ords) >= k:
+                    break
+        doc_ids = self.ords()[np.asarray(keep_ords, dtype=np.int64)] \
+            if keep_ords else np.empty(0, np.int64)
+        urls = [""] * len(doc_ids)
+        if with_urls and len(doc_ids):
+            if self._url_of is None:
+                self._load_docmap()
+            urls = [self._url_of.get(int(d), "") for d in doc_ids]
+        return pa.table(
+            {"rank": pa.array(np.arange(1, len(doc_ids) + 1, dtype=np.int32)),
+             "doc_id": pa.array(doc_ids, pa.int64()),
+             "score": pa.array(np.asarray(keep_scores, dtype=np.float64)),
+             "url": pa.array(urls, pa.string())}, schema=RESULT_SCHEMA)
 
     def _score_bmw(self, gathered, k: int):
         """Exact block-max WAND; identical output to taat."""
@@ -456,12 +515,11 @@ class LocalSearcher:
                                       self.ords())[0])
         except KeyError:
             return {}
-        dec = decode_posting(rec, with_positions=True)
+        dec = self._decode_positions(term, rec)  # LRU — decoded once
         idx = np.searchsorted(dec["docids"], doc_ord)
         if idx >= len(dec["docids"]) or dec["docids"][idx] != doc_ord:
             return {}
-        starts = np.concatenate(([0], np.cumsum(dec["tfs"])))
-        poss = dec["positions"][starts[idx]:starts[idx + 1]]
+        poss = dec["positions"][dec["starts"][idx]:dec["starts"][idx + 1]]
         out: dict[int, list[int]] = {}
         for p in poss.tolist():
             out.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
