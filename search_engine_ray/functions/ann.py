@@ -106,9 +106,11 @@ class HyperplaneLSH:
 
 
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 6,
-             batch_size: int = 4096, round_to: int = 6):
-    """Approximate top-k: only vectors whose LSH bucket matches the query's
-    bucket are scored. Same output schema as brute_force_topk."""
+             batch_size: int = 4096, round_to: int = 6, n_probe: int = 1):
+    """Approximate top-k: only vectors whose LSH bucket is within Hamming
+    distance ``n_probe`` of the query's bucket are scored (multi-probe —
+    probing the 1-bit-flip neighbours recovers most of the recall a single
+    bucket loses). Same output schema as brute_force_topk."""
     import ray
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -124,6 +126,19 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 6,
             self._qb = ray.get(bref)
             self._planes = ray.get(planes_ref)
             self.k = k
+            # probe sets computed once per actor: bucket ids within
+            # Hamming distance n_probe of each query bucket
+            def expand(b: int, d: int) -> set[int]:
+                out = {b}
+                frontier = {b}
+                for _ in range(d):
+                    frontier = {f ^ (1 << i)
+                                for f in frontier for i in range(n_planes)}
+                    out |= frontier
+                return out
+
+            self._probes = [np.array(sorted(expand(int(b), n_probe)),
+                                     dtype=np.int64) for b in self._qb]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = _normalize(_matrix(batch.column("embedding")))
@@ -132,7 +147,7 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 6,
             vb = (vb * (1 << np.arange(vb.shape[1], dtype=np.int64))).sum(axis=1)
             out_q, out_v, out_s = [], [], []
             for qi in range(self._q.shape[0]):
-                mask = vb == self._qb[qi]
+                mask = np.isin(vb, self._probes[qi])
                 if not mask.any():
                     continue
                 sims = vecs[mask] @ self._q[qi]
@@ -160,38 +175,102 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 6,
     )
 
 
-def cosine_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
-                          batch_size: int = 4096):
-    """Embedding near-dup pairs via LSH bucket groupby -> exact verify."""
-    planes_holder: dict = {}
+def _auto_n_planes(n_rows: int, target_bucket: int = 512,
+                   lo: int = 2, hi: int = 24) -> int:
+    """Plane count sized to the corpus: expected bucket population
+    n / 2^P ~ target_bucket, clamped. At 10^10 vectors this yields ~24
+    planes; at the 500-row sandbox it yields the minimum."""
+    import math
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
+    return min(hi, max(lo, int(math.ceil(
+        math.log2(max(2.0, n_rows / target_bucket))))))
+
+
+def cosine_near_dup_pairs(ds, threshold: float = 0.95,
+                          n_planes: int | None = None, n_tables: int = 4,
+                          batch_size: int = 4096, bucket_cap: int = 4096,
+                          seed: int = 13, verify_block: int = 512):
+    """Embedding near-dup pairs (cos >= threshold) at any corpus size.
+
+    Scale shape:
+
+    * ``n_planes`` defaults to corpus-sized (``_auto_n_planes``) so the
+      expected bucket stays small — the per-bucket verify is O(bucket^2),
+      never O(corpus^2);
+    * ``n_tables`` independent hyperplane tables raise recall
+      (1-(1-p^P)^T): a pair missed by one table's banding is caught by
+      another; candidate pairs are deduped across tables;
+    * hot buckets beyond ``bucket_cap`` are truncated WITH a logged count
+      (a hot bucket means near-identical vectors — representatives
+      survive), and the in-bucket matmul is blocked (``verify_block``) so
+      per-task memory is bounded regardless of bucket size.
+    """
+    import logging
+
+    logger = logging.getLogger("search_engine_ray.ann")
+    if n_planes is None:
+        n_planes = _auto_n_planes(ds.count())
+    holder: dict = {}
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        """Replicate each vector into its bucket of every table (T small,
+        documented shuffle-volume multiplier)."""
         vecs = _normalize(_matrix(batch.column("embedding")))
-        if "lsh" not in planes_holder:
-            planes_holder["lsh"] = HyperplaneLSH(vecs.shape[1], n_planes)
-        b = planes_holder["lsh"].bucket_of(vecs)
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id"),
-                "embedding": batch.column("embedding"),
-                "bucket": pa.array(b, pa.int64()),
-            }
-        )
+        if "tables" not in holder:
+            holder["tables"] = [
+                HyperplaneLSH(vecs.shape[1], n_planes, seed=seed + 9973 * t)
+                for t in range(n_tables)
+            ]
+        parts = []
+        for t, lsh in enumerate(holder["tables"]):
+            b = lsh.bucket_of(vecs)
+            parts.append(pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "embedding": batch.column("embedding"),
+                    "table_id": pa.array(
+                        np.full(len(b), t, dtype=np.int32)),
+                    "bucket": pa.array(b, pa.int64()),
+                }
+            ))
+        return pa.concat_tables(parts)
+
+    _EMPTY = pd.DataFrame(
+        {"vec_a": pd.Series(dtype="int64"),
+         "vec_b": pd.Series(dtype="int64"),
+         "cos": pd.Series(dtype="float64")})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        vecs = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
+        if len(g) < 2:
+            return _EMPTY
         ids = g["vec_id"].to_numpy()
         order = np.argsort(ids)
-        vecs, ids = vecs[order], ids[order]
-        sims = vecs @ vecs.T
+        g = g.iloc[order]
+        ids = ids[order]
+        if len(ids) > bucket_cap:
+            logger.warning(
+                "cosine near-dup: bucket of %d > cap=%d truncated "
+                "(%d vectors dropped)", len(ids), bucket_cap,
+                len(ids) - bucket_cap)
+            g = g.iloc[:bucket_cap]
+            ids = ids[:bucket_cap]
+        vecs = _normalize(np.asarray(g["embedding"].tolist(),
+                                     dtype=np.float64))
         out_a, out_b, out_c = [], [], []
         n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_c.append(round(float(sims[i, j]), 6))
+        B = verify_block
+        for i0 in range(0, n, B):
+            ai = vecs[i0:i0 + B]
+            for j0 in range(i0, n, B):
+                sims = ai @ vecs[j0:j0 + B].T
+                ii, jj = np.nonzero(sims >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj  # strict upper triangle across blocks
+                for x, y, s in zip(gi[keep], gj[keep],
+                                   sims[ii[keep], jj[keep]]):
+                    out_a.append(int(ids[x]))
+                    out_b.append(int(ids[y]))
+                    out_c.append(round(float(s), 6))
         return pd.DataFrame(
             {
                 "vec_a": pd.Series(out_a, dtype="int64"),
@@ -200,6 +279,20 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
             }
         )
 
-    with_b = ds.map_batches(add_bucket, batch_format="pyarrow",
+    def per_partition(gdf: pd.DataFrame) -> pd.DataFrame:
+        """All (table, bucket) groups of one coarse shuffle partition —
+        ONE Python call per partition, not per LSH bucket (the shuffle key
+        cardinality at scale is n_tables x 2^n_planes; see stages/agg.py)."""
+        outs = [verify(sub) for _, sub
+                in gdf.groupby(["table_id", "bucket"], sort=False)
+                if len(sub) >= 2]
+        return (pd.concat(outs, ignore_index=True)
+                if outs else _EMPTY.copy())
+
+    with_b = ds.map_batches(add_buckets, batch_format="pyarrow",
                             batch_size=batch_size)
-    return with_b.groupby("bucket").map_groups(verify, batch_format="pandas")
+    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+
+    pairs = bucketed_group_agg(with_b, ["table_id", "bucket"], per_partition)
+    # several tables can propose the same pair — dedup on the pair key
+    return bucketed_distinct(pairs, ["vec_a", "vec_b", "cos"])

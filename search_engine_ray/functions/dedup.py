@@ -8,7 +8,9 @@ over the corpus.
 
 * exact: md5(text) -> hash-partitioned keep-min-doc_id
 * MinHash + LSH: word shingles -> 64 minhash perms -> 8 bands x 8 rows ->
-  band-bucket groupby -> candidate pairs -> exact n-gram Jaccard verify
+  band-bucket groupby -> candidate pairs -> exact Jaccard verify via a
+  distributed two-step hash join of pairs with per-doc shingle-hash sets
+  (broadcast-texts fast path available for small corpora)
 * SimHash: 64-bit weighted term-hash signature; near-dup candidates share a
   16-bit chunk (4-chunk blocking tolerates <= 3-chunk Hamming distance)
 * embedding cosine near-dup: see functions/ann.py (pairs with cos >= t)
@@ -17,6 +19,7 @@ over the corpus.
 from __future__ import annotations
 
 import hashlib
+import logging
 from itertools import combinations
 
 import numpy as np
@@ -26,6 +29,8 @@ import pyarrow as pa
 from search_engine_ray.functions.textstats import token_regex
 
 _MERSENNE = (1 << 61) - 1
+
+logger = logging.getLogger("search_engine_ray.dedup")
 
 
 class ExactHashBatch:
@@ -66,6 +71,29 @@ def _shingles(tokens: list[str], k: int) -> set[bytes]:
     return {" ".join(tokens[i:i + k]).encode() for i in range(len(tokens) - k + 1)}
 
 
+def _shingle_hash_array(text: str | None, tok_re, k: int) -> np.ndarray:
+    """Sorted unique 61-bit shingle-hash set of a doc as int64 ndarray —
+    the shared representation for MinHash signatures AND exact Jaccard
+    verification (both paths agree bit-for-bit on hash-set Jaccard)."""
+    toks = tok_re.findall(text) if text else []
+    sh = _shingles(toks, k)
+    if not sh:
+        return np.empty(0, dtype=np.int64)
+    x = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(),
+                        "little") & _MERSENNE for s in sh),
+        dtype=np.int64, count=len(sh),
+    )
+    x.sort()
+    return x
+
+
+def _hashset_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
 def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
@@ -90,15 +118,9 @@ class MinHashBatch:
         self._a, self._b = _perm_params(n_perm)
 
     def signature(self, text: str | None) -> np.ndarray | None:
-        toks = self._re.findall(text) if text else []
-        sh = _shingles(toks, self.k)
-        if not sh:
+        x = _shingle_hash_array(text, self._re, self.k).astype(np.uint64)
+        if not x.size:
             return None
-        x = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(),
-                            "little") & ((1 << 61) - 1) for s in sh),
-            dtype=np.uint64, count=len(sh),
-        )
         # (n_shingles, n_perm) via broadcasting, min over shingles
         vals = (x[:, None] * self._a[None, :] + self._b[None, :]) % np.uint64(_MERSENNE)
         return vals.min(axis=0)
@@ -126,32 +148,95 @@ class MinHashBatch:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+BUCKET_CAP_DEFAULT = 50
+
+
+def _bucket_pairs(g: pd.DataFrame, bucket_cap: int = BUCKET_CAP_DEFAULT
+                  ) -> pd.DataFrame:
     """Candidate pairs from ALL LSH buckets in one coarse partition.
 
     Vectorized group sizing first (pandas, C); the Python pair loop only
-    touches buckets with >=2 docs — the rare case. Per-bucket cap of 50
-    docs bounds combinatorial blowup (a hotter bucket means the docs are
-    near-identical anyway; the cap is logged via the pair count)."""
+    touches buckets with >=2 docs — the rare case. ``bucket_cap`` bounds
+    combinatorial blowup in a hot bucket (boilerplate pages); every
+    truncation is LOGGED with the bucket key and dropped-doc count so a
+    capped run is never silent."""
     a, b = [], []
+    n_trunc = n_dropped = 0
     sizes = g.groupby(["band_id", "band_hash"])["doc_id"].nunique()
     multi = sizes[sizes >= 2]
     if len(multi):
         sub = g.set_index(["band_id", "band_hash"]).loc[multi.index]
         for key in multi.index:
-            docs = sorted(set(sub.loc[[key]]["doc_id"].tolist()))[:50]
+            docs = sorted(set(sub.loc[[key]]["doc_id"].tolist()))
+            if len(docs) > bucket_cap:
+                n_trunc += 1
+                n_dropped += len(docs) - bucket_cap
+                docs = docs[:bucket_cap]
             for x, y in combinations(docs, 2):
                 a.append(x)
                 b.append(y)
+    if n_trunc:
+        logger.warning(
+            "minhash LSH: %d hot bucket(s) truncated to cap=%d "
+            "(%d candidate docs dropped) in this partition",
+            n_trunc, bucket_cap, n_dropped)
     return pd.DataFrame(
         {"doc_a": pd.Series(a, dtype="int64"),
          "doc_b": pd.Series(b, dtype="int64")}
     )
 
 
+class ShingleHashBatch:
+    """(doc_id, text) -> (doc_id, sh: binary) where ``sh`` is the doc's
+    sorted shingle-hash set packed as an int64 little-endian blob — the
+    join payload for distributed Jaccard verification (Acero hash join
+    carries binary columns; list columns it does not)."""
+
+    def __init__(self, shingle_k: int = 5):
+        self.k = shingle_k
+        self._re = token_regex()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        blobs = [
+            _shingle_hash_array(t, self._re, self.k).tobytes() for t in texts
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "sh": pa.array(blobs, pa.binary())}
+        )
+
+
+def _verify_joined(batch: pa.Table, threshold: float) -> pa.Table:
+    """Exact hash-set Jaccard over co-shuffled (sh_a, sh_b) blobs."""
+    out_a, out_b, out_j = [], [], []
+    for a, b, ba, bb in zip(batch.column("doc_a").to_pylist(),
+                            batch.column("doc_b").to_pylist(),
+                            batch.column("sh_a").to_pylist(),
+                            batch.column("sh_b").to_pylist()):
+        ha = np.frombuffer(ba or b"", dtype=np.int64)
+        hb = np.frombuffer(bb or b"", dtype=np.int64)
+        if not ha.size or not hb.size:
+            continue
+        j = _hashset_jaccard(ha, hb)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
 class JaccardVerify:
-    """Stateful actor-pool verifier: exact n-gram Jaccard over a broadcast
-    text lookup (docs come as ref via ray.put once, not per batch)."""
+    """Stateful actor-pool verifier for the SMALL-corpus fast path: exact
+    hash-set Jaccard over a broadcast text lookup (ray.put once per run,
+    fetched once per actor). Same Jaccard values as the join path (both
+    operate on _shingle_hash_array sets)."""
 
     def __init__(self, texts_ref, shingle_k: int = 5, threshold: float = 0.7):
         import ray
@@ -160,16 +245,24 @@ class JaccardVerify:
         self.k = shingle_k
         self.t = threshold
         self._re = token_regex()
+        self._memo: dict[int, np.ndarray] = {}  # docs repeat across pairs
+
+    def _hashes(self, doc_id: int) -> np.ndarray:
+        h = self._memo.get(doc_id)
+        if h is None:
+            h = _shingle_hash_array(self._texts.get(doc_id) or "",
+                                    self._re, self.k)
+            self._memo[doc_id] = h
+        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch.column("doc_a").to_pylist(),
                         batch.column("doc_b").to_pylist()):
-            sa = _shingles(self._re.findall(self._texts.get(a) or ""), self.k)
-            sb = _shingles(self._re.findall(self._texts.get(b) or ""), self.k)
-            if not sa or not sb:
+            ha, hb = self._hashes(a), self._hashes(b)
+            if not ha.size or not hb.size:
                 continue
-            j = len(sa & sb) / len(sa | sb)
+            j = _hashset_jaccard(ha, hb)
             if j >= self.t:
                 out_a.append(a)
                 out_b.append(b)
@@ -192,38 +285,62 @@ def minhash_near_dups(
     batch_size: int = 2048,
     texts_ref=None,
     verify_concurrency=(1, 4),
+    bucket_cap: int = BUCKET_CAP_DEFAULT,
+    join_partitions: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
 
-    ``texts_ref`` is a ``ray.put`` handle to a {doc_id: text} dict used by the
-    verification actors (broadcast once). At sandbox scale the corpus fits;
-    at real scale verification joins text back by doc-bucket instead.
+    Verification is a DISTRIBUTED two-step hash join by default: candidate
+    pairs join the per-doc shingle-hash sets on doc_a, then on doc_b, and
+    exact Jaccard runs inside the joined batches — no driver-side corpus
+    materialization anywhere, so the pipeline streams at any corpus size.
+    ``texts_ref`` (a ``ray.put`` {doc_id: text} dict) switches to the
+    small-corpus fast path: broadcast lookup instead of the two joins —
+    same Jaccard values (tests/test_functions.py proves path identity).
     """
     import ray
 
-    if texts_ref is None:
-        rows = ds.select_columns(["doc_id", "text"]).take_all()
-        texts_ref = ray.put({r["doc_id"]: r["text"] for r in rows})
     sigs = ds.map_batches(
         MinHashBatch(shingle_k, n_perm, n_bands),
         batch_format="pyarrow", batch_size=batch_size,
     )
     from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
 
-    pairs = bucketed_group_agg(sigs, ["band_id", "band_hash"], _bucket_pairs)
+    pairs = bucketed_group_agg(
+        sigs, ["band_id", "band_hash"],
+        lambda g: _bucket_pairs(g, bucket_cap=bucket_cap))
     # distinct pairs (several bands can propose the same pair)
     pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"])
-    verified = pairs.map_batches(
-        JaccardVerify,
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=verify_concurrency,
-        fn_constructor_kwargs={
-            "texts_ref": texts_ref, "shingle_k": shingle_k,
-            "threshold": threshold,
-        },
+    if texts_ref is not None:
+        return pairs.map_batches(
+            JaccardVerify,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=verify_concurrency,
+            fn_constructor_kwargs={
+                "texts_ref": texts_ref, "shingle_k": shingle_k,
+                "threshold": threshold,
+            },
+        )
+    # scale path: co-shuffle pairs with shingle sets via two partitioned
+    # hash joins (each moves candidate-pair rows + each doc's hash blob
+    # once; partition count bounds per-task memory)
+    if join_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        join_partitions = max(8, cpus)
+    sh = ds.map_batches(ShingleHashBatch(shingle_k),
+                        batch_format="pyarrow", batch_size=batch_size)
+    j = pairs.join(sh, "inner", join_partitions,
+                   on=("doc_a",), right_on=("doc_id",))
+    j = j.rename_columns({"sh": "sh_a"})
+    j = j.join(sh, "inner", join_partitions,
+               on=("doc_b",), right_on=("doc_id",))
+    j = j.rename_columns({"sh": "sh_b"})
+    return j.map_batches(
+        _verify_joined, batch_format="pyarrow", batch_size=1024,
+        fn_kwargs={"threshold": threshold},
     )
-    return verified
 
 
 class SimHashBatch:
@@ -269,24 +386,37 @@ class SimHashBatch:
         )
 
 
-def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3,
+                          bucket_cap: int = BUCKET_CAP_DEFAULT
+                          ) -> pd.DataFrame:
     """Pairs from all chunk buckets in one coarse partition (>=2-doc
-    buckets only; 50-doc cap per bucket as in _bucket_pairs)."""
+    buckets only; hot buckets truncated to ``bucket_cap`` WITH a logged
+    count, as in _bucket_pairs)."""
     out_a, out_b, out_h = [], [], []
+    n_trunc = n_dropped = 0
     sizes = g.groupby(["chunk_id", "chunk_val"])["doc_id"].nunique()
     multi = sizes[sizes >= 2]
     if len(multi):
         sub = g.set_index(["chunk_id", "chunk_val"])
         for key in multi.index:
-            rows = (sub.loc[[key]][["doc_id", "simhash"]]
-                    .drop_duplicates("doc_id").sort_values("doc_id")
-                    .itertuples(index=False))
-            for (da, sa), (db, sb) in combinations(list(rows)[:50], 2):
+            rows = list(sub.loc[[key]][["doc_id", "simhash"]]
+                        .drop_duplicates("doc_id").sort_values("doc_id")
+                        .itertuples(index=False))
+            if len(rows) > bucket_cap:
+                n_trunc += 1
+                n_dropped += len(rows) - bucket_cap
+                rows = rows[:bucket_cap]
+            for (da, sa), (db, sb) in combinations(rows, 2):
                 h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
                 if h <= max_hamming:
                     out_a.append(da)
                     out_b.append(db)
                     out_h.append(h)
+    if n_trunc:
+        logger.warning(
+            "simhash blocking: %d hot bucket(s) truncated to cap=%d "
+            "(%d candidate docs dropped) in this partition",
+            n_trunc, bucket_cap, n_dropped)
     return pd.DataFrame(
         {"doc_a": pd.Series(out_a, dtype="int64"),
          "doc_b": pd.Series(out_b, dtype="int64"),

