@@ -49,10 +49,21 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
+    """Every engine query type is reachable from the job surface
+    (reference SearchType.java:3-5 + the conjunctive/phrase/suggestion
+    extensions)."""
     from search_engine_ray.search import LocalSearcher
 
     s = LocalSearcher(args.index)
-    res = s.search(args.terms, args.type, k=args.k, scorer=args.scorer)
+    if args.type == "phrase":
+        res = s.phrase_search(args.terms, k=args.k)
+    elif args.type == "suggest":
+        from search_engine_ray.suggest import SuggestionExpander
+
+        res = SuggestionExpander(s).search_with_suggestions(
+            args.terms[0], k=args.k, scorer=args.scorer)
+    else:
+        res = s.search(args.terms, args.type, k=args.k, scorer=args.scorer)
     print(json.dumps(res.to_pylist()))
     return 0
 
@@ -98,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--terms", nargs="+", required=True)
     q.add_argument("--type", default="exact",
-                   choices=["exact", "or", "prefix"])
+                   choices=["exact", "or", "and", "prefix", "phrase",
+                            "suggest"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
     q.set_defaults(fn=cmd_query)

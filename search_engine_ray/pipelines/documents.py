@@ -20,7 +20,6 @@ import os
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from search_engine_ray.functions.textstats import TokenStatsBatch, token_regex
 
@@ -71,53 +70,90 @@ def doc_token_stats(sf_dir: str):
 
 
 def term_df_top100(sf_dir: str):
-    """Top-100 terms by document frequency (ties: term asc)."""
+    """Top-100 terms by document frequency (ties: term asc).
+
+    Scale shape: (term, doc_id) pairs -> coarse-bucket df aggregation
+    (stages/agg.py — the shuffle key is hash(term) %% B, never the raw
+    vocabulary-cardinality term key) -> per-bucket top-100 -> tiny driver
+    merge over <= 100 x B rows. No corpus-wide sort anywhere."""
+    import pandas as pd
+
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
     pairs = load_documents(sf_dir).map_batches(
         TermPairsBatch(), batch_format="pyarrow", batch_size=1024
     )
-    df = pairs.groupby("term").aggregate(Count(alias_name="df"))
-    return df.sort(["df", "term"], descending=[True, False]).limit(100)
+
+    def per_bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("term", as_index=False).agg(df=("doc_id", "size"))
+        return df.sort_values(["df", "term"], ascending=[False, True],
+                              kind="mergesort").head(100)
+
+    tops = bucketed_group_agg(pairs, ["term"], per_bucket_top).to_pandas()
+    merged = tops.sort_values(["df", "term"], ascending=[False, True],
+                              kind="mergesort").head(100)
+    return pa.table({"term": pa.array(merged["term"], pa.string()),
+                     "df": pa.array(merged["df"].astype("int64"))})
+
+
+def _index_doc_ids(searcher, ordinals: np.ndarray) -> list[int]:
+    """Engine ordinals -> ORIGINAL documents.doc_id (parsed from the
+    doc:// url recorded in the docmap)."""
+    if searcher._url_of is None:
+        searcher._load_docmap()
+    hashed = searcher.ords()[ordinals]
+    return [int(searcher._url_of[int(h)][6:]) for h in hashed]
 
 
 def exact_search_batchterm(sf_dir: str):
-    """doc_ids whose token set contains the exact term 'batch'
-    (reference EXACT_MATCH semantics, case-sensitive)."""
-    pairs = load_documents(sf_dir).map_batches(
-        TermPairsBatch(), batch_format="pyarrow", batch_size=1024
-    )
-    hits = pairs.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column("term"), "batch")),
-        batch_format="pyarrow",
-    )
-    return hits.select_columns(["doc_id"])
+    """doc_ids whose token set contains the exact term 'batch' — served
+    from the built inverted index (reference EXACT_MATCH, I2): one bucket
+    probe + one posting decode, NOT a corpus re-tokenization."""
+    from search_engine_ray.search import LocalSearcher
+
+    s = LocalSearcher(ensure_documents_index(sf_dir))
+    rec = s._posting_for("batch")
+    if rec is None:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    dec = s._decode("batch", rec)
+    return pa.table(
+        {"doc_id": pa.array(sorted(_index_doc_ids(s, dec["docids"])),
+                            pa.int64())})
 
 
 def prefix_search_cu(sf_dir: str):
-    """Distinct doc_ids containing any term starting with 'cu'
-    (reference START_WITH semantics)."""
-    pairs = load_documents(sf_dir).map_batches(
-        TermPairsBatch(), batch_format="pyarrow", batch_size=1024
-    )
-    hits = pairs.map_batches(
-        lambda t: t.filter(
-            pa.compute.starts_with(t.column("term"), pattern="cu")),
-        batch_format="pyarrow",
-    )
-    return hits.groupby("doc_id").aggregate(Count(alias_name="n_terms"))
+    """(doc_id, n matching distinct terms) for terms starting with 'cu' —
+    served from the built index (reference START_WITH, I3): per-bucket
+    binary-search prefix expansion, then one decode per matching term."""
+    from search_engine_ray.search import LocalSearcher
+
+    s = LocalSearcher(ensure_documents_index(sf_dir))
+    terms = s.expand(["cu"], "prefix")
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_terms": pa.array([], pa.int64())})
+    # each term's decoded doc list is unique, so concatenating and counting
+    # occurrences per ordinal == distinct matching terms per doc
+    ords = np.concatenate(
+        [s._decode(t, s._posting_for(t))["docids"] for t in terms])
+    uniq, counts = np.unique(ords, return_counts=True)
+    return pa.table(
+        {"doc_id": pa.array(_index_doc_ids(s, uniq), pa.int64()),
+         "n_terms": pa.array(counts.astype(np.int64))})
 
 
 def vocab_and_total(sf_dir: str):
-    """One-row global stats: vocabulary size + total token count."""
-    ds = load_documents(sf_dir).map_batches(
-        TokenStatsBatch(), batch_format="pyarrow", batch_size=1024
-    )
-    total = ds.sum("n_tokens")
-    pairs = load_documents(sf_dir).map_batches(
-        TermPairsBatch(), batch_format="pyarrow", batch_size=1024
-    )
-    vocab = pairs.groupby("term").aggregate(Count(alias_name="df")).count()
-    return pa.table({"vocab_size": pa.array([int(vocab)], pa.int64()),
-                     "total_tokens": pa.array([int(total)], pa.int64())})
+    """One-row global stats: vocabulary size + total token count — read
+    from the index artifacts (reference I8 tree.size()): vocab from bucket
+    parquet FOOTERS, totals from global_stats.json. Zero corpus passes
+    beyond the (cached, resumable) index build."""
+    from search_engine_ray.search import LocalSearcher
+
+    s = LocalSearcher(ensure_documents_index(sf_dir), load_docmap=False)
+    return pa.table(
+        {"vocab_size": pa.array([s.vocabulary_size()], pa.int64()),
+         "total_tokens": pa.array([int(s.stats["total_tokens"])],
+                                  pa.int64())})
 
 
 def bpe_token_counts(sf_dir: str):

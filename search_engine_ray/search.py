@@ -196,8 +196,14 @@ class LocalSearcher:
         return sorted(set(terms))
 
     def vocabulary_size(self) -> int:
-        """Reference tree.size() (SearchEngineConcurrentTree.java:286-300)."""
-        return sum(len(self.bucket(b).terms) for b in range(self.num_buckets))
+        """Reference tree.size() (SearchEngineConcurrentTree.java:286-300).
+        Parquet footer row counts only — no bucket data is read."""
+        total = 0
+        for b in range(self.num_buckets):
+            path = os.path.join(self.index_root, "buckets", f"bucket={b}",
+                                "postings.parquet")
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
 
     # --- scoring ----------------------------------------------------------
 

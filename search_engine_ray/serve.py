@@ -42,10 +42,22 @@ from search_engine_ray.stages.tokenize import term_bucket
 class _Replica:
     def __init__(self, index_root: str):
         self.searcher = LocalSearcher(index_root)
+        self._expander = None  # vocabulary loaded once, on first suggest
 
     def search(self, queries, search_type, k, scorer):
         t = self.searcher.search(queries, search_type, k=k, scorer=scorer)
         return t
+
+    def phrase(self, terms, k):
+        return self.searcher.phrase_search(terms, k=k)
+
+    def suggest(self, word, k, scorer):
+        if self._expander is None:
+            from search_engine_ray.suggest import SuggestionExpander
+
+            self._expander = SuggestionExpander(self.searcher)
+        return self._expander.search_with_suggestions(word, k=k,
+                                                      scorer=scorer)
 
 
 class SearcherReplicaPool:
@@ -65,6 +77,18 @@ class SearcherReplicaPool:
 
     def search(self, queries, search_type="exact", k=10, scorer="taat"):
         return ray.get(self.search_async(queries, search_type, k, scorer))
+
+    def phrase_search(self, terms, k=10):
+        r = self._replicas[self._next % len(self._replicas)]
+        self._next += 1
+        return ray.get(r.phrase.remote(terms, k))
+
+    def search_with_suggestions(self, word, k=10, scorer="taat"):
+        """Reference WITH_SUGGESTIONS via the replica's once-loaded
+        vocabulary expander (ST3: dictionary-once-per-worker)."""
+        r = self._replicas[self._next % len(self._replicas)]
+        self._next += 1
+        return ray.get(r.suggest.remote(word, k, scorer))
 
     def shutdown(self):
         for r in self._replicas:

@@ -11,9 +11,11 @@ shard IF the shard scores with GLOBAL collection statistics:
 
 * N, avgdl — aggregated at build time into the root ``global_stats.json``
   and injected into every shard searcher (``stats_override``),
-* df(term) — summed across shards AT QUERY TIME (one O(log vocab) lookup
-  per shard per term; at real scale a merged term-stats sidecar would be
-  built once instead — same numbers).
+* df(term) — merged across shards AT BUILD TIME into a term-stats sidecar
+  (``term_stats/bucket=*/df.parquet``, term-sorted per term bucket): one
+  binary search per term at query time, no per-term shard fan-out. Built
+  by ``build_sharded``; a missing sidecar (older index) falls back to the
+  query-time shard-sum — same numbers either way (tests/test_sharded.py).
 
 With those, per-shard top-k merge is EXACT: results are bit-identical to a
 single-shard build over the same corpus (tests/test_sharded.py).
@@ -91,8 +93,50 @@ def build_sharded(
         "num_doc_shards": num_doc_shards,
     }
     atomic_write_json(os.path.join(root, "global_stats.json"), stats)
+    build_term_stats(root, num_doc_shards, cfg.num_buckets)
     metrics.update(stats)
     return metrics
+
+
+TERM_STATS_DIR = "term_stats"
+
+
+def build_term_stats(root: str, num_doc_shards: int,
+                     num_buckets: int) -> None:
+    """Merge per-shard df into the global term-stats sidecar: one task per
+    term bucket reads ONLY the (term, df) columns of that bucket from every
+    shard (parquet column pruning — posting blobs stay on disk) and writes
+    a term-sorted (term, df) file. O(vocab) bytes total."""
+    import pandas as pd
+
+    def merge_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in batch.iterrows():
+            b = int(row["bucket"])
+            parts = []
+            for s in range(num_doc_shards):
+                p = os.path.join(root, f"shard={s}", "buckets",
+                                 f"bucket={b}", "postings.parquet")
+                import pyarrow.parquet as pq
+
+                parts.append(pq.read_table(p, columns=["term", "df"]))
+            t = pa.concat_tables(parts)
+            df = (t.to_pandas().groupby("term", as_index=False)["df"].sum()
+                  .sort_values("term"))
+            bdir = os.path.join(root, TERM_STATS_DIR, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({"term": pa.array(df["term"], pa.string()),
+                          "df": pa.array(df["df"].astype("int64"))}),
+                os.path.join(bdir, "df.parquet"))
+            out.append((b, len(df)))
+        return pd.DataFrame(out, columns=["bucket", "n_terms"])
+
+    items = [{"bucket": b} for b in range(num_buckets)]
+    rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        merge_buckets, batch_format="pandas", batch_size=1).materialize()
 
 
 class ShardedSearcher:
@@ -112,10 +156,53 @@ class ShardedSearcher:
             for s in range(self.num_doc_shards)
         ]
         self.n_docs = int(self.stats["n_docs"])
+        self.num_buckets = self.shards[0].num_buckets
+        self._ts_root = os.path.join(root, TERM_STATS_DIR)
+        self._has_sidecar = os.path.isdir(self._ts_root)
+        self._ts_cache: dict[int, tuple[list[str], np.ndarray]] = {}
+
+    # --- merged term-stats sidecar ---------------------------------------
+
+    def _ts_bucket(self, b: int) -> tuple[list[str], np.ndarray]:
+        hit = self._ts_cache.get(b)
+        if hit is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(self._ts_root, f"bucket={b}", "df.parquet"))
+            hit = (t.column("term").to_pylist(),
+                   t.column("df").to_numpy())
+            self._ts_cache[b] = hit
+        return hit
+
+    def _sidecar_df(self, term: str) -> int:
+        """Global df from the build-time sidecar: ONE binary search."""
+        from bisect import bisect_left
+
+        from search_engine_ray.stages.tokenize import term_bucket
+
+        terms, dfs = self._ts_bucket(term_bucket(term, self.num_buckets))
+        i = bisect_left(terms, term)
+        if i < len(terms) and terms[i] == term:
+            return int(dfs[i])
+        return 0
 
     def _expand(self, queries: list[str], search_type: str) -> list[str]:
         if search_type == "prefix":
-            terms: set[str] = set()
+            if self._has_sidecar:
+                # term-sorted sidecar buckets replace the shard fan-out
+                from bisect import bisect_left
+
+                p = queries[0]
+                terms: set[str] = set()
+                for b in range(self.num_buckets):
+                    ts, _ = self._ts_bucket(b)
+                    for i in range(bisect_left(ts, p), len(ts)):
+                        if not ts[i].startswith(p):
+                            break
+                        terms.add(ts[i])
+                return sorted(terms)
+            terms = set()
             for sh in self.shards:
                 terms.update(sh.expand(queries, "prefix"))
             return sorted(terms)
@@ -123,14 +210,19 @@ class ShardedSearcher:
             terms = set(queries[:1])
         else:
             terms = set(queries)
-        present = {t for t in terms
-                   if any(sh._posting_for(t) is not None
-                          for sh in self.shards)}
+        if self._has_sidecar:
+            present = {t for t in terms if self._sidecar_df(t) > 0}
+        else:
+            present = {t for t in terms
+                       if any(sh._posting_for(t) is not None
+                              for sh in self.shards)}
         if search_type == "and" and present != terms:
             return []
         return sorted(present)
 
     def _global_idf(self, term: str) -> float:
+        if self._has_sidecar:
+            return bm25_idf(self.n_docs, self._sidecar_df(term))
         df = sum(
             (sh._posting_for(term) or {"df": 0})["df"] for sh in self.shards
         )

@@ -38,6 +38,35 @@ def test_sharded_matches_unsharded(sharded_root, built_index, q, st):
     assert a.equals(b), (q, st)
 
 
+def test_term_stats_sidecar_exists_and_matches_fanout(sharded_root):
+    """build_sharded writes the merged df sidecar; its values equal the
+    query-time shard-sum, and the sidecar path is actually taken."""
+    import os
+
+    sharded = ShardedSearcher(sharded_root)
+    assert sharded._has_sidecar
+    assert os.path.isdir(os.path.join(sharded_root, "term_stats"))
+    vocab = set()
+    for sh in sharded.shards:
+        for b in range(sh.num_buckets):
+            vocab.update(sh.bucket(b).terms)
+    for t in sorted(vocab):
+        fanout_df = sum((sh._posting_for(t) or {"df": 0})["df"]
+                        for sh in sharded.shards)
+        assert sharded._sidecar_df(t) == fanout_df, t
+    assert sharded._sidecar_df("zzz_not_a_term") == 0
+
+
+@pytest.mark.parametrize("q,st", QUERIES)
+def test_sharded_without_sidecar_still_matches(sharded_root, built_index,
+                                               q, st, tmp_path):
+    """Fallback path (older index without the sidecar) stays bit-exact."""
+    sharded = ShardedSearcher(sharded_root)
+    sharded._has_sidecar = False  # force the query-time shard-sum path
+    single = LocalSearcher(built_index)
+    assert sharded.search(q, st, k=30).equals(single.search(q, st, k=30))
+
+
 def test_shard_doc_counts_sum(sharded_root, built_index):
     sharded = ShardedSearcher(sharded_root)
     single = LocalSearcher(built_index)

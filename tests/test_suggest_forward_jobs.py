@@ -80,3 +80,41 @@ def test_jobs_cli_build_and_query(ray_session, tmp_path):
         "https://example.org/parity/00000002",
         "https://example.org/parity/00000003",
     }
+
+    def q(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "search_engine_ray.jobs", "query",
+             "--index", idx, *args],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    # every engine query type is reachable from the CLI surface
+    and_rows = q("--terms", "mama", "mila", "--type", "and")
+    assert [r["url"] for r in and_rows] == \
+        ["https://example.org/parity/00000002"]
+    phrase_rows = q("--terms", "mama", "mila", "--type", "phrase")
+    assert [r["url"] for r in phrase_rows] == [r["url"] for r in and_rows]
+    sug_rows = q("--terms", "mila", "--type", "suggest")
+    assert len(sug_rows) >= 2  # expansion ORs in same-length neighbours
+    pre_rows = q("--terms", "mil", "--type", "prefix")
+    assert len(pre_rows) >= 2
+
+
+def test_replica_pool_phrase_and_suggest(built_index):
+    """serve surface parity: phrase + suggestion search through the
+    replica pool equal LocalSearcher's answers."""
+    from search_engine_ray.serve import SearcherReplicaPool
+    from search_engine_ray.suggest import SuggestionExpander
+
+    s = LocalSearcher(built_index)
+    pool = SearcherReplicaPool(built_index, num_replicas=1)
+    try:
+        want = s.phrase_search(["mama", "mila"], k=10)
+        got = pool.phrase_search(["mama", "mila"], k=10)
+        assert got.equals(want)
+        want2 = SuggestionExpander(s).search_with_suggestions("mila", k=10)
+        got2 = pool.search_with_suggestions("mila", k=10)
+        assert got2.equals(want2)
+    finally:
+        pool.shutdown()
