@@ -170,6 +170,23 @@ def run_bench() -> dict:
     extras["bm25_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
     extras["bm25_p95_ms"] = round(float(np.percentile(lat, 95)), 3)
 
+    # --- scorer comparison: TAAT (default) vs block-max WAND -------------
+    # same disjunctive query subset under both scorers; documents WHY taat
+    # is the default (see search.py docstring: in-memory postings favour
+    # vectorized TAAT; BMW's block skips pay off on disk-resident postings)
+    or_qs = [(q, st) for q, st in qs if st == "or"] or qs[:3]
+    for scorer in ("taat", "bmw"):
+        for q, st in or_qs:  # warm
+            s.search(q, st, k=10, scorer=scorer, with_urls=False)
+        slat = []
+        for _ in range(3):
+            for q, st in or_qs:
+                tq = time.monotonic()
+                s.search(q, st, k=10, scorer=scorer, with_urls=False)
+                slat.append((time.monotonic() - tq) * 1000)
+        extras[f"scorer_{scorer}_p50_ms"] = round(
+            float(np.percentile(slat, 50)), 3)
+
     # --- secondary pipelines over the sf dir -----------------------------
     if os.environ.get("BENCH_SKIP_SECONDARY"):
         ray.shutdown()
@@ -211,6 +228,50 @@ def run_bench() -> dict:
     }
 
 
+def run_calibration(ncpu: int) -> dict:
+    """Raw VM task-throughput ceiling at ``ncpu``: identical CPU-bound
+    numpy kernels (lexsort + cumsum — the engine's hot ops) as plain Ray
+    tasks, NO engine code. The engine's scaling efficiency is then
+    normalized by this hardware ceiling: on this VM SMT + hypervisor steal
+    cap raw multiprocess scaling well below ideal before any engine code
+    runs (8->32 raw ~3.1x, not 4x)."""
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+
+    @ray.remote
+    def kernel(seed: int) -> int:
+        """Mimics the build's work mix: Python-regex tokenization (the
+        tokenize stage) + int64 lexsort/cumsum (the encode stage). A
+        purely bandwidth-bound kernel would understate the ceiling and
+        flatter the engine; a purely CPU-bound one would overstate it."""
+        import re
+
+        rng = np.random.default_rng(seed)
+        words = ["w%04d" % w for w in rng.integers(0, 9999, size=150_000)]
+        text = " ".join(words)
+        pat = re.compile(r"[^ .,:;()\[\]/-]+")
+        out = 0
+        for _ in range(3):
+            out ^= len(pat.findall(text))
+        a = rng.integers(0, 1 << 40, size=2_000_000).astype(np.int64)
+        b = rng.integers(0, 1000, size=2_000_000).astype(np.int64)
+        for _ in range(2):
+            order = np.lexsort((b, a))
+            out ^= int(np.cumsum(a[order])[-1])
+        return out
+
+    ray.get([kernel.remote(i) for i in range(min(4, ncpu))])  # warm
+    n_tasks = ncpu * 4
+    t0 = time.monotonic()
+    ray.get([kernel.remote(100 + i) for i in range(n_tasks)])
+    dt = time.monotonic() - t0
+    ray.shutdown()
+    return {"cpus": ncpu, "tasks": n_tasks,
+            "tasks_per_sec": round(n_tasks / dt, 2)}
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=N vs 4N, identical input.
 
@@ -231,12 +292,14 @@ def run_scaling() -> dict:
         _ensure_corpus()
         ray.shutdown()
 
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, calibrate: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_PAGES=str(N_PAGES), BENCH_SKIP_SECONDARY="1")
+        args = [sys.executable, os.path.abspath(__file__)]
+        if calibrate:
+            args += ["--calibrate", str(ncpu)]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            args, env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -255,6 +318,15 @@ def run_scaling() -> dict:
     thr_lo = r_lo["docs_per_sec"]
     thr_hi = r_hi["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # hardware-ceiling calibration at the same two levels (fresh
+    # processes, best-of-reps): no-engine numpy kernels measure what the
+    # VM itself scales to; engine efficiency is reported raw AND
+    # normalized by that ceiling
+    cal_lo = max((one(lo, calibrate=True) for _ in range(reps)),
+                 key=lambda c: c["tasks_per_sec"])
+    cal_hi = max((one(hi, calibrate=True) for _ in range(reps)),
+                 key=lambda c: c["tasks_per_sec"])
+    cal_speedup = cal_hi["tasks_per_sec"] / cal_lo["tasks_per_sec"]
     return {
         "metric": "index-build scaling efficiency (N vs 4N cpus)",
         "cpus_lo": lo, "cpus_hi": hi,
@@ -264,12 +336,21 @@ def run_scaling() -> dict:
         "all_sec_lo": [r["queries"]["index_build"] for r in runs_lo],
         "all_sec_hi": [r["queries"]["index_build"] for r in runs_hi],
         "scaling_efficiency": round(eff, 3),
+        "calib_tasks_per_sec_lo": cal_lo["tasks_per_sec"],
+        "calib_tasks_per_sec_hi": cal_hi["tasks_per_sec"],
+        "calib_speedup": round(cal_speedup, 3),
+        "calib_ceiling_efficiency": round(cal_speedup / (hi / lo), 3),
+        "scaling_efficiency_vs_ceiling": round(
+            (thr_hi / thr_lo) / cal_speedup, 3),
         "n_docs": r_lo.get("n_docs"),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--calibrate" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--calibrate") + 1])
+        print(json.dumps(run_calibration(n)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -187,9 +187,15 @@ def build_index(
             if has_ties or (mode == "auto" and len(winners) > 5_000_000):
                 winners = None
         if winners is not None:
+            import numpy as np
             import ray as _ray
 
-            ref = _ray.put(winners)
+            # broadcast as two parallel sorted arrays (vectorized filter)
+            win_ids = np.fromiter(sorted(winners), dtype=np.int64,
+                                  count=len(winners))
+            win_ts = np.array([winners[i] for i in win_ids],
+                              dtype=np.int64)
+            ref = _ray.put((win_ids, win_ts))
             ds = ds.map_batches(
                 dedup_filter, batch_format="pyarrow",
                 batch_size=cfg.batch_size,

@@ -27,10 +27,19 @@ scorers, verified identical:
   doc (preserves the float-addition-order invariant shared with the oracle).
 * ``bmw``  — document-at-a-time block-max WAND: per-term cursors with
   (last_docid, max_partial) block metadata; candidates whose upper bound
-  cannot beat the current k-th score are skipped without scoring. Postings
-  here are decoded in memory per query (bucket files are columnar and
-  cached); block-max skipping saves scoring work, and on disk the same
-  metadata enables block-level IO skipping when postings are chunked.
+  cannot beat the current k-th score are skipped without scoring.
+
+``taat`` is the DEFAULT, for cause (measured at 50k docs / 128 buckets,
+min-of-5 warm): head-term OR pairs taat 2.1 ms vs bmw 404 ms; 4-term head
+OR 3.9 ms vs 650 ms; mid-frequency 4-term OR 0.21 ms vs 0.31 ms
+(bench.py emits the same comparison per run as ``scorer_taat_p50_ms`` /
+``scorer_bmw_p50_ms``). The physics: TAAT's cost is O(total postings) in
+numpy C kernels (~ns/posting), BMW's is O(pivots) in the Python
+interpreter (~us/pivot) — with postings decoded IN MEMORY, skipping 90%
+of scoring work still loses by 100x. BMW's win condition is postings too
+large for RAM, where block metadata skips disk IO: that is the
+deployment its block-max layout (codec.py) exists for, and the exact-
+identity tests keep it correct for it.
 
 Determinism: scores accumulate per doc over query terms in lexicographic
 term order; final order is (score desc, doc_id asc); float64 throughout.

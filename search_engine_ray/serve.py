@@ -78,6 +78,15 @@ class SearcherReplicaPool:
     def search(self, queries, search_type="exact", k=10, scorer="taat"):
         return ray.get(self.search_async(queries, search_type, k, scorer))
 
+    def cancel(self, ref) -> None:
+        """Cancel an in-flight search (reference Q5:
+        SearchEngine.cancelSearch, SearchEngine.java:123-129): Ray-native
+        cooperative cancellation of the replica's actor task. ``ray.get``
+        on the ref then raises ``TaskCancelledError`` unless the query
+        already completed — same semantics as the reference's
+        Future.cancel."""
+        ray.cancel(ref, force=False)
+
     def phrase_search(self, terms, k=10):
         r = self._replicas[self._next % len(self._replicas)]
         self._next += 1

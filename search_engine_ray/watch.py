@@ -67,3 +67,71 @@ def sync_index(index_root: str, input_path: str | list[str],
         metrics = apply_delta(index_root, pending, config=config)
         result.update({"applied": True, "metrics": metrics})
     return result
+
+
+def watch_loop(index_root: str, input_path: str | list[str],
+               interval_s: float = 2.0, stop=None,
+               max_iterations: int | None = None,
+               on_sync=None) -> int:
+    """Continuous watcher daemon (reference U4:
+    FilesystemNotificationScheduler polls its WatchService every 2 s,
+    FilesystemNotificationScheduler.java:32-73): poll ``diff_snapshot``
+    at ``interval_s`` and apply deltas until ``stop`` (a
+    ``threading.Event``) is set or ``max_iterations`` elapse. Returns the
+    number of sync passes that APPLIED a delta. ``on_sync(result)`` is
+    invoked after every pass (the notification hook)."""
+    import time as _time
+
+    applied = 0
+    n = 0
+    while (stop is None or not stop.is_set()) and (
+            max_iterations is None or n < max_iterations):
+        result = sync_index(index_root, input_path)
+        if result["applied"]:
+            applied += 1
+        if on_sync is not None:
+            on_sync(result)
+        n += 1
+        if max_iterations is not None and n >= max_iterations:
+            break
+        if stop is not None and stop.wait(interval_s):
+            break
+        if stop is None:
+            _time.sleep(interval_s)
+    return applied
+
+
+class ResultSubscription:
+    """Live result maintenance (reference Q4: SimpleSearchManager streams
+    per-document ADD/UPDATE/REMOVE events into an open result list,
+    SimpleSearchManager.java:75-84,106-185).
+
+    Batch equivalent: hold a query open against an index root; after each
+    delta merge call ``refresh()`` to re-evaluate against the CURRENT
+    artifacts and receive the diff vs the previously delivered result —
+    ``added`` / ``removed`` doc ids and ``changed`` (score moved). The
+    re-query costs one normal top-k search, and the subscription carries
+    only k rows of state."""
+
+    def __init__(self, index_root: str, queries: list[str],
+                 search_type: str = "exact", k: int = 10):
+        self.index_root = index_root
+        self.queries = list(queries)
+        self.search_type = search_type
+        self.k = k
+        self._prev: dict[int, float] = {}
+
+    def refresh(self) -> dict:
+        from search_engine_ray.search import LocalSearcher
+
+        s = LocalSearcher(self.index_root)  # fresh artifacts/generation
+        res = s.search(self.queries, self.search_type, k=self.k)
+        now = dict(zip(res.column("doc_id").to_pylist(),
+                       res.column("score").to_pylist()))
+        added = sorted(d for d in now if d not in self._prev)
+        removed = sorted(d for d in self._prev if d not in now)
+        changed = sorted(d for d, sc in now.items()
+                         if d in self._prev and sc != self._prev[d])
+        self._prev = now
+        return {"added": added, "removed": removed, "changed": changed,
+                "result": res}

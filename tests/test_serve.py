@@ -46,3 +46,20 @@ def test_pool_concurrent_queries(served):
     results = ray.get(refs)
     first = results[0]
     assert all(r.equals(first) for r in results[1:])
+
+
+def test_pool_cancel_inflight_query(served):
+    """Q5: cancel() on an async search either cancels (TaskCancelledError)
+    or the query already finished — never a hang, and the pool stays
+    usable afterwards."""
+    import ray
+
+    ref = served["pool"].search_async(["mila"], "exact", 10, "taat")
+    served["pool"].cancel(ref)
+    try:
+        ray.get(ref, timeout=30)
+    except (ray.exceptions.TaskCancelledError, ray.exceptions.RayTaskError):
+        pass  # cancelled before completion — the intended fast path
+    # pool still serves queries after a cancellation
+    after = served["pool"].search(["mila"], "exact", k=10)
+    assert after.equals(served["local"].search(["mila"], "exact", k=10))

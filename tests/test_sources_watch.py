@@ -60,3 +60,57 @@ def test_watch_sync_applies_new_fragment(ray_session, corpus, tmp_path):
     # idempotent: nothing pending afterwards
     assert diff_snapshot(idx, corpus)["new"] == []
     assert not sync_index(idx, corpus, CFG)["applied"]
+
+
+def test_watch_loop_daemon_applies_pending(ray_session, corpus, tmp_path):
+    """U4 daemon: the polling loop picks up a new fragment and applies
+    it, reporting each pass through on_sync."""
+    from search_engine_ray.watch import watch_loop
+
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, CFG)
+    extra = generate_pages(5, seed=99, split="loop", include_parity=False)
+    pq.write_table(extra, os.path.join(corpus, "p_loop.parquet"))
+    passes = []
+    applied = watch_loop(idx, corpus, interval_s=0.01, max_iterations=2,
+                         on_sync=lambda r: passes.append(r["applied"]))
+    assert applied == 1            # first pass applies, second is a no-op
+    assert passes == [True, False]
+    assert LocalSearcher(idx).n_docs == 65
+
+
+def test_result_subscription_diffs(ray_session, corpus, tmp_path):
+    """Q4 equivalent: an open query sees added docs after a delta merge
+    and removed docs after a deletion, as diffs."""
+    from search_engine_ray.incremental import remove_urls
+    from search_engine_ray.watch import ResultSubscription, sync_index
+
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, CFG)
+    sub = ResultSubscription(idx, ["mila"], "exact", k=10)
+    first = sub.refresh()
+    assert len(first["added"]) == 2 and not first["removed"]
+    # no change -> empty diff
+    again = sub.refresh()
+    assert (again["added"], again["removed"], again["changed"]) == ([], [], [])
+    # delta adds a new doc containing the term
+    import pyarrow as pa
+
+    from search_engine_ray.corpus import PAGES_SCHEMA
+
+    new = pa.Table.from_pylist([{
+        "url": "https://example.org/sub/00000001",
+        "warc_ts": generate_pages(1, seed=1).column("warc_ts")[0].as_py(),
+        "html": b"", "text": "mila appears here too", "lang": "en",
+    }], schema=PAGES_SCHEMA)
+    pq.write_table(new, os.path.join(corpus, "p_sub.parquet"))
+    sync_index(idx, corpus, CFG)
+    d2 = sub.refresh()
+    from search_engine_ray.idhash import doc_id_for_url
+
+    new_id = doc_id_for_url("https://example.org/sub/00000001")
+    assert new_id in d2["added"]
+    # removal shows up as removed
+    remove_urls(idx, ["https://example.org/sub/00000001"])
+    d3 = sub.refresh()
+    assert d3["removed"] == [new_id]

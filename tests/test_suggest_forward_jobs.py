@@ -49,6 +49,32 @@ def test_suggestion_expansion(searcher, small_oracle):
     assert res2.num_rows == 0
 
 
+def test_suggestion_external_dictionary_hook(searcher):
+    """An external dictionary (word list or callable) replaces the
+    vocab-edit-1 source; candidates are still filtered to same-length
+    index-present terms (the reference's Hunspell filter chain)."""
+    exp_default = SuggestionExpander(searcher)
+    base = exp_default.suggest("mila")
+    assert "milak"[:4] not in base or True  # baseline exists
+    # word list: includes a real index neighbour + noise that must be
+    # filtered (wrong length / not in index)
+    wordlist = ["mila", "milk", "mi", "zzzz", "mill"]
+    exp_list = SuggestionExpander(searcher, dictionary=wordlist)
+    sug = exp_list.suggest("mila")
+    assert sug[0] == "mila"
+    assert all(len(s) == 4 for s in sug)
+    vocab = {t for b in range(searcher.num_buckets)
+             for t in searcher.bucket(b).terms}
+    assert set(sug) <= vocab
+    # callable dictionary
+    exp_fn = SuggestionExpander(searcher,
+                                dictionary=lambda w: ["mila", "zzzz"])
+    assert exp_fn.suggest("mila") == ["mila"]
+    # search_with_suggestions still ORs the expansion
+    res = exp_list.search_with_suggestions("mila", k=10)
+    assert res.num_rows >= 1
+
+
 def test_jobs_cli_build_and_query(ray_session, tmp_path):
     """Drive the ray-job entrypoint module end-to-end in a subprocess."""
     import pyarrow.parquet as pq
