@@ -287,16 +287,26 @@ def minhash_near_dups(
     verify_concurrency=(1, 4),
     bucket_cap: int = BUCKET_CAP_DEFAULT,
     join_partitions: int | None = None,
+    broadcast_max_pairs: int = 1_000_000,
+    broadcast_max_bytes: int = 1 << 30,
 ):
     """Full MinHash-LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
 
-    Verification is a DISTRIBUTED two-step hash join by default: candidate
-    pairs join the per-doc shingle-hash sets on doc_a, then on doc_b, and
-    exact Jaccard runs inside the joined batches — no driver-side corpus
-    materialization anywhere, so the pipeline streams at any corpus size.
-    ``texts_ref`` (a ``ray.put`` {doc_id: text} dict) switches to the
-    small-corpus fast path: broadcast lookup instead of the two joins —
-    same Jaccard values (tests/test_functions.py proves path identity).
+    Verification never materializes the corpus on the driver; it picks the
+    cheapest scale-safe tier:
+
+    1. candidate set small (``broadcast_max_pairs`` pairs AND
+       ``broadcast_max_bytes`` of blobs): ONE corpus pass filtered to
+       suspect docs computes their shingle-hash blobs, which broadcast to
+       the verifiers (semi-join reduction — driver memory is bounded by
+       the SUSPECT set, never the corpus);
+    2. otherwise: two partitioned hash joins co-shuffle pairs with blobs
+       (fully streaming at any size);
+    3. ``texts_ref`` (a ``ray.put`` {doc_id: text} dict) forces the
+       legacy broadcast-texts path for callers that already hold one.
+
+    All tiers compute Jaccard on the same shingle-hash sets, so results
+    are identical (tests/test_functions.py proves path identity).
     """
     import ray
 
@@ -329,6 +339,62 @@ def minhash_near_dups(
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
         join_partitions = max(8, cpus)
+    pairs = pairs.materialize()  # candidate pairs: bounded by the LSH
+    # bucket caps, tiny relative to the corpus; consumed twice below
+    # Semi-join reduction: only docs that appear in a candidate pair need
+    # a shingle blob. When the candidate set is small (the normal case —
+    # LSH collisions are a corpus fraction), ONE filtered corpus pass
+    # computes suspects' blobs and verification runs against a broadcast
+    # {id: blob} map. Past the bound, two partitioned hash joins move each
+    # blob once — no driver state of corpus size on either path.
+    n_pairs = pairs.count()
+    if n_pairs <= broadcast_max_pairs:
+        id_arr = np.unique(np.concatenate(
+            [np.concatenate([b["doc_a"], b["doc_b"]])
+             for b in pairs.iter_batches(batch_format="numpy",
+                                         batch_size=1 << 20)]
+            or [np.empty(0, np.int64)]))
+        id_ref = ray.put(id_arr)
+
+        def candidate_blobs(t: pa.Table) -> pa.Table:
+            ids = ray.get(id_ref)
+            keep = np.isin(t.column("doc_id").to_numpy(), ids,
+                           assume_unique=False)
+            return t.filter(pa.array(keep))
+
+        sh_small = ds.map_batches(candidate_blobs, batch_format="pyarrow",
+                                  batch_size=batch_size) \
+            .map_batches(ShingleHashBatch(shingle_k),
+                         batch_format="pyarrow", batch_size=batch_size)
+        blobs: dict[int, bytes] | None = {}
+        total = 0
+        for b in sh_small.iter_batches(batch_format="pyarrow",
+                                       batch_size=8192):
+            for d, blob in zip(b.column("doc_id").to_pylist(),
+                               b.column("sh").to_pylist()):
+                total += len(blob)
+                blobs[d] = blob
+            if total > broadcast_max_bytes:
+                logger.warning(
+                    "minhash verify: candidate blobs exceed broadcast "
+                    "budget (%d B) — falling back to the join path", total)
+                blobs = None
+                break
+        if blobs is not None:
+            blob_ref = ray.put(blobs)
+
+            def verify_broadcast(t: pa.Table) -> pa.Table:
+                bl = ray.get(blob_ref)
+                sh_a = [bl.get(a) for a in t.column("doc_a").to_pylist()]
+                sh_b = [bl.get(b) for b in t.column("doc_b").to_pylist()]
+                return _verify_joined(
+                    t.append_column("sh_a", pa.array(sh_a, pa.binary()))
+                     .append_column("sh_b", pa.array(sh_b, pa.binary())),
+                    threshold)
+
+            return pairs.map_batches(verify_broadcast,
+                                     batch_format="pyarrow",
+                                     batch_size=1024)
     sh = ds.map_batches(ShingleHashBatch(shingle_k),
                         batch_format="pyarrow", batch_size=batch_size)
     j = pairs.join(sh, "inner", join_partitions,

@@ -56,13 +56,19 @@ def test_minhash_join_and_broadcast_paths_identical(docs_ds):
         return (df.sort_values(["doc_a", "doc_b"])
                 .reset_index(drop=True)[["doc_a", "doc_b", "jaccard"]])
 
-    join_df = norm(minhash_near_dups(docs_ds, threshold=0.5).to_pandas())
+    # tier 1: semi-join blob broadcast (the default at this scale)
+    blob_df = norm(minhash_near_dups(docs_ds, threshold=0.5).to_pandas())
+    # tier 2: forced two-join path
+    join_df = norm(minhash_near_dups(docs_ds, threshold=0.5,
+                                     broadcast_max_pairs=0).to_pandas())
+    # tier 3: legacy broadcast texts
     rows = docs_ds.take_all()
     ref = ray.put({r["doc_id"]: r["text"] for r in rows})
     bc_df = norm(minhash_near_dups(docs_ds, threshold=0.5,
                                    texts_ref=ref).to_pandas())
-    assert len(join_df) > 0
-    assert join_df.equals(bc_df)
+    assert len(blob_df) > 0
+    assert blob_df.equals(join_df)
+    assert blob_df.equals(bc_df)
 
 
 def test_minhash_bucket_cap_logs_truncation(ray_session, caplog):
