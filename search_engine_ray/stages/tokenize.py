@@ -68,6 +68,10 @@ class TokenizeBatch:
         self.num_buckets = num_buckets
         self.salt = max(1, salt)
         self.store_positions = store_positions
+        # term -> bucket memo (per actor/task): the vocabulary is Zipf, so
+        # nearly every (doc, term) row hits the cache instead of blake2b.
+        # Bounded so a pathological vocabulary can't grow the worker heap.
+        self._bucket_memo: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table, ordinals_ref=None) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -122,10 +126,19 @@ class TokenizeBatch:
                 pos_lists.append(poss)
                 salts.append(s)
 
+        memo = self._bucket_memo
+        nb = self.num_buckets
+
+        def bucket_of(t: str) -> int:
+            b = memo.get(t)
+            if b is None:
+                b = term_bucket(t, nb)
+                if len(memo) < 2_000_000:
+                    memo[t] = b
+            return b
+
         buckets = np.fromiter(
-            (term_bucket(t, self.num_buckets) for t in terms),
-            dtype=np.int32,
-            count=len(terms),
+            (bucket_of(t) for t in terms), dtype=np.int32, count=len(terms),
         )
         return pa.table(
             {
