@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": d.minhash_pairs,
         "simhash_pairs": d.simhash_pairs,
         "ann_lsh_topk": e.ann_lsh_topk,
+        "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
         "media_features": d.media_features_demo,
     }

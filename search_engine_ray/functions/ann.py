@@ -175,6 +175,96 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 6,
     )
 
 
+def _kmeans(sample: np.ndarray, k: int, seed: int, iters: int = 10
+            ) -> np.ndarray:
+    """Deterministic spherical k-means on a normalized sample: seeded
+    k-means++ init, Lloyd iterations with renormalized means. Pure numpy,
+    driver-side — the sample is small by construction."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = min(k, n)
+    # k-means++ seeding on cosine distance (1 - dot)
+    cent = [sample[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d = 1.0 - np.max(np.stack([sample @ c for c in cent]), axis=0)
+        d = np.clip(d, 1e-12, None)
+        probs = d / d.sum()
+        cent.append(sample[int(rng.choice(n, p=probs))])
+    C = np.stack(cent)
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for j in range(k):
+            m = sample[assign == j]
+            if len(m):
+                C[j] = m.sum(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, sample_size: int = 10_000, seed: int = 17,
+             batch_size: int = 4096, round_to: int = 6):
+    """IVF (inverted-file) approximate top-k — the classic scale path for
+    ANN: a spherical k-means codebook from a driver-side sample, one
+    assignment pass over the corpus, and each query scores ONLY the
+    vectors in its ``n_probe`` nearest centroid lists (corpus fraction
+    ~ n_probe/n_centroids). ``n_probe == n_centroids`` scores everything
+    and is EXACTLY brute_force_topk (the correctness anchor in tests).
+    Same output schema as brute_force_topk."""
+    import ray
+
+    rows = ds.limit(sample_size).select_columns(["embedding"]).take_all()
+    sample = _normalize(np.asarray([r["embedding"] for r in rows],
+                                   dtype=np.float64))
+    C = _kmeans(sample, n_centroids, seed)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # per-query probe set: its n_probe nearest centroids
+    q_cent = np.argsort(-(q @ C.T), axis=1)[:, :min(n_probe, C.shape[0])]
+    cref = ray.put(C)
+    qref = ray.put(q)
+    pref = ray.put(q_cent)
+
+    class IVFTopK:
+        def __init__(self):
+            self._C = ray.get(cref)
+            self._q = ray.get(qref)
+            self._probes = ray.get(pref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_matrix(batch.column("embedding")))
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            assign = np.argmax(vecs @ self._C.T, axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(self._q.shape[0]):
+                mask = np.isin(assign, self._probes[qi])
+                if not mask.any():
+                    continue
+                sims = vecs[mask] @ self._q[qi]
+                ids = vec_ids[mask]
+                kk = min(self.k, sims.size)
+                idx = (np.argpartition(-sims, kk - 1)[:kk]
+                       if kk < sims.size else np.arange(sims.size))
+                for j in idx:
+                    out_q.append(qi)
+                    out_v.append(int(ids[j]))
+                    out_s.append(float(sims[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int32()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "cos": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(IVFTopK, batch_format="pyarrow",
+                           batch_size=batch_size, concurrency=(1, 4))
+    return local.groupby("query_id").map_groups(
+        _final_topk, batch_format="pandas",
+        fn_kwargs={"k": k, "round_to": round_to},
+    )
+
+
 def _auto_n_planes(n_rows: int, target_bucket: int = 512,
                    lo: int = 2, hi: int = 24) -> int:
     """Plane count sized to the corpus: expected bucket population

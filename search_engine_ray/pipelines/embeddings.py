@@ -42,6 +42,16 @@ def ann_lsh_topk(sf_dir: str):
     return lsh_topk(load_embeddings(sf_dir), query_matrix(sf_dir), k=ANN_K)
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF-codebook approximate top-k (rows-only check: approximate;
+    exactness anchor — n_probe == n_centroids == brute force — is pinned
+    by tests/test_functions.py)."""
+    from search_engine_ray.functions.ann import ivf_topk
+
+    return ivf_topk(load_embeddings(sf_dir), query_matrix(sf_dir), k=ANN_K,
+                    n_centroids=16, n_probe=6)
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.5):
     """Embedding-cosine near-duplicate pairs (rows-only).
 

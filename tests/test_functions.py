@@ -228,6 +228,56 @@ def test_lsh_topk_multiprobe_recall(ray_session):
         assert qi in set(out[out["query_id"] == qi]["vec_id"])
 
 
+def test_ivf_full_probe_equals_bruteforce(ray_session):
+    """IVF with n_probe == n_centroids scores every vector and must equal
+    brute_force_topk exactly (same math, same rounding, same ties)."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((250, 12))
+    t = pa.table({"vec_id": pa.array(range(250), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float64()))})
+    q = vecs[:3]
+
+    def norm(df):
+        return (df.sort_values(["query_id", "cos", "vec_id"],
+                               ascending=[True, False, True])
+                .reset_index(drop=True))
+
+    exact = norm(brute_force_topk(rd.from_arrow(t), q, k=7).to_pandas())
+    ivf = norm(ivf_topk(rd.from_arrow(t), q, k=7, n_centroids=8,
+                        n_probe=8).to_pandas())
+    assert ivf.equals(exact)
+
+
+def test_ivf_partial_probe_recall_on_clustered_data(ray_session):
+    """On clustered data (IVF's habitat) a partial probe keeps high
+    recall: every query's true top-1 (its own cluster center-mate) is
+    found, and all k slots fill."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import ivf_topk
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate([c + 0.1 * rng.standard_normal((40, 16))
+                           for c in centers])
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float64()))})
+    q = vecs[[0, 40, 80, 120]]
+    out = ivf_topk(rd.from_arrow(t), q, k=5, n_centroids=8,
+                   n_probe=2).to_pandas()
+    assert len(out) == 20  # all slots filled
+    for qi, self_id in enumerate([0, 40, 80, 120]):
+        sub = out[out["query_id"] == qi]
+        assert self_id in set(sub["vec_id"])  # exact self-match found
+        assert sub["cos"].max() == 1.0
+
+
 def test_media_features_deterministic_and_stub(ray_session):
     import ray.data as rd
 
