@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data pipeline extensions ---------------------------
         "dedup_exact": d.dedup_exact_docs,
         "events_hourly": ev.events_hourly_user,
+        "events_sessions": ev.events_sessions,
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -292,6 +293,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+                        FROM events),
+            marked AS (SELECT user_id, ts_us, value,
+                CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+                FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+            sess AS (SELECT user_id, ts_us, value,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked)
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   (max(ts_us) - min(ts_us)) AS duration_us,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
         "ann_topk": """
             WITH q AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1

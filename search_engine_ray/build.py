@@ -273,9 +273,20 @@ def build_index(
         t0 = time.monotonic()
         n_docs = _count_rows(docs_clean)  # parquet metadata, no scan
         # doc_len lives on docs_clean: one tiny int column scan, not a pass
-        # over the exploded token table
-        total_tokens = rd.read_parquet(
-            docs_clean, columns=["doc_len"]).sum("doc_len") or 0
+        # over the exploded token table. Below ~2M docs a driver-side
+        # columnar read (~MBs) beats a Ray job's fixed launch cost; above
+        # it the distributed sum takes over.
+        if n_docs <= 2_000_000:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            total_tokens = sum(
+                pc.sum(pq.read_table(f, columns=["doc_len"])
+                       .column("doc_len")).as_py() or 0
+                for f in _expand_inputs(docs_clean))
+        else:
+            total_tokens = rd.read_parquet(
+                docs_clean, columns=["doc_len"]).sum("doc_len") or 0
         stats = {
             "n_docs": int(n_docs),
             "total_tokens": int(total_tokens),

@@ -34,6 +34,69 @@ def _hourly_agg(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _ts_to_us(batch):
+    """Arrow-side cast: timestamp[us] -> int64 microseconds (exact ints —
+    no pandas datetime-resolution ambiguity, matches DuckDB epoch_us)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "user_id": batch.column("user_id"),
+        "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+        "value": batch.column("value"),
+    })
+
+
+def _sessionize(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """All users of one coarse bucket: vectorized session assignment
+    (sort, diff, cumsum) + per-session aggregates."""
+    import numpy as np
+
+    g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+    uid = g["user_id"].to_numpy()
+    ts = g["ts_us"].to_numpy()
+    if not len(g):
+        return pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "session_start_us": pd.Series(dtype="int64"),
+            "duration_us": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "sum_value": pd.Series(dtype="float64")})
+    new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+    gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+    sess = np.cumsum(new_user | (gap > gap_us))
+    out = g.assign(_sess=sess).groupby(["user_id", "_sess"],
+                                       as_index=False).agg(
+        session_start_us=("ts_us", "min"),
+        session_end_us=("ts_us", "max"),
+        n_events=("ts_us", "size"),
+        sum_value=("value", "sum"))
+    out["duration_us"] = out["session_end_us"] - out["session_start_us"]
+    out["sum_value"] = out["sum_value"].round(6)
+    return out[["user_id", "session_start_us", "duration_us",
+                "n_events", "sum_value"]]
+
+
+def events_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    """Gap-based sessionization (the classic event-stream window op): a
+    session ends after ``gap_us`` of user inactivity; emits per-session
+    (user_id, session_start_us, duration_us, n_events, sum_value).
+
+    Scale shape: the ONLY shuffle key is the user bucket (coarse-bucket
+    aggregate — a user's events co-locate in one partition, sessions
+    derive by sort+diff+cumsum inside it, all numpy). SQL-checkable via
+    lag()/running-sum window functions.
+    """
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "value"])
+    ds = ds.map_batches(_ts_to_us, batch_format="pyarrow")
+    return bucketed_group_agg(
+        ds, ["user_id"], lambda g: _sessionize(g, gap_us))
+
+
 def events_hourly_user(sf_dir: str):
     """Per (user_id, hour): event count + sum(value) rounded to 6 dp.
 

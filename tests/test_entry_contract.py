@@ -59,7 +59,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
 SQL_BACKED = [
     "doc_token_stats", "term_df_top100", "exact_search_batch",
     "prefix_search_cu", "vocab_total", "dedup_exact", "bm25_topk",
-    "events_hourly", "ann_topk",
+    "events_hourly", "events_sessions", "ann_topk", "phrase_search",
+    "quality_scores", "langid", "fingerprints",
 ]
 
 
@@ -74,11 +75,44 @@ def test_query_matches_oracle_sql(entrymod, con, name):
     assert value_hash(got) == value_hash(want)
 
 
-ROWS_ONLY = ["quality_scores", "langid", "fingerprints", "simhash_pairs",
-             "media_features"]
+ROWS_ONLY = ["simhash_pairs", "media_features", "ann_ivf_topk"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(entrymod, name):
     got = _to_pandas(entrymod.queries()[name](SF))
     assert len(got) >= 0
+
+
+def test_sessionization_semantics(ray_session, tmp_path):
+    """Planted gaps: events 29 min apart share a session; a 31-min gap
+    starts a new one; sessions never span users."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.events import events_sessions
+
+    base = 1_700_000_000_000_000  # us
+    MIN = 60 * 1_000_000
+    rows = [
+        (1, base), (1, base + 29 * MIN), (1, base + 58 * MIN),  # one sess
+        (1, base + 58 * MIN + 31 * MIN),                        # new sess
+        (2, base),                                              # other user
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (events_sessions(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "session_start_us"])
+           .reset_index(drop=True))
+    assert len(out) == 3
+    u1 = out[out.user_id == 1]
+    assert list(u1["n_events"]) == [3, 1]
+    assert list(u1["duration_us"]) == [58 * MIN, 0]
+    assert list(out[out.user_id == 2]["n_events"]) == [1]
