@@ -89,10 +89,15 @@ def _merge_bucket(
         bdir = os.path.join(index_root, "buckets", f"bucket={bucket}")
         old = pq.read_table(os.path.join(bdir, "postings.parquet"))
 
-        # explode old postings (decode) into flat arrays, dropping affected
+        # explode old postings (decode) into flat arrays, dropping affected.
+        # Column access is hoisted to one to_pylist per column (per-cell
+        # .as_py() costs ~5 Arrow calls per term).
         terms_l, di_l, tf_l, dl_l, pos_l = [], [], [], [], []
+        old_cols = {k: old.column(k).to_pylist()
+                    for k in ("df", "docs_vb", "tfs_vb", "lens_vb",
+                              "pos_vb", "term")}
         for i in range(old.num_rows):
-            rec = {k: old.column(k)[i].as_py() for k in
+            rec = {k: old_cols[k][i] for k in
                    ("df", "docs_vb", "tfs_vb", "lens_vb", "pos_vb")}
             dec = decode_posting(rec, with_positions=store_positions)
             real_ids = old_map[dec["docids"]]
@@ -100,7 +105,7 @@ def _merge_bucket(
             if not keep.any():
                 continue
             n_keep = int(keep.sum())
-            terms_l.append(np.full(n_keep, old.column("term")[i].as_py(),
+            terms_l.append(np.full(n_keep, old_cols["term"][i],
                                    dtype=object))
             di_l.append(to_ordinals(real_ids[keep], new_map))
             tf_l.append(dec["tfs"][keep])

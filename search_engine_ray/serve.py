@@ -11,6 +11,12 @@ Two actor topologies replace it, both returning results identical to
   loadable per node (bucket files page in on demand). This is the right
   topology while a node can hold the working set.
 
+* ``DocShardServer`` — the doc-partitioned topology (10^12-doc scale,
+  sharded.build_sharded layout): one actor per doc shard, each a complete
+  index over its doc subset; global df comes from the build-time
+  term-stats sidecar, every shard returns its local top-k scored with
+  injected global stats, and the driver merges — exact.
+
 * ``BucketShardServer`` — the term-partitioned topology for indexes larger
   than a node: each actor owns a GROUP of term buckets (loaded once in
   ``__init__``); a query's terms are hash-routed to their owning actors,
@@ -140,6 +146,117 @@ class _BucketShard:
             bk = self._s.bucket(b)
             terms.extend(bk.terms[i] for i in bk.prefix_range(prefix))
         return terms
+
+
+@ray.remote
+class _DocShardReplica:
+    """One doc-shard of a sharded index (sharded.build_sharded layout),
+    scoring with injected GLOBAL stats + per-term global idf."""
+
+    def __init__(self, shard_root: str, stats_override: dict):
+        self._s = LocalSearcher(shard_root, load_docmap=False,
+                                stats_override=stats_override)
+
+    def topk(self, terms: list[str], idfs: dict[str, float],
+             search_type: str, k: int, with_urls: bool):
+        gathered = []
+        for t in terms:  # terms arrive sorted (lex float-order invariant)
+            rec = self._s._posting_for(t)
+            if rec is not None:
+                gathered.append((t, rec, idfs[t]))
+        if search_type == "and":
+            if len(gathered) < len(terms):
+                return (np.empty(0, np.int64), np.empty(0, np.float64), [])
+            ids, scs = self._s._score_and(gathered, k)
+        else:
+            ids, scs = self._s._score_taat(gathered, k)
+        real = self._s.ords()[ids] if len(ids) else ids
+        urls: list[str] = []
+        if with_urls and len(real):
+            if self._s._url_of is None:
+                self._s._load_docmap()
+            urls = [self._s._url_of.get(int(d), "") for d in real]
+        return real, scs, urls
+
+
+class DocShardServer:
+    """Doc-sharded serving: one actor per doc shard (each a complete
+    index over its doc subset — the 10^12-doc topology), global df from
+    the build-time term-stats sidecar, per-shard local top-k + driver
+    merge. Results are identical to ShardedSearcher / an unsharded
+    LocalSearcher over the same corpus (tests/test_sharded.py)."""
+
+    def __init__(self, root: str):
+        import json as _json
+        import os as _os
+
+        from search_engine_ray.sharded import TermStatsSidecar
+
+        with open(_os.path.join(root, "global_stats.json")) as f:
+            self.stats = _json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.num_doc_shards = int(self.stats["num_doc_shards"])
+        with open(_os.path.join(root, "shard=0", "_manifest.json")) as f:
+            num_buckets = int(_json.load(f)["config"]["num_buckets"])
+        self._sidecar = TermStatsSidecar(root, num_buckets)
+        if not self._sidecar.present:
+            raise FileNotFoundError(
+                "DocShardServer needs the term-stats sidecar "
+                "(build_sharded/apply_delta_sharded write it)")
+        override = {"n_docs": self.stats["n_docs"],
+                    "avgdl": self.stats["avgdl"]}
+        self._shards = [
+            _DocShardReplica.remote(_os.path.join(root, f"shard={s}"),
+                                    override)
+            for s in range(self.num_doc_shards)
+        ]
+
+    def _expand(self, queries: list[str], search_type: str) -> list[str]:
+        if search_type == "prefix":
+            return self._sidecar.expand_prefix(queries[0])
+        terms = set(queries[:1]) if search_type == "exact" else set(queries)
+        present = {t for t in terms if self._sidecar.df(t) > 0}
+        if search_type == "and" and present != terms:
+            return []
+        return sorted(present)
+
+    def search(self, queries: list[str], search_type: str = "exact",
+               k: int = 10, with_urls: bool = True) -> pa.Table:
+        terms = self._expand(queries, search_type)
+        idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
+                for t in terms}
+        parts = ray.get([
+            sh.topk.remote(terms, idfs, search_type, k, with_urls)
+            for sh in self._shards
+        ]) if terms else []
+        parts = [p for p in parts if len(p[0])]
+        if parts:
+            all_ids = np.concatenate([p[0] for p in parts])
+            all_scs = np.concatenate([p[1] for p in parts])
+            top = _topk_indices(all_ids, all_scs, k)
+            ids, scores = all_ids[top], all_scs[top]
+            url_of = {int(d): u for p in parts
+                      for d, u in zip(p[0], p[2] or [])}
+            urls = [url_of.get(int(d), "") for d in ids] if with_urls \
+                else [""] * len(ids)
+        else:
+            ids = np.empty(0, np.int64)
+            scores = np.empty(0, np.float64)
+            urls = []
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int32)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+    def shutdown(self):
+        for s in self._shards:
+            ray.kill(s)
+        self._shards = []
 
 
 class BucketShardServer:

@@ -101,6 +101,51 @@ def build_sharded(
 TERM_STATS_DIR = "term_stats"
 
 
+class TermStatsSidecar:
+    """Lazy per-bucket reader of the merged (term, df) sidecar — shared by
+    the in-process ShardedSearcher and the DocShardServer driver."""
+
+    def __init__(self, root: str, num_buckets: int):
+        self.root = os.path.join(root, TERM_STATS_DIR)
+        self.num_buckets = num_buckets
+        self.present = os.path.isdir(self.root)
+        self._cache: dict[int, tuple[list[str], np.ndarray]] = {}
+
+    def bucket(self, b: int) -> tuple[list[str], np.ndarray]:
+        hit = self._cache.get(b)
+        if hit is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(self.root, f"bucket={b}", "df.parquet"))
+            hit = (t.column("term").to_pylist(), t.column("df").to_numpy())
+            self._cache[b] = hit
+        return hit
+
+    def df(self, term: str) -> int:
+        from bisect import bisect_left
+
+        from search_engine_ray.stages.tokenize import term_bucket
+
+        terms, dfs = self.bucket(term_bucket(term, self.num_buckets))
+        i = bisect_left(terms, term)
+        if i < len(terms) and terms[i] == term:
+            return int(dfs[i])
+        return 0
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        from bisect import bisect_left
+
+        out: set[str] = set()
+        for b in range(self.num_buckets):
+            ts, _ = self.bucket(b)
+            for i in range(bisect_left(ts, prefix), len(ts)):
+                if not ts[i].startswith(prefix):
+                    break
+                out.add(ts[i])
+        return sorted(out)
+
+
 def build_term_stats(root: str, num_doc_shards: int,
                      num_buckets: int) -> None:
     """Merge per-shard df into the global term-stats sidecar: one task per
@@ -139,6 +184,79 @@ def build_term_stats(root: str, num_doc_shards: int,
         merge_buckets, batch_format="pandas", batch_size=1).materialize()
 
 
+def apply_delta_sharded(
+    root: str,
+    delta_pages_path: str | list[str] | None = None,
+    deleted_urls: list[str] | None = None,
+) -> dict:
+    """Incremental maintenance of a doc-sharded index.
+
+    Delta pages and tombstones route to their shard by the SAME key the
+    build used (``blake2b64(url) % D``), each affected shard runs the
+    normal ``incremental.apply_delta`` (with its stored config — byte-
+    identical to a shard rebuild), then root stats re-aggregate and the
+    term-stats sidecar is rebuilt. Untouched shards are not opened."""
+    import shutil
+
+    from search_engine_ray.idhash import doc_id_for_url, doc_ids_for_urls
+    from search_engine_ray.incremental import apply_delta
+
+    with open(os.path.join(root, "global_stats.json")) as f:
+        stats = json.load(f)
+    num_doc_shards = int(stats["num_doc_shards"])
+
+    tmp = os.path.join(root, "_delta_by_shard")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if delta_pages_path is not None:
+        from search_engine_ray.build import _expand_inputs
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            ids = doc_ids_for_urls(batch.column("url").to_pylist())
+            return batch.append_column(
+                "shard_part", pa.array(ids % num_doc_shards, pa.int32()))
+
+        ds = rd.read_parquet(_expand_inputs(delta_pages_path))
+        ds = ds.map_batches(add_shard, batch_format="pyarrow")
+        ds.write_parquet(tmp, partition_cols=["shard_part"])
+
+    per_shard_deleted: dict[int, list[str]] = {}
+    for url in deleted_urls or []:
+        per_shard_deleted.setdefault(
+            doc_id_for_url(url) % num_doc_shards, []).append(url)
+
+    applied = []
+    for s in range(num_doc_shards):
+        sdir = os.path.join(tmp, f"shard_part={s}")
+        has_pages = os.path.isdir(sdir)
+        dels = per_shard_deleted.get(s)
+        if not has_pages and not dels:
+            continue  # untouched shard: skip entirely
+        m = apply_delta(os.path.join(root, f"shard={s}"),
+                        sdir if has_pages else None, deleted_urls=dels)
+        applied.append({"shard": s, **m})
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # re-aggregate root stats + rebuild the df sidecar
+    total_docs = total_tokens = 0
+    for s in range(num_doc_shards):
+        with open(os.path.join(root, f"shard={s}",
+                               "global_stats.json")) as f:
+            st = json.load(f)
+        total_docs += st["n_docs"]
+        total_tokens += st["total_tokens"]
+    new_stats = {
+        "n_docs": int(total_docs),
+        "total_tokens": int(total_tokens),
+        "avgdl": (total_tokens / total_docs) if total_docs else 0.0,
+        "num_doc_shards": num_doc_shards,
+    }
+    atomic_write_json(os.path.join(root, "global_stats.json"), new_stats)
+    with open(os.path.join(root, "shard=0", "_manifest.json")) as f:
+        num_buckets = int(json.load(f)["config"]["num_buckets"])
+    build_term_stats(root, num_doc_shards, num_buckets)
+    return {"shards_applied": applied, **new_stats}
+
+
 class ShardedSearcher:
     """Fan-out / merge searcher over doc shards (exact, rank-identical to an
     unsharded index). Per shard this uses the LocalSearcher kernel; at
@@ -157,51 +275,27 @@ class ShardedSearcher:
         ]
         self.n_docs = int(self.stats["n_docs"])
         self.num_buckets = self.shards[0].num_buckets
-        self._ts_root = os.path.join(root, TERM_STATS_DIR)
-        self._has_sidecar = os.path.isdir(self._ts_root)
-        self._ts_cache: dict[int, tuple[list[str], np.ndarray]] = {}
+        self._sidecar = TermStatsSidecar(root, self.num_buckets)
 
     # --- merged term-stats sidecar ---------------------------------------
 
-    def _ts_bucket(self, b: int) -> tuple[list[str], np.ndarray]:
-        hit = self._ts_cache.get(b)
-        if hit is None:
-            import pyarrow.parquet as pq
+    @property
+    def _has_sidecar(self) -> bool:
+        return self._sidecar.present
 
-            t = pq.read_table(
-                os.path.join(self._ts_root, f"bucket={b}", "df.parquet"))
-            hit = (t.column("term").to_pylist(),
-                   t.column("df").to_numpy())
-            self._ts_cache[b] = hit
-        return hit
+    @_has_sidecar.setter
+    def _has_sidecar(self, v: bool) -> None:  # tests force the fallback
+        self._sidecar.present = v
 
     def _sidecar_df(self, term: str) -> int:
         """Global df from the build-time sidecar: ONE binary search."""
-        from bisect import bisect_left
-
-        from search_engine_ray.stages.tokenize import term_bucket
-
-        terms, dfs = self._ts_bucket(term_bucket(term, self.num_buckets))
-        i = bisect_left(terms, term)
-        if i < len(terms) and terms[i] == term:
-            return int(dfs[i])
-        return 0
+        return self._sidecar.df(term)
 
     def _expand(self, queries: list[str], search_type: str) -> list[str]:
         if search_type == "prefix":
             if self._has_sidecar:
                 # term-sorted sidecar buckets replace the shard fan-out
-                from bisect import bisect_left
-
-                p = queries[0]
-                terms: set[str] = set()
-                for b in range(self.num_buckets):
-                    ts, _ = self._ts_bucket(b)
-                    for i in range(bisect_left(ts, p), len(ts)):
-                        if not ts[i].startswith(p):
-                            break
-                        terms.add(ts[i])
-                return sorted(terms)
+                return self._sidecar.expand_prefix(queries[0])
             terms = set()
             for sh in self.shards:
                 terms.update(sh.expand(queries, "prefix"))

@@ -67,6 +67,72 @@ def test_sharded_without_sidecar_still_matches(sharded_root, built_index,
     assert sharded.search(q, st, k=30).equals(single.search(q, st, k=30))
 
 
+@pytest.mark.parametrize("q,st", QUERIES)
+def test_doc_shard_server_matches_local(sharded_root, built_index, q, st):
+    """Actor-per-doc-shard serving == LocalSearcher, including urls."""
+    from search_engine_ray.serve import DocShardServer
+
+    srv = DocShardServer(sharded_root)
+    try:
+        got = srv.search(q, st, k=30)
+        want = LocalSearcher(built_index).search(q, st, k=30)
+        assert got.equals(want), (q, st)
+    finally:
+        srv.shutdown()
+
+
+def test_sharded_delta_matches_unsharded_scratch(ray_session, tmp_path):
+    """apply_delta_sharded(route -> per-shard delta -> stats + sidecar
+    rebuild) produces search results identical to an unsharded scratch
+    build over the merged corpus."""
+    import pyarrow as pa
+
+    from search_engine_ray.build import build_index
+    from search_engine_ray.corpus import PAGES_SCHEMA, generate_pages
+    from search_engine_ray.sharded import apply_delta_sharded
+
+    base = generate_pages(80, seed=5)
+    rows = base.to_pylist()
+    urls = sorted({r["url"] for r in rows})
+    deleted = urls[7:9]
+    new_rows = [{
+        "url": f"https://example.org/sharddelta/{i:08d}",
+        "warc_ts": rows[0]["warc_ts"].replace(year=2025),
+        "html": b"", "text": f"sharded delta doc {i} deltaword{i} mila",
+        "lang": "en",
+    } for i in range(3)]
+    delta = pa.Table.from_pylist(new_rows, schema=PAGES_SCHEMA)
+    merged = pa.Table.from_pylist(
+        [r for r in rows if r["url"] not in set(deleted)] + new_rows,
+        schema=PAGES_SCHEMA)
+
+    def wr(t, name):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, str(d / "p.parquet"))
+        return str(d)
+
+    cfg = BuildConfig(num_buckets=4)
+    root = str(tmp_path / "sharded")
+    build_sharded(wr(base, "base"), root, num_doc_shards=3, config=cfg)
+    m = apply_delta_sharded(root, wr(delta, "delta"), deleted_urls=deleted)
+    assert m["n_docs"] == 80 - 2 + 3
+    scratch = str(tmp_path / "scratch")
+    build_index(wr(merged, "merged"), scratch, cfg)
+    sh = ShardedSearcher(root)
+    single = LocalSearcher(scratch)
+    for q, st in [(["mila"], "exact"), (["deltaword1"], "exact"),
+                  (["delta"], "prefix"), (["sharded", "delta"], "and"),
+                  (["mила" if False else "mil"], "prefix")]:
+        assert sh.search(q, st, k=40).equals(single.search(q, st, k=40)), \
+            (q, st)
+    # deleted urls unfindable
+    hits = sh.search(["mila"], "exact", k=80).column("url").to_pylist()
+    assert not set(deleted) & set(hits)
+
+
 def test_shard_doc_counts_sum(sharded_root, built_index):
     sharded = ShardedSearcher(sharded_root)
     single = LocalSearcher(built_index)
