@@ -123,6 +123,101 @@ def media_features(ds, decoder: str = "fake", concurrency: int = 2,
     )
 
 
+class MediaResize:
+    """Actor-pool resize stage: decode image payload -> nearest-neighbour
+    resample to (out_h, out_w) — the resample itself is a real vectorized
+    gather (np.ix_ index grid), only the codec leaf is swappable. Emits
+    the resized pixel block as list<float> plus its dimensions."""
+
+    def __init__(self, out_w: int = 4, out_h: int = 4,
+                 decoder: str = "fake"):
+        self._dec = FakeDecoder() if decoder == "fake" else RealDecoder()
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        ri = np.minimum((np.arange(self.out_h) * h) // self.out_h, h - 1)
+        ci = np.minimum((np.arange(self.out_w) * w) // self.out_w, w - 1)
+        return img[np.ix_(ri, ci)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        out = [self._resize(self._dec.decode_image(p)).ravel().tolist()
+               for p in payloads]
+        n = len(out)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "pixels": pa.array(out, pa.list_(pa.float32())),
+                "width": pa.array([self.out_w] * n, pa.int32()),
+                "height": pa.array([self.out_h] * n, pa.int32()),
+            }
+        )
+
+
+def resize_images(ds, out_w: int = 4, out_h: int = 4, decoder: str = "fake",
+                  concurrency: int = 2, batch_size: int = 64):
+    """Image rows -> resized pixel blocks (media_id, pixels, width,
+    height). Filters to kind == 'image' first so non-image payloads never
+    reach the decoder."""
+    import pyarrow.compute as pc
+
+    imgs = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+        batch_format="pyarrow", batch_size=batch_size)
+    return imgs.map_batches(
+        MediaResize, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "decoder": decoder},
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame sampler: one video row -> n_frames rows
+    (media_id, frame_idx, frame:list<float>) — the explode/flat_map shape
+    a video featurization pipeline needs (per-frame rows are narrow, so
+    downstream stages shuffle frames, never payloads)."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        self._dec = FakeDecoder() if decoder == "fake" else RealDecoder()
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for mid, p in zip(ids, payloads):
+            for i, f in enumerate(
+                    self._dec.decode_video_frames(p, self.n_frames)):
+                out_id.append(mid)
+                out_idx.append(i)
+                out_frame.append(f.ravel().tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "frame": pa.array(out_frame, pa.list_(pa.float32())),
+            }
+        )
+
+
+def sample_video_frames(ds, n_frames: int = 4, decoder: str = "fake",
+                        concurrency: int = 2, batch_size: int = 32):
+    """Video rows -> per-frame rows (frame-sample explode)."""
+    import pyarrow.compute as pc
+
+    vids = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "video")),
+        batch_format="pyarrow", batch_size=batch_size)
+    return vids.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"n_frames": n_frames, "decoder": decoder},
+    )
+
+
 def synthetic_media(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media fixture table (no real codecs needed)."""
     rng = np.random.default_rng(seed)

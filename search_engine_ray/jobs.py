@@ -12,6 +12,14 @@ On a real cluster:
         delta --index /data/index --input /data/pages_delta \
         --delete-urls-file deleted.txt
 
+    ray job submit --working-dir . -- python -m search_engine_ray.jobs \
+        sharded-build --input /data/pages --root /data/sharded \
+        --num-shards 64
+    ray job submit --working-dir . -- python -m search_engine_ray.jobs \
+        sharded-delta --root /data/sharded --input /data/pages_delta
+    ray job submit --working-dir . -- python -m search_engine_ray.jobs \
+        query --index /data/sharded --sharded --terms mila
+
 In this sandbox the same module runs standalone (Ray Data auto-inits local).
 Guarded ``ray.init`` so it also works when a driver initialised Ray first.
 """
@@ -54,6 +62,13 @@ def cmd_query(args) -> int:
     extensions)."""
     from search_engine_ray.search import LocalSearcher
 
+    if args.sharded:
+        from search_engine_ray.sharded import ShardedSearcher
+
+        s = ShardedSearcher(args.index)
+        res = s.search(args.terms, args.type, k=args.k)
+        print(json.dumps(res.to_pylist()))
+        return 0
     s = LocalSearcher(args.index)
     if args.type == "phrase":
         res = s.phrase_search(args.terms, k=args.k)
@@ -79,6 +94,33 @@ def cmd_delta(args) -> int:
     # in the index's root manifest (a mismatched config would corrupt the
     # bucket layout — incremental.apply_delta validates/loads it).
     m = apply_delta(args.index, args.input, deleted_urls=deleted)
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_sharded_build(args) -> int:
+    from search_engine_ray.build import BuildConfig
+    from search_engine_ray.sharded import build_sharded
+
+    cfg = BuildConfig(
+        tokenizer=args.tokenizer,
+        num_buckets=args.num_buckets,
+        store_positions=not args.no_positions,
+    )
+    m = build_sharded(args.input, args.root, args.num_shards, cfg,
+                      resume=not args.no_resume)
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_sharded_delta(args) -> int:
+    from search_engine_ray.sharded import apply_delta_sharded
+
+    deleted = []
+    if args.delete_urls_file:
+        with open(args.delete_urls_file) as f:
+            deleted = [ln.strip() for ln in f if ln.strip()]
+    m = apply_delta_sharded(args.root, args.input, deleted_urls=deleted)
     print(json.dumps(m))
     return 0
 
@@ -113,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
                             "suggest"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
+    q.add_argument("--sharded", action="store_true",
+                   help="--index is a doc-sharded root (sharded-build)")
     q.set_defaults(fn=cmd_query)
 
     d = sub.add_parser("delta")
@@ -120,6 +164,22 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--delete-urls-file", default=None)
     d.set_defaults(fn=cmd_delta)
+
+    sb = sub.add_parser("sharded-build")
+    sb.add_argument("--input", required=True)
+    sb.add_argument("--root", required=True)
+    sb.add_argument("--num-shards", type=int, required=True)
+    sb.add_argument("--tokenizer", default="standard")
+    sb.add_argument("--num-buckets", type=int, default=64)
+    sb.add_argument("--no-positions", action="store_true")
+    sb.add_argument("--no-resume", action="store_true")
+    sb.set_defaults(fn=cmd_sharded_build)
+
+    sd = sub.add_parser("sharded-delta")
+    sd.add_argument("--input", default=None)
+    sd.add_argument("--root", required=True)
+    sd.add_argument("--delete-urls-file", default=None)
+    sd.set_defaults(fn=cmd_sharded_delta)
 
     i = sub.add_parser("invalidate")
     i.add_argument("--index", required=True)

@@ -297,6 +297,36 @@ def test_media_features_deterministic_and_stub(ray_session):
         RealDecoder().decode_image(b"xx")
 
 
+def test_media_resize_and_frame_sample(ray_session):
+    """Resize emits out_h x out_w pixel blocks for image rows only;
+    frame sampling explodes each video row into n deterministic frames."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.multimodal import (
+        resize_images,
+        sample_video_frames,
+        synthetic_media,
+    )
+
+    t = synthetic_media(12)
+    n_img = sum(1 for k in t.column("kind").to_pylist() if k == "image")
+    n_vid = sum(1 for k in t.column("kind").to_pylist() if k == "video")
+    rs = resize_images(rd.from_arrow(t), out_w=4, out_h=4).to_pandas()
+    assert len(rs) == n_img
+    assert all(len(p) == 16 for p in rs["pixels"])
+    rs2 = resize_images(rd.from_arrow(t), out_w=4, out_h=4).to_pandas()
+    a = rs.sort_values("media_id").reset_index(drop=True)
+    b = rs2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.array_equal(x, y) for x, y in zip(a["pixels"], b["pixels"]))
+
+    fr = sample_video_frames(rd.from_arrow(t), n_frames=3).to_pandas()
+    assert len(fr) == n_vid * 3
+    assert set(fr["frame_idx"]) == {0, 1, 2}
+    one = fr[fr.media_id == fr.media_id.iloc[0]]
+    # distinct frames per video (decoder varies by frame index)
+    assert not np.array_equal(one.iloc[0]["frame"], one.iloc[1]["frame"])
+
+
 def test_textstats_quality_and_langid(ray_session):
     import ray.data as rd
 

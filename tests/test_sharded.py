@@ -133,6 +133,38 @@ def test_sharded_delta_matches_unsharded_scratch(ray_session, tmp_path):
     assert not set(deleted) & set(hits)
 
 
+def test_sharded_cli_build_and_query(ray_session, tmp_path):
+    """ray-job surface for the sharded topology: sharded-build then
+    query --sharded in subprocesses."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.corpus import generate_pages
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(generate_pages(30, seed=8), str(pdir / "p.parquet"))
+    root = str(tmp_path / "sharded")
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "sharded-build",
+         "--input", str(pdir), "--root", root, "--num-shards", "2",
+         "--num-buckets", "4"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["n_docs"] == 30 and len(m["shards"]) == 2
+    out2 = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "query",
+         "--index", root, "--sharded", "--terms", "mila"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    rows = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert len(rows) == 2
+
+
 def test_shard_doc_counts_sum(sharded_root, built_index):
     sharded = ShardedSearcher(sharded_root)
     single = LocalSearcher(built_index)
