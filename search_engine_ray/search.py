@@ -74,20 +74,21 @@ RESULT_SCHEMA = pa.schema(
 
 
 class _Bucket:
-    """One loaded bucket: term-sorted arrays + lazy posting decode."""
+    """One loaded bucket: term-sorted lookup arrays + LAZY blob access.
 
-    __slots__ = ("terms", "df", "docs_vb", "tfs_vb", "lens_vb", "pos_vb",
-                 "blockmax", "max_partial")
+    Only the term strings (bisect keys) and the two small numeric columns
+    materialize to Python at load; posting blobs stay in the Arrow table
+    and convert per accessed term (``record``), so loading a bucket never
+    copies the full postings payload — queries touch a handful of terms,
+    and decoded results land in the searcher's LRU anyway."""
+
+    __slots__ = ("terms", "df", "max_partial", "_t")
 
     def __init__(self, table: pa.Table):
         self.terms: list[str] = table.column("term").to_pylist()
         self.df = table.column("df").to_numpy()
-        self.docs_vb = table.column("docs_vb").to_pylist()
-        self.tfs_vb = table.column("tfs_vb").to_pylist()
-        self.lens_vb = table.column("lens_vb").to_pylist()
-        self.pos_vb = table.column("pos_vb").to_pylist()
-        self.blockmax = table.column("blockmax").to_pylist()
         self.max_partial = table.column("max_partial").to_numpy()
+        self._t = table.combine_chunks()
 
     def find(self, term: str) -> int | None:
         i = bisect_left(self.terms, term)
@@ -107,11 +108,11 @@ class _Bucket:
     def record(self, i: int) -> dict:
         return {
             "df": int(self.df[i]),
-            "docs_vb": self.docs_vb[i],
-            "tfs_vb": self.tfs_vb[i],
-            "lens_vb": self.lens_vb[i],
-            "pos_vb": self.pos_vb[i],
-            "blockmax": self.blockmax[i],
+            "docs_vb": self._t.column("docs_vb")[i].as_py(),
+            "tfs_vb": self._t.column("tfs_vb")[i].as_py(),
+            "lens_vb": self._t.column("lens_vb")[i].as_py(),
+            "pos_vb": self._t.column("pos_vb")[i].as_py(),
+            "blockmax": self._t.column("blockmax")[i].as_py(),
             "max_partial": float(self.max_partial[i]),
         }
 

@@ -84,6 +84,60 @@ def test_rows_only_queries_run(entrymod, name):
     assert len(got) >= 0
 
 
+def test_sessionization_random_vs_bruteforce(ray_session, tmp_path):
+    """Random events: the distributed sessionizer equals a straight
+    per-user Python fold (sort, walk, cut on gap)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.events import events_sessions
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    users = rng.integers(0, 40, size=n)
+    ts = np.sort(rng.integers(0, 10**11, size=n))  # us, ~28h span
+    vals = np.round(rng.random(n), 3)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["x"] * n),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    GAP = 30 * 60 * 1_000_000
+    # brute-force reference fold
+    want = []
+    for u in np.unique(users):
+        uts = np.sort(ts[users == u])
+        uvals = vals[users == u][np.argsort(ts[users == u],
+                                            kind="mergesort")]
+        start = uts[0]
+        cur_ts, cur_vals = [uts[0]], [uvals[0]]
+        for i in range(1, len(uts)):
+            if uts[i] - uts[i - 1] > GAP:
+                want.append((int(u), int(start),
+                             int(cur_ts[-1] - start), len(cur_ts),
+                             round(float(np.sum(cur_vals)), 6)))
+                start = uts[i]
+                cur_ts, cur_vals = [], []
+            cur_ts.append(uts[i])
+            cur_vals.append(uvals[i])
+        want.append((int(u), int(start), int(cur_ts[-1] - start),
+                     len(cur_ts), round(float(np.sum(cur_vals)), 6)))
+    got = (events_sessions(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "session_start_us"])
+           .reset_index(drop=True))
+    assert len(got) == len(want)
+    for row, (u, st, dur, ne, sv) in zip(got.itertuples(index=False),
+                                         sorted(want)):
+        assert (row.user_id, row.session_start_us, row.duration_us,
+                row.n_events) == (u, st, dur, ne)
+        assert abs(row.sum_value - sv) < 1e-6
+
+
 def test_sessionization_semantics(ray_session, tmp_path):
     """Planted gaps: events 29 min apart share a session; a 31-min gap
     starts a new one; sessions never span users."""
