@@ -344,7 +344,8 @@ class LocalSearcher:
         return dec
 
     def phrase_search(self, terms: list[str], k: int = 10,
-                      with_urls: bool = True) -> pa.Table:
+                      with_urls: bool = True,
+                      idfs: dict[str, float] | None = None) -> pa.Table:
         """Ordered same-line proximity over stored positions: docs where
         the terms appear on one line in order (oracle.ordered_in_row),
         BM25-ranked. Requires a positions-bearing index.
@@ -352,7 +353,10 @@ class LocalSearcher:
         Cost shape: one AND intersection + ONE positions decode per distinct
         term (LRU-cached), then per-candidate numpy slice + position walk,
         early-exiting after k phrase matches — candidates x terms slice
-        lookups, not candidates x full-posting decodes."""
+        lookups, not candidates x full-posting decodes.
+
+        ``idfs`` overrides per-term idf (doc-sharded serving injects
+        GLOBAL df idfs so shard-local phrase top-k merges exactly)."""
         from search_engine_ray.oracle import ordered_in_row
 
         empty = pa.table(
@@ -362,6 +366,8 @@ class LocalSearcher:
              "url": pa.array([], pa.string())}, schema=RESULT_SCHEMA)
         uniq = sorted(set(terms))
         gathered = self._gather(uniq)
+        if idfs is not None:
+            gathered = [(t, rec, idfs[t]) for t, rec, _ in gathered]
         if not terms or len(gathered) < len(uniq):
             return empty  # conjunctive: a missing term empties the result
         pos_decs: dict[str, dict] = {}

@@ -178,6 +178,14 @@ class _DocShardReplica:
             urls = [self._s._url_of.get(int(d), "") for d in real]
         return real, scs, urls
 
+    def phrase_topk(self, terms: list[str], idfs: dict[str, float],
+                    k: int, with_urls: bool):
+        t = self._s.phrase_search(terms, k=k, with_urls=with_urls,
+                                  idfs=idfs)
+        return (t.column("doc_id").to_numpy(zero_copy_only=False),
+                t.column("score").to_numpy(zero_copy_only=False),
+                t.column("url").to_pylist())
+
 
 class DocShardServer:
     """Doc-sharded serving: one actor per doc shard (each a complete
@@ -229,6 +237,25 @@ class DocShardServer:
             sh.topk.remote(terms, idfs, search_type, k, with_urls)
             for sh in self._shards
         ]) if terms else []
+        return self._merge(parts, k, with_urls)
+
+    def phrase_search(self, terms: list[str], k: int = 10,
+                      with_urls: bool = True) -> pa.Table:
+        """Exact sharded phrase search: every shard runs the positions
+        walk with GLOBAL idfs and returns its local phrase top-k (a doc
+        lives entirely in one shard), the driver merges."""
+        expand = self._expand(sorted(set(terms)), "and")
+        if not expand:
+            return self._merge([], k, with_urls)
+        idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
+                for t in expand}
+        parts = ray.get([
+            sh.phrase_topk.remote(terms, idfs, k, with_urls)
+            for sh in self._shards
+        ])
+        return self._merge(parts, k, with_urls)
+
+    def _merge(self, parts, k: int, with_urls: bool) -> pa.Table:
         parts = [p for p in parts if len(p[0])]
         if parts:
             all_ids = np.concatenate([p[0] for p in parts])

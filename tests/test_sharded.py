@@ -81,6 +81,20 @@ def test_doc_shard_server_matches_local(sharded_root, built_index, q, st):
         srv.shutdown()
 
 
+def test_doc_shard_server_phrase_matches_local(sharded_root, built_index):
+    from search_engine_ray.serve import DocShardServer
+
+    srv = DocShardServer(sharded_root)
+    try:
+        for terms in (["mama", "mila"], ["mila", "mama"],
+                      ["zzz_missing", "mila"]):
+            got = srv.phrase_search(terms, k=20)
+            want = LocalSearcher(built_index).phrase_search(terms, k=20)
+            assert got.equals(want), terms
+    finally:
+        srv.shutdown()
+
+
 def test_sharded_delta_matches_unsharded_scratch(ray_session, tmp_path):
     """apply_delta_sharded(route -> per-shard delta -> stats + sidecar
     rebuild) produces search results identical to an unsharded scratch
