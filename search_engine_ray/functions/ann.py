@@ -213,7 +213,16 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     Same output schema as brute_force_topk."""
     import ray
 
-    rows = ds.limit(sample_size).select_columns(["embedding"]).take_all()
+    # RANDOM codebook sample (seeded => deterministic): a first-N sample
+    # would bias the codebook on any corpus sorted/clustered by a key and
+    # degrade recall at partial n_probe. Oversample 2x by fraction, then
+    # cap at sample_size.
+    n_rows = ds.count()
+    emb = ds.select_columns(["embedding"])
+    if n_rows > sample_size:
+        frac = min(1.0, (2.0 * sample_size) / n_rows)
+        emb = emb.random_sample(frac, seed=seed).limit(sample_size)
+    rows = emb.take_all()
     sample = _normalize(np.asarray([r["embedding"] for r in rows],
                                    dtype=np.float64))
     C = _kmeans(sample, n_centroids, seed)

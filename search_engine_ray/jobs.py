@@ -66,7 +66,18 @@ def cmd_query(args) -> int:
         from search_engine_ray.sharded import ShardedSearcher
 
         s = ShardedSearcher(args.index)
-        res = s.search(args.terms, args.type, k=args.k)
+        # every query type routes to its sharded implementation — never
+        # fall through to search(), whose _expand would treat an unknown
+        # type as an OR query and silently return disjunctive results.
+        if args.type == "phrase":
+            res = s.phrase_search(args.terms, k=args.k)
+        elif args.type == "suggest":
+            from search_engine_ray.suggest import SuggestionExpander
+
+            res = SuggestionExpander(s).search_with_suggestions(
+                args.terms[0], k=args.k)
+        else:
+            res = s.search(args.terms, args.type, k=args.k)
         print(json.dumps(res.to_pylist()))
         return 0
     s = LocalSearcher(args.index)

@@ -205,6 +205,12 @@ class LocalSearcher:
             raise ValueError(f"unknown search_type {search_type!r}")
         return sorted(set(terms))
 
+    def vocab_terms(self):
+        """Iterate every index term (bucket order) — the suggestion
+        expander's vocabulary source (ST3)."""
+        for b in range(self.num_buckets):
+            yield from self.bucket(b).terms
+
     def vocabulary_size(self) -> int:
         """Reference tree.size() (SearchEngineConcurrentTree.java:286-300).
         Parquet footer row counts only — no bucket data is read."""

@@ -85,12 +85,16 @@ class SearcherReplicaPool:
         return ray.get(self.search_async(queries, search_type, k, scorer))
 
     def cancel(self, ref) -> None:
-        """Cancel an in-flight search (reference Q5:
-        SearchEngine.cancelSearch, SearchEngine.java:123-129): Ray-native
-        cooperative cancellation of the replica's actor task. ``ray.get``
-        on the ref then raises ``TaskCancelledError`` unless the query
-        already completed — same semantics as the reference's
-        Future.cancel."""
+        """Cancel a pending search (reference Q5:
+        SearchEngine.cancelSearch, SearchEngine.java:123-129) via
+        ``ray.cancel``. Semantics are QUEUE-ONLY for these synchronous
+        replica actors: Ray can drop the task while it waits in the
+        actor's queue, but cannot interrupt one mid-execution — an
+        already-running query completes and ``ray.get`` returns its
+        result. That matches ``Future.cancel(false)`` (the reference's
+        executor cancel without interruption); queries are ms-scale here,
+        so queue-drop is where cancellation pays. ``ray.get`` on a
+        successfully cancelled ref raises ``TaskCancelledError``."""
         ray.cancel(ref, force=False)
 
     def phrase_search(self, terms, k=10):

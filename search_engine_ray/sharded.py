@@ -314,6 +314,21 @@ class ShardedSearcher:
             return []
         return sorted(present)
 
+    def vocab_terms(self):
+        """Global vocabulary (suggestion-expander source): the merged
+        term-stats sidecar when present (one tiny (term, df) read per
+        bucket), else the union of shard vocabularies."""
+        if self._has_sidecar:
+            for b in range(self.num_buckets):
+                yield from self._sidecar.bucket(b)[0]
+            return
+        seen: set[str] = set()
+        for sh in self.shards:
+            for t in sh.vocab_terms():
+                if t not in seen:
+                    seen.add(t)
+                    yield t
+
     def _global_idf(self, term: str) -> float:
         if self._has_sidecar:
             return bm25_idf(self.n_docs, self._sidecar_df(term))
@@ -322,8 +337,45 @@ class ShardedSearcher:
         )
         return bm25_idf(self.n_docs, df)
 
+    def phrase_search(self, terms: list[str], k: int = 10) -> pa.Table:
+        """Ordered same-line phrase search across doc shards — exact,
+        rank-identical to an unsharded index: each shard runs the local
+        phrase kernel with GLOBAL-df idfs injected (so scores agree), and
+        the per-shard top-k lists merge on the same (score desc, doc_id
+        asc) key the local kernel ranks by. A document's phrase match is
+        decidable entirely within its shard, so per-shard top-k union
+        contains the global top-k."""
+        uniq = sorted(set(terms))
+        idfs = {t: self._global_idf(t) for t in uniq}
+        parts = []
+        for sh in self.shards:
+            res = sh.phrase_search(terms, k=k, idfs=idfs)
+            if res.num_rows:
+                parts.append(res)
+        if not parts:
+            return pa.table(
+                {"rank": pa.array([], pa.int32()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64()),
+                 "url": pa.array([], pa.string())}, schema=RESULT_SCHEMA)
+        merged = pa.concat_tables(parts)
+        ids = merged.column("doc_id").to_numpy()
+        scs = merged.column("score").to_numpy()
+        top = _topk_indices(ids, scs, k)
+        out = merged.take(pa.array(top))
+        return pa.table(
+            {"rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int32)),
+             "doc_id": out.column("doc_id"),
+             "score": out.column("score"),
+             "url": out.column("url")}, schema=RESULT_SCHEMA)
+
     def search(self, queries: list[str], search_type: str = "exact",
-               k: int = 10, with_urls: bool = True) -> pa.Table:
+               k: int = 10, with_urls: bool = True,
+               scorer: str = "taat") -> pa.Table:
+        if scorer != "taat":
+            raise ValueError(
+                "ShardedSearcher scores TAAT only (the per-shard kernel "
+                "is in-memory; see search.py scorer rationale)")
         terms = self._expand(queries, search_type)
         idfs = {t: self._global_idf(t) for t in terms}
         parts = []  # (doc_id, score) per shard

@@ -31,11 +31,12 @@ class SuggestionExpander:
                  dictionary: Callable[[str], Iterable[str]] | Iterable[str]
                  | None = None):
         self._s = searcher
-        # length-keyed vocabulary: same-length lookup is the hot filter
+        # length-keyed vocabulary: same-length lookup is the hot filter.
+        # vocab_terms() is the duck-typed source: LocalSearcher iterates
+        # its buckets, ShardedSearcher its merged term-stats sidecar.
         self._by_len: dict[int, set[str]] = {}
-        for b in range(searcher.num_buckets):
-            for t in searcher.bucket(b).terms:
-                self._by_len.setdefault(len(t), set()).add(t)
+        for t in searcher.vocab_terms():
+            self._by_len.setdefault(len(t), set()).add(t)
         if dictionary is None or callable(dictionary):
             self._dict = dictionary
         else:  # a plain word list behaves like Hunspell's suggest():

@@ -95,6 +95,31 @@ def test_doc_shard_server_phrase_matches_local(sharded_root, built_index):
         srv.shutdown()
 
 
+def test_sharded_phrase_matches_unsharded(sharded_root, built_index):
+    """ShardedSearcher.phrase_search (global-idf injection + per-shard
+    top-k merge) is rank- and score-identical to the single index."""
+    sharded = ShardedSearcher(sharded_root)
+    single = LocalSearcher(built_index)
+    for terms in (["mama", "mila"], ["mila", "mama"],
+                  ["zzz_missing", "mila"]):
+        assert sharded.phrase_search(terms, k=20).equals(
+            single.phrase_search(terms, k=20)), terms
+
+
+def test_sharded_suggest_matches_unsharded(sharded_root, built_index):
+    """SuggestionExpander over a ShardedSearcher (vocabulary from the
+    term-stats sidecar) == over the LocalSearcher."""
+    from search_engine_ray.suggest import SuggestionExpander
+
+    sharded = ShardedSearcher(sharded_root)
+    single = LocalSearcher(built_index)
+    es, el = SuggestionExpander(sharded), SuggestionExpander(single)
+    for word in ("mila", "mama", "zzzz"):
+        assert es.suggest(word) == el.suggest(word), word
+        assert es.search_with_suggestions(word, k=20).equals(
+            el.search_with_suggestions(word, k=20)), word
+
+
 def test_sharded_delta_matches_unsharded_scratch(ray_session, tmp_path):
     """apply_delta_sharded(route -> per-shard delta -> stats + sidecar
     rebuild) produces search results identical to an unsharded scratch
@@ -177,6 +202,18 @@ def test_sharded_cli_build_and_query(ray_session, tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     rows = json.loads(out2.stdout.strip().splitlines()[-1])
     assert len(rows) == 2
+    # phrase routes to the sharded phrase kernel (ADVICE fix: it must NOT
+    # fall through to the OR-expanding search())
+    out3 = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "query",
+         "--index", root, "--sharded", "--terms", "mila", "mama",
+         "--type", "phrase"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    prows = json.loads(out3.stdout.strip().splitlines()[-1])
+    want = ShardedSearcher(root).phrase_search(["mila", "mama"],
+                                               k=10).to_pylist()
+    assert prows == want
 
 
 def test_shard_doc_counts_sum(sharded_root, built_index):
