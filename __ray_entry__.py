@@ -30,6 +30,126 @@ _TOKS_CTE = (
 )
 
 
+def _minhash_sql(threshold=0.5, shingle_k=5, n_perm=64, n_bands=8,
+                 cap=50) -> str:
+    """The FULL MinHash-LSH pipeline in SQL — shingling, the 64 universal-
+    hash permutations (constants inlined from the same seeded generator the
+    Ray pipeline uses), banding, the per-bucket candidate cap, and exact
+    shingle-set Jaccard verification. Shingle hash = md5_number_lower
+    masked to 61 bits == functions/dedup._shingle_hash_array; the perm
+    arithmetic replicates numpy's uint64 wraparound ((x*a mod 2^64) + b
+    mod 2^64) before the Mersenne modulus. Band collision is equality of
+    the band's 8 min values (the pipeline hashes them — a bijection up to
+    negligible blake collision)."""
+    from search_engine_ray.functions.dedup import _perm_params
+
+    a, b = _perm_params(n_perm)
+    rows = n_perm // n_bands
+    perm_vals = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(n_perm))
+    return f"""
+WITH toksl AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOK}') AS ts FROM documents),
+shingle_strs AS (
+  SELECT doc_id,
+     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+          WHEN len(ts) < {shingle_k} THEN [array_to_string(ts, ' ')]
+          ELSE list_transform(range(1, len(ts) - {shingle_k - 2}),
+                              i -> array_to_string(
+                                  ts[i:i+{shingle_k - 1}], ' '))
+     END AS shs
+  FROM toksl),
+sh AS (
+  SELECT DISTINCT doc_id,
+         (md5_number_lower(s) % 2305843009213693952)::BIGINT AS x
+  FROM (SELECT doc_id, unnest(shs) AS s FROM shingle_strs)),
+perms(i, a, b) AS (VALUES {perm_vals}),
+mins AS (
+  SELECT doc_id, i,
+         min(((((x::HUGEINT * a) % 18446744073709551616) + b)
+              % 18446744073709551616 % 2305843009213693951)::BIGINT) AS h
+  FROM sh CROSS JOIN perms GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, (i // {rows})::INT AS band_id,
+         string_agg(h::VARCHAR, ',' ORDER BY i) AS sig
+  FROM mins GROUP BY doc_id, (i // {rows})),
+ranked AS (
+  SELECT band_id, sig, doc_id,
+         row_number() OVER (PARTITION BY band_id, sig ORDER BY doc_id) AS rn
+  FROM bands),
+kept AS (SELECT * FROM ranked WHERE rn <= {cap}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+shl AS (SELECT doc_id, list(x ORDER BY x) AS xs FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.xs, b.xs))::DOUBLE /
+         (len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs)))::DOUBLE
+             AS j
+  FROM cand c JOIN shl a ON a.doc_id = c.doc_a
+              JOIN shl b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= {threshold}
+"""
+
+
+def _simhash_sql(max_hamming=3, cap=50) -> str:
+    """The FULL SimHash pipeline in SQL: per-term md5_number_lower hash
+    (== functions/dedup.SimHashBatch), tf-weighted per-bit votes, 64-bit
+    signature assembly, 16-bit-chunk blocking with the per-bucket cap,
+    and exact Hamming verification (bit_count over xor of the signed
+    two's-complement signatures — the same bit pattern the pipeline
+    masks)."""
+    bit_vals = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    chunk_vals = ", ".join(
+        f"({c}, {1 << (16 * c)}::HUGEINT)" for c in range(4))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '{TOK}'))
+                  AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM toks
+       GROUP BY doc_id, term),
+th AS (SELECT DISTINCT term, md5_number_lower(term) AS h FROM tf),
+bits(bit, w) AS (VALUES {bit_vals}),
+votes AS (
+  SELECT tf.doc_id, b.bit, b.w,
+         sum(CASE WHEN (th.h >> b.bit) & 1 = 1 THEN tf.c ELSE -tf.c END)
+             AS v
+  FROM tf JOIN th USING (term) CROSS JOIN bits b
+  GROUP BY tf.doc_id, b.bit, b.w),
+sim AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN w ELSE 0::HUGEINT END) AS sim_u
+  FROM votes GROUP BY doc_id),
+simc AS (
+  SELECT doc_id, sim_u,
+         CASE WHEN sim_u >= 9223372036854775808::HUGEINT
+              THEN (sim_u - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE sim_u::BIGINT END AS sim_signed
+  FROM sim),
+chunkdef(chunk_id, div) AS (VALUES {chunk_vals}),
+chunks AS (
+  SELECT doc_id, sim_signed, cd.chunk_id,
+         ((sim_u // cd.div) % 65536)::INT AS chunk_val
+  FROM simc CROSS JOIN chunkdef cd),
+ranked AS (
+  SELECT chunk_id, chunk_val, doc_id, sim_signed,
+         row_number() OVER (PARTITION BY chunk_id, chunk_val
+                            ORDER BY doc_id) AS rn
+  FROM chunks),
+kept AS (SELECT * FROM ranked WHERE rn <= {cap}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sim_signed, b.sim_signed))::BIGINT AS hamming
+  FROM kept a JOIN kept b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim_signed, b.sim_signed)) <= {max_hamming})
+SELECT doc_a, doc_b, hamming FROM pairs
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
     documents table and run the fixed BM25 query set."""
@@ -62,8 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": d.quality_scores,
         "langid": d.langid_pred,
         "fingerprints": d.fingerprints,
-        "minhash_pairs": d.minhash_pairs,
-        "simhash_pairs": d.simhash_pairs,
+        "minhash_pairs": d.minhash_pairs,        # SQL-checked since r3
+        "simhash_pairs": d.simhash_pairs,        # SQL-checked since r3
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -313,6 +433,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM sess GROUP BY user_id, sid
         """,
+        "minhash_pairs": _minhash_sql(),
+        "simhash_pairs": _simhash_sql(),
         "ann_topk": """
             WITH q AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1
                               AS query_id,

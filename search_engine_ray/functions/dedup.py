@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from search_engine_ray.functions.textstats import token_regex
+from search_engine_ray.functions.textstats import round_half_away, token_regex
 
 _MERSENNE = (1 << 61) - 1
 
@@ -74,14 +74,19 @@ def _shingles(tokens: list[str], k: int) -> set[bytes]:
 def _shingle_hash_array(text: str | None, tok_re, k: int) -> np.ndarray:
     """Sorted unique 61-bit shingle-hash set of a doc as int64 ndarray —
     the shared representation for MinHash signatures AND exact Jaccard
-    verification (both paths agree bit-for-bit on hash-set Jaccard)."""
+    verification (both paths agree bit-for-bit on hash-set Jaccard).
+
+    Hash = low 8 md5 digest bytes little-endian (== DuckDB's
+    ``md5_number_lower``, the same convention as FingerprintBatch) masked
+    to 61 bits — so the whole MinHash pipeline, banding included, is
+    reproducible in SQL and oracle-checkable cross-engine."""
     toks = tok_re.findall(text) if text else []
     sh = _shingles(toks, k)
     if not sh:
         return np.empty(0, dtype=np.int64)
     x = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(),
-                        "little") & _MERSENNE for s in sh),
+        (int.from_bytes(hashlib.md5(s).digest()[8:], "little") & _MERSENNE
+         for s in sh),
         dtype=np.int64, count=len(sh),
     )
     x.sort()
@@ -222,7 +227,9 @@ def _verify_joined(batch: pa.Table, threshold: float) -> pa.Table:
         if j >= threshold:
             out_a.append(a)
             out_b.append(b)
-            out_j.append(round(j, 6))
+            # half-away rounding == SQL round(): jaccard is a dyadic-able
+            # rational (inter/union) that can hit exact 6-dp ties
+            out_j.append(round_half_away(j))
     return pa.table(
         {
             "doc_a": pa.array(out_a, pa.int64()),
@@ -266,7 +273,7 @@ class JaccardVerify:
             if j >= self.t:
                 out_a.append(a)
                 out_b.append(b)
-                out_j.append(round(j, 6))
+                out_j.append(round_half_away(j))
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -400,6 +407,12 @@ def minhash_near_dups(
     j = pairs.join(sh, "inner", join_partitions,
                    on=("doc_a",), right_on=("doc_id",))
     j = j.rename_columns({"sh": "sh_a"})
+    # repartition between the two hash joins: chaining Join->Join directly
+    # makes the second join's aggregator resolve its keys against the
+    # wrong side (Ray 2.49 ArrowInvalid "no match for FieldRef doc_b");
+    # a shuffle boundary isolates them. Cost: one exchange of the
+    # (pairs + blob_a) rows — small relative to the corpus.
+    j = j.repartition(join_partitions)
     j = j.join(sh, "inner", join_partitions,
                on=("doc_b",), right_on=("doc_id",))
     j = j.rename_columns({"sh": "sh_b"})
@@ -410,32 +423,51 @@ def minhash_near_dups(
 
 
 class SimHashBatch:
-    """64-bit SimHash per doc + 16-bit chunk blocking keys (4 chunks)."""
+    """64-bit SimHash per doc + 16-bit chunk blocking keys (4 chunks).
+
+    Term hash = low 8 md5 bytes little-endian (DuckDB
+    ``md5_number_lower`` — SQL-oracle-checkable, same convention as
+    FingerprintBatch/minhash). The term -> (+/-1)^64 vote row is memoized
+    PER ACTOR (the vocabulary is Zipf, like the tokenizer's bucket memo
+    at stages/tokenize.py:72-74), so repeated terms skip hashing and bit
+    unpacking entirely; per doc the vote tally is one int64 matvec."""
+
+    _MEMO_MAX = 1 << 20  # vote rows are 512 B — cap actor heap at ~0.5 GB
 
     def __init__(self):
         self._re = token_regex()
+        self._memo: dict[str, np.ndarray] = {}
+        self._bitpos = np.arange(64, dtype=np.uint64)
+
+    def _row(self, w: str) -> np.ndarray:
+        r = self._memo.get(w)
+        if r is None:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:],
+                               "little")
+            bits = (np.uint64(h) >> self._bitpos) & np.uint64(1)
+            r = np.where(bits == 1, 1, -1).astype(np.int64)
+            if len(self._memo) >= self._MEMO_MAX:
+                self._memo.clear()
+            self._memo[w] = r
+        return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_doc, out_sim, out_chunk_id, out_chunk_val = [], [], [], []
+        weights = (np.uint64(1) << self._bitpos)
         for d, t in zip(doc_ids, texts):
             toks = self._re.findall(t) if t else []
             if not toks:
                 continue
-            votes = np.zeros(64, dtype=np.int64)
             uniq, counts = np.unique(np.array(toks, dtype=object),
                                      return_counts=True)
-            for w, c in zip(uniq, counts):
-                h = int.from_bytes(
-                    hashlib.blake2b(str(w).encode(), digest_size=8).digest(),
-                    "little",
-                )
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)
-                        ) & np.uint64(1)
-                votes += np.where(bits == 1, c, -c)
-            sim = int((((votes > 0).astype(np.uint64)
-                        << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)))
+            rows = np.empty((len(uniq), 64), dtype=np.int64)
+            for i, w in enumerate(uniq):
+                rows[i] = self._row(str(w))
+            votes = counts.astype(np.int64) @ rows
+            sim = int(((votes > 0).astype(np.uint64) * weights)
+                      .sum(dtype=np.uint64))
             sim_signed = sim - (1 << 64) if sim >= (1 << 63) else sim
             for chunk in range(4):
                 out_doc.append(d)
@@ -494,8 +526,10 @@ def simhash_near_dups(ds, max_hamming: int = 3, batch_size: int = 2048):
     """SimHash blocking + Hamming verification -> (doc_a, doc_b, hamming)."""
     from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
 
-    sigs = ds.map_batches(SimHashBatch(), batch_format="pyarrow",
-                          batch_size=batch_size)
+    # actor pool (class, not instance) so the term-hash memo lives for the
+    # whole actor, not one task
+    sigs = ds.map_batches(SimHashBatch, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=(1, 8))
     pairs = bucketed_group_agg(
         sigs, ["chunk_id", "chunk_val"], _simhash_bucket_pairs)
     return bucketed_distinct(pairs, ["doc_a", "doc_b", "hamming"])

@@ -61,6 +61,7 @@ SQL_BACKED = [
     "prefix_search_cu", "vocab_total", "dedup_exact", "bm25_topk",
     "events_hourly", "events_sessions", "ann_topk", "phrase_search",
     "quality_scores", "langid", "fingerprints",
+    "minhash_pairs", "simhash_pairs",  # full sketch pipelines in SQL (r3)
 ]
 
 
@@ -75,7 +76,7 @@ def test_query_matches_oracle_sql(entrymod, con, name):
     assert value_hash(got) == value_hash(want)
 
 
-ROWS_ONLY = ["simhash_pairs", "media_features", "ann_ivf_topk"]
+ROWS_ONLY = ["media_features", "ann_ivf_topk"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
