@@ -216,13 +216,15 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     # RANDOM codebook sample (seeded => deterministic): a first-N sample
     # would bias the codebook on any corpus sorted/clustered by a key and
     # degrade recall at partial n_probe. Oversample 2x by fraction, then
-    # cap at sample_size.
+    # cap at sample_size. The sample is sorted by vec_id before k-means:
+    # take_all block order varies run to run, and k-means++ seeding is
+    # index-dependent — sorting pins the codebook bit-for-bit.
     n_rows = ds.count()
-    emb = ds.select_columns(["embedding"])
+    emb = ds.select_columns(["vec_id", "embedding"])
     if n_rows > sample_size:
         frac = min(1.0, (2.0 * sample_size) / n_rows)
         emb = emb.random_sample(frac, seed=seed).limit(sample_size)
-    rows = emb.take_all()
+    rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
     sample = _normalize(np.asarray([r["embedding"] for r in rows],
                                    dtype=np.float64))
     C = _kmeans(sample, n_centroids, seed)

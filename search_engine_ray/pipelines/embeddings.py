@@ -35,21 +35,47 @@ def ann_bruteforce_topk(sf_dir: str):
                             k=ANN_K)
 
 
-def ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed approximate top-k (rows-only check: approximate)."""
-    from search_engine_ray.functions.ann import lsh_topk
+def _with_recall(approx, exact, k: int):
+    """Append per-query ``recall_at_k`` (|approx ∩ brute-force| / k) so
+    the rows-only driver check certifies RETRIEVAL QUALITY, not just
+    shape. Both inputs are k x n_queries result sets — driver-side set
+    math on ~50 rows, not a corpus operation."""
+    import pyarrow as pa
 
-    return lsh_topk(load_embeddings(sf_dir), query_matrix(sf_dir), k=ANN_K)
+    ap = approx.to_pandas()
+    ex = exact.to_pandas()
+    truth = ex.groupby("query_id")["vec_id"].agg(set).to_dict()
+    rec = {}
+    for q, sub in ap.groupby("query_id"):
+        t = truth.get(q, set())
+        rec[q] = round(len(set(sub["vec_id"]) & t) / max(1, len(t)), 6)
+    ap["recall_at_k"] = ap["query_id"].map(rec).astype("float64")
+    return pa.Table.from_pandas(ap, preserve_index=False)
+
+
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate top-k with per-query recall@k vs the
+    brute-force truth (rows-only check; the recall column is pinned by
+    tests/test_entry_contract.py)."""
+    from search_engine_ray.functions.ann import brute_force_topk, lsh_topk
+
+    q = query_matrix(sf_dir)
+    approx = lsh_topk(load_embeddings(sf_dir), q, k=ANN_K, n_probe=2)
+    exact = brute_force_topk(load_embeddings(sf_dir), q, k=ANN_K)
+    return _with_recall(approx, exact, ANN_K)
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF-codebook approximate top-k (rows-only check: approximate;
-    exactness anchor — n_probe == n_centroids == brute force — is pinned
-    by tests/test_functions.py)."""
-    from search_engine_ray.functions.ann import ivf_topk
+    """IVF-codebook approximate top-k with per-query recall@k vs the
+    brute-force truth (rows-only check; exactness anchor — n_probe ==
+    n_centroids == brute force — is pinned by tests/test_functions.py)."""
+    from search_engine_ray.functions.ann import brute_force_topk, ivf_topk
 
-    return ivf_topk(load_embeddings(sf_dir), query_matrix(sf_dir), k=ANN_K,
-                    n_centroids=16, n_probe=6)
+    q = query_matrix(sf_dir)
+    approx = ivf_topk(load_embeddings(sf_dir), q, k=ANN_K,
+                      n_centroids=16, n_probe=6)
+    exact = brute_force_topk(load_embeddings(sf_dir), q, k=ANN_K)
+    return _with_recall(approx, exact, ANN_K)
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.5):

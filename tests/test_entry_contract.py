@@ -85,6 +85,23 @@ def test_rows_only_queries_run(entrymod, name):
     assert len(got) >= 0
 
 
+@pytest.mark.parametrize("name,per_query_floor,mean_floor", [
+    ("ann_lsh_topk", 0.2, 0.4),
+    ("ann_ivf_topk", 0.5, 0.6),
+])
+def test_approximate_ann_recall_floor(entrymod, name, per_query_floor,
+                                      mean_floor):
+    """The approximate ANN entries carry a per-query recall_at_k column
+    (vs in-pipeline brute force). Floors are what the deterministic
+    seeded configs achieve on the ADVERSARIAL random testdata embeddings
+    (uniform on the sphere — the worst case for LSH/IVF); production
+    clustered embeddings score far higher at the same scan fraction."""
+    got = _to_pandas(entrymod.queries()[name](SF))
+    rec = got.groupby("query_id")["recall_at_k"].first()
+    assert (rec >= per_query_floor).all(), rec.tolist()
+    assert rec.mean() >= mean_floor, rec.tolist()
+
+
 def test_sessionization_random_vs_bruteforce(ray_session, tmp_path):
     """Random events: the distributed sessionizer equals a straight
     per-user Python fold (sort, walk, cut on gap)."""
