@@ -211,6 +211,9 @@ def build_index(
         ds.write_parquet(tmp)
         _commit_dir(tmp, docs_clean)
         write_ordinals(index_root, docs_clean)
+        from search_engine_ray.state.docmap import write_docmap
+
+        write_docmap(index_root, docs_clean)
         write_manifest(
             docs_clean, run_hash, inputs,
             metrics={"n_docs": _count_rows(docs_clean),

@@ -248,6 +248,9 @@ def apply_delta(
     merged.write_parquet(tmp)
     _commit_dir(tmp, docs_clean)
     new_sorted_ids = write_ordinals(index_root, docs_clean)
+    from search_engine_ray.state.docmap import write_docmap
+
+    write_docmap(index_root, docs_clean)
 
     # ---- 3. stats over merged corpus ------------------------------------
     n_docs = _count_rows(docs_clean)

@@ -98,11 +98,9 @@ def term_df_top100(sf_dir: str):
 
 def _index_doc_ids(searcher, ordinals: np.ndarray) -> list[int]:
     """Engine ordinals -> ORIGINAL documents.doc_id (parsed from the
-    doc:// url recorded in the docmap)."""
-    if searcher._url_of is None:
-        searcher._load_docmap()
+    doc:// url resolved via the row-group docmap)."""
     hashed = searcher.ords()[ordinals]
-    return [int(searcher._url_of[int(h)][6:]) for h in hashed]
+    return [int(u[6:]) for u in searcher.resolve_urls(hashed)]
 
 
 def exact_search_batchterm(sf_dir: str):
@@ -175,37 +173,45 @@ def dedup_exact_docs(sf_dir: str):
 # --- BM25 over documents via the real engine ------------------------------
 
 
-def _docs_as_pages(sf_dir: str):
-    """Adapter: documents -> the engine's pages schema."""
-    import pyarrow.parquet as pq
+def _write_pages_stream(sf_dir: str, pages_dir: str) -> None:
+    """Adapter: documents -> the engine's pages schema, as a STREAMING
+    map_batches -> write_parquet pipeline (never the whole table on the
+    driver — at 100x the sf dirs this is the difference between an
+    adapter and a bottleneck). warc_ts derives from doc_id so it is
+    deterministic per row without any global counter."""
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    t = pq.read_table(src, columns=["doc_id", "text", "lang"])
-    n = t.num_rows
-    doc_ids = t.column("doc_id").to_pylist()
-    urls = [f"doc://{d:012d}" for d in doc_ids]
-    ts = pa.array(np.arange(n, dtype=np.int64) * 1_000_000,
-                  pa.timestamp("us"))
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": ts,
-            "html": pa.array([b""] * n, pa.binary()),
-            "text": t.column("text"),
-            "lang": t.column("lang"),
-        }
-    )
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        n = len(ids)
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{d:012d}" for d in ids],
+                                pa.string()),
+                "warc_ts": pa.array(
+                    np.asarray(ids, dtype=np.int64) * 1_000_000,
+                    pa.timestamp("us")),
+                "html": pa.array([b""] * n, pa.binary()),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    ds.map_batches(to_pages, batch_format="pyarrow",
+                   batch_size=2048).write_parquet(pages_dir)
 
 
 def ensure_documents_index(sf_dir: str, num_buckets: int = 16,
-                           store_positions: bool = False) -> str:
+                           store_positions: bool = True) -> str:
     """Build (once, resumable) an engine index over the documents table.
 
     Cache key = sf_dir + source file size/mtime + build config, so driver
     re-runs reuse the index via the normal manifest resume path.
+    Positions default ON so the BM25 and phrase entries share ONE build
+    per sf dir (a positions-off twin would double the corpus passes for
+    a ~30% smaller artifact nobody re-reads).
     """
-    import pyarrow.parquet as pq
-
     from search_engine_ray.build import BuildConfig, build_index
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -216,10 +222,13 @@ def ensure_documents_index(sf_dir: str, num_buckets: int = 16,
     ).hexdigest()[:16]
     root = os.path.join("/tmp", "ser_doc_index", key)
     pages_dir = os.path.join(root, "pages")
-    if not os.path.exists(os.path.join(pages_dir, "pages.parquet")):
-        os.makedirs(pages_dir, exist_ok=True)
-        pq.write_table(_docs_as_pages(sf_dir),
-                       os.path.join(pages_dir, "pages.parquet"))
+    marker = os.path.join(pages_dir, "_done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        _write_pages_stream(sf_dir, pages_dir)
+        open(marker, "w").write("ok")
     index_root = os.path.join(root, "index")
     build_index(
         pages_dir, index_root,
@@ -279,7 +288,7 @@ def phrase_search_docs(sf_dir: str):
     boundary tie group and re-break on the ORIGINAL doc_id."""
     from search_engine_ray.search import LocalSearcher
 
-    index_root = ensure_documents_index(sf_dir, store_positions=True)
+    index_root = ensure_documents_index(sf_dir)  # shared positions-on index
     s = LocalSearcher(index_root)
     res = s.phrase_search(["batch", "window"], k=PHRASE_K + 50)
     rows = sorted(

@@ -141,19 +141,25 @@ class LocalSearcher:
         self.b = float(self.config.get("b", 0.75))
         self._tok = get_tokenizer(self.config["tokenizer"])
         self._buckets: dict[int, _Bucket] = {}
-        self._url_of: dict[int, str] | None = None
+        self._docmap = None
         self._ordmap: np.ndarray | None = None
         if load_docmap:
-            self._load_docmap()
+            self.docmap()  # eager footer-stats load (no url bytes read)
 
-    def _load_docmap(self) -> None:
-        # docs_clean doubles as the docmap: columnar read of just
-        # (doc_id, url) skips the text column's bytes entirely.
-        t = pq.read_table(os.path.join(self.index_root, "docs_clean"),
-                          columns=["doc_id", "url"])
-        self._url_of = dict(
-            zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist())
-        )
+    def docmap(self):
+        """Row-group-granular docId -> url resolver: footer stats at
+        load, url bytes read per bucket of HITS only (state/docmap.py) —
+        never the whole registry in memory (the r1/r2 full-dict load was
+        multi-GB at the 50M-doc shard ceiling)."""
+        if self._docmap is None:
+            from search_engine_ray.state.docmap import DocMap
+
+            self._docmap = DocMap(self.index_root)
+        return self._docmap
+
+    def resolve_urls(self, doc_ids) -> list[str]:
+        """Resolve result doc ids (k-scale lists) to urls."""
+        return self.docmap().urls_for(doc_ids)
 
     def ords(self) -> np.ndarray:
         """Sorted doc_id array: postings hold ordinals into this
@@ -271,11 +277,7 @@ class LocalSearcher:
         else:
             raise ValueError(f"unknown scorer {scorer!r}")
         doc_ids = self.ords()[doc_ids] if len(doc_ids) else doc_ids
-        urls = None
-        if with_urls:
-            if self._url_of is None:
-                self._load_docmap()
-            urls = [self._url_of.get(int(d), "") for d in doc_ids]
+        urls = self.resolve_urls(doc_ids) if with_urls else None
         return pa.table(
             {
                 "rank": pa.array(np.arange(1, len(doc_ids) + 1, dtype=np.int32)),
@@ -406,11 +408,8 @@ class LocalSearcher:
                     break
         doc_ids = self.ords()[np.asarray(keep_ords, dtype=np.int64)] \
             if keep_ords else np.empty(0, np.int64)
-        urls = [""] * len(doc_ids)
-        if with_urls and len(doc_ids):
-            if self._url_of is None:
-                self._load_docmap()
-            urls = [self._url_of.get(int(d), "") for d in doc_ids]
+        urls = self.resolve_urls(doc_ids) if with_urls \
+            else [""] * len(doc_ids)
         return pa.table(
             {"rank": pa.array(np.arange(1, len(doc_ids) + 1, dtype=np.int32)),
              "doc_id": pa.array(doc_ids, pa.int64()),

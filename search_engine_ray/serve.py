@@ -177,9 +177,7 @@ class _DocShardReplica:
         real = self._s.ords()[ids] if len(ids) else ids
         urls: list[str] = []
         if with_urls and len(real):
-            if self._s._url_of is None:
-                self._s._load_docmap()
-            urls = [self._s._url_of.get(int(d), "") for d in real]
+            urls = self._s.resolve_urls(real)
         return real, scs, urls
 
     def phrase_topk(self, terms: list[str], idfs: dict[str, float],

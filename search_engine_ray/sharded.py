@@ -44,15 +44,51 @@ from search_engine_ray.search import (
 from search_engine_ray.state.manifest import atomic_write_json
 
 
+def _patch_http_fs_probe() -> None:
+    """Make Ray Data's ``_is_http_filesystem`` probe thread-safe in this
+    environment. It does ``from fsspec.implementations.http import
+    HTTPFileSystem`` on EVERY ``read_parquet`` (the failed import is
+    never cached), catching only ModuleNotFoundError; without aiohttp,
+    CONCURRENT importers hit CPython's partial-module window and get a
+    plain ImportError ("cannot import name ...") instead — which
+    escapes and kills a builder thread. Any ImportError here means "no
+    http filesystem", so answer False for it too."""
+    import ray.data.datasource.path_util as _pu
+
+    orig = getattr(_pu._is_http_filesystem, "__wrapped__", None) \
+        or _pu._is_http_filesystem
+    if getattr(_pu._is_http_filesystem, "_ser_safe", False):
+        return
+
+    def safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    safe._ser_safe = True
+    safe.__wrapped__ = orig
+    _pu._is_http_filesystem = safe
+
+
 def build_sharded(
     input_path: str | list[str],
     root: str,
     num_doc_shards: int,
     config: BuildConfig | None = None,
     resume: bool = True,
+    shard_concurrency: int | None = None,
 ) -> dict:
     """Partition pages by doc shard, build one full index per shard,
-    aggregate global stats."""
+    aggregate global stats.
+
+    Shard builds run CONCURRENTLY (bounded driver thread pool,
+    ``shard_concurrency`` in flight, default min(4, D)): each build's
+    serial sections — stage barriers, manifest commits, the stats pass —
+    overlap another shard's Ray stages instead of stacking D deep, while
+    the Ray scheduler multiplexes the cluster across the in-flight
+    builds. Per-shard wall intervals are returned so tests can assert
+    the overlap."""
     cfg = config or BuildConfig()
     os.makedirs(root, exist_ok=True)
     shard_pages = os.path.join(root, "pages_by_shard")
@@ -73,19 +109,32 @@ def build_sharded(
         ds.write_parquet(shard_pages, partition_cols=["shard_part"])
         open(os.path.join(shard_pages, "_done"), "w").write("ok")
 
-    metrics = {"shards": []}
-    total_docs = 0
-    total_tokens = 0
-    for s in range(num_doc_shards):
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_one(s: int) -> dict:
         sdir = os.path.join(shard_pages, f"shard_part={s}")
         idx = os.path.join(root, f"shard={s}")
+        t0 = time.monotonic()
         m = build_index(sdir, idx, cfg, resume=resume)
+        t1 = time.monotonic()
         with open(os.path.join(idx, "global_stats.json")) as f:
             st = json.load(f)
-        total_docs += st["n_docs"]
-        total_tokens += st["total_tokens"]
-        metrics["shards"].append({"shard": s, "n_docs": st["n_docs"],
-                                  "seconds": m["total_seconds"]})
+        return {"shard": s, "n_docs": st["n_docs"],
+                "total_tokens": st["total_tokens"],
+                "seconds": m["total_seconds"],
+                "t_start": round(t0, 3), "t_end": round(t1, 3)}
+
+    n_par = shard_concurrency or min(4, num_doc_shards)
+    if n_par > 1:
+        _patch_http_fs_probe()
+        with ThreadPoolExecutor(max_workers=n_par) as ex:
+            shard_rows = list(ex.map(build_one, range(num_doc_shards)))
+    else:
+        shard_rows = [build_one(s) for s in range(num_doc_shards)]
+    total_docs = sum(r["n_docs"] for r in shard_rows)
+    total_tokens = sum(r.pop("total_tokens") for r in shard_rows)
+    metrics = {"shards": shard_rows}
     stats = {
         "n_docs": int(total_docs),
         "total_tokens": int(total_tokens),
@@ -403,12 +452,17 @@ class ShardedSearcher:
             scores = np.empty(0, np.float64)
         urls = [""] * len(ids)
         if with_urls and len(ids):
-            lookup = {}
-            for _, _, sh in parts:
-                if sh._url_of is None:
-                    sh._load_docmap()
-                lookup.update(sh._url_of)
-            urls = [lookup.get(int(d), "") for d in ids]
+            # result-only resolution: route each hit to ITS shard's
+            # row-group docmap (shard key == doc_id % D, the build's
+            # routing function) — never a whole-docmap union.
+            for s, sh in enumerate(self.shards):
+                idxs = [i for i, d in enumerate(ids)
+                        if int(d) % self.num_doc_shards == s]
+                if idxs:
+                    for i, u in zip(idxs,
+                                    sh.resolve_urls([int(ids[i])
+                                                     for i in idxs])):
+                        urls[i] = u
         return pa.table(
             {
                 "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int32)),

@@ -5,6 +5,8 @@ compressed postings) must agree on BM25 scores AND doc ids for every query
 type and both scorers — the distributed path may not change a single bit.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -206,3 +208,42 @@ def test_phrase_search_matches_oracle(searcher, small_oracle):
     hits = searcher.phrase_search(["mila", "doma"], k=10)
     assert "https://example.org/parity/00000002" in hits.column("url").to_pylist()
     assert searcher.phrase_search(["doma", "mila"], k=10).num_rows == 0
+
+
+def test_docmap_result_only_resolution(built_index, ray_session):
+    """The query path resolves urls via the row-group docmap artifact —
+    footer stats + per-hit row-group reads — NEVER a full (doc_id -> url)
+    registry load (the r1/r2 full-dict docmap is gone)."""
+    import os
+
+    from search_engine_ray.search import LocalSearcher
+    from search_engine_ray.state.docmap import DOCMAP_DIR
+
+    assert os.path.isdir(os.path.join(built_index, DOCMAP_DIR))
+    s = LocalSearcher(built_index)
+    res = s.search(["mila"], "exact", k=5)
+    assert all(u for u in res.column("url").to_pylist())
+    dm = s._docmap
+    assert dm._fallback is None          # the artifact path was taken
+    assert len(dm._cache) >= 1           # only hit row groups were decoded
+    assert not hasattr(s, "_url_of")     # the full-dict registry is gone
+
+
+def test_docmap_fallback_matches_artifact(built_index, ray_session,
+                                          tmp_path):
+    """A pre-docmap index (artifact dir removed) resolves identically via
+    the sorted compact docs_clean fallback."""
+    import shutil
+
+    from search_engine_ray.search import LocalSearcher
+    from search_engine_ray.state.docmap import DOCMAP_DIR
+
+    legacy = str(tmp_path / "legacy_idx")
+    shutil.copytree(built_index, legacy)
+    shutil.rmtree(os.path.join(legacy, DOCMAP_DIR))
+    a = LocalSearcher(built_index)
+    b = LocalSearcher(legacy)
+    for q, st in [(["mila"], "exact"), (["mam"], "prefix"),
+                  (["bako", "kota"], "or")]:
+        assert a.search(q, st, k=20).equals(b.search(q, st, k=20)), (q, st)
+    assert b._docmap._fallback is not None

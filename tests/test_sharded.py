@@ -216,6 +216,34 @@ def test_sharded_cli_build_and_query(ray_session, tmp_path):
     assert prows == want
 
 
+def test_parallel_shard_builds_overlap(ray_session, tmp_path):
+    """build_sharded runs shard builds concurrently: with D=4 shards and
+    the default in-flight bound, at least one pair of per-shard wall
+    intervals overlaps (the r2 serial loop stacked D stage-barrier sets
+    end to end). Results stay identical to a serial build."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.corpus import generate_pages
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(generate_pages(120, seed=11), str(pdir / "p.parquet"))
+    m_par = build_sharded(str(pdir), str(tmp_path / "par"), 4,
+                          BuildConfig(num_buckets=4))
+    spans = [(r["t_start"], r["t_end"]) for r in m_par["shards"]]
+    overlaps = sum(
+        1 for i in range(len(spans)) for j in range(i + 1, len(spans))
+        if spans[i][0] < spans[j][1] and spans[j][0] < spans[i][1])
+    assert overlaps >= 1, spans
+    m_ser = build_sharded(str(pdir), str(tmp_path / "ser"), 4,
+                          BuildConfig(num_buckets=4), shard_concurrency=1)
+    a = ShardedSearcher(str(tmp_path / "par"))
+    b = ShardedSearcher(str(tmp_path / "ser"))
+    for q, st in [(["mila"], "exact"), (["mil"], "prefix")]:
+        assert a.search(q, st, k=20).equals(b.search(q, st, k=20))
+    assert m_par["n_docs"] == m_ser["n_docs"]
+
+
 def test_shard_doc_counts_sum(sharded_root, built_index):
     sharded = ShardedSearcher(sharded_root)
     single = LocalSearcher(built_index)
