@@ -98,6 +98,9 @@ class BuildConfig:
         cfg["extractor"] = EXTRACTOR_VERSION
         cfg["codec"] = CODEC_VERSION
         cfg["block_size"] = BLOCK_SIZE
+        # v2: tokens carry pre-encoded per-doc position blobs and no
+        # doc_len column — a v1 tokens artifact cannot be resumed from
+        cfg["tokens_format"] = 2
         return config_hash(cfg)
 
 
@@ -321,6 +324,15 @@ def build_index(
     # LPT order: biggest (head-term) buckets start first so the straggler
     # overlaps the rest of the work instead of running after it
     pending_items.sort(key=lambda it: -it["size"])
+    if pending_items:
+        # ordinal->doc_len broadcast: fetched once per worker; replaces the
+        # per-token doc_len column of tokens format v1 (8 B/doc, same scale
+        # ceiling as the ordinal map — see state/ordinals.py)
+        import ray as _ray
+
+        from search_engine_ray.state.ordinals import doclens_by_ordinal
+
+        doclen_ref = _ray.put(doclens_by_ordinal(docs_clean))
     common = dict(
         index_root=index_root,
         cfg_hash=run_hash,
@@ -333,7 +345,8 @@ def build_index(
         ds = rd.read_parquet(pending_files)
         runs = ds.groupby(["bucket", "salt"]).map_groups(
             encode_run, batch_format="pandas",
-            fn_kwargs={"store_positions": cfg.store_positions},
+            fn_kwargs={"store_positions": cfg.store_positions,
+                       "doclen_ref": doclen_ref},
         )
         result = runs.groupby("bucket").map_groups(
             merge_runs, batch_format="pandas", fn_kwargs=common,
@@ -348,7 +361,7 @@ def build_index(
                            override_num_blocks=len(pending_items))
         result = ds.map_batches(
             build_bucket_from_files, batch_format="pandas", batch_size=1,
-            fn_kwargs=common,
+            fn_kwargs=dict(common, doclen_ref=doclen_ref),
         )
         built = result.to_pandas().to_dict("records")
     metrics["stages"]["postings"] = {

@@ -28,19 +28,74 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 _U64 = np.uint64
+_ENC_CHUNK = 1 << 20  # values per encode chunk (temps ~8 MB, heap-reused)
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Encode a uint64/int64 array to varbyte bytes (vectorized).
 
-    Fast paths: early exit once no value needs another byte; a dense
-    column-wise writer when all values share one byte-width (the common
-    case for delta-coded ids and positions)."""
-    v = np.ascontiguousarray(values, dtype=_U64)
-    n = v.size
+    Fast paths: int64 arithmetic throughout when every value fits in 63
+    bits (always true for deltas / tfs / lens / packed positions — uint64
+    kernels and boolean-masked writes are 10-100x slower on some numpy
+    builds), width computed by summed comparisons (no masked assignment),
+    and the mixed-width writer grouped BY WIDTH with integer-index
+    gathers (one gather/scatter pair per distinct width instead of one
+    boolean-masked pass per byte position). A dense column-wise writer
+    covers the uniform-width case; full-range uint64 values take the
+    legacy path below. Output bytes are identical on every path."""
+    v0 = np.ascontiguousarray(values, dtype=_U64)
+    n = v0.size
     if n == 0:
         return b""
-    # bytes needed per value: 1 + number of 7-bit groups above the first
+    if n > _ENC_CHUNK:
+        # chunked: varbyte is value-delimited, so per-chunk encoding is
+        # byte-identical — and the ~8 MB per-chunk temporaries stay in
+        # glibc's reused heap instead of fresh mmaps (first-touch faults
+        # on 100MB+ temporaries cost seconds on this hypervisor)
+        return b"".join(varbyte_encode(v0[lo:lo + _ENC_CHUNK])
+                        for lo in range(0, n, _ENC_CHUNK))
+    vi = v0.view(np.int64)
+    if int(vi.min()) < 0:  # some value >= 2**63: rare legacy path
+        return _vb_encode_u64(v0)
+    v = vi
+    # bytes per value: 1 + #{k : v >= 2^(7k)}; bool adds, no masked writes
+    nb = np.ones(n, dtype=np.int64)
+    w_max = 1
+    for k in range(1, 9):  # width <= 9 since v < 2**63
+        m = v >= (np.int64(1) << np.int64(7 * k))
+        if not m.any():
+            break
+        nb += m
+        w_max = k + 1
+    w_min = int(nb.min()) if n > 1 else w_max
+    if w_min == w_max:
+        # uniform width: write column-wise into an (n, w) matrix — no
+        # fancy-index scatter
+        w = w_max
+        out = np.empty((n, w), dtype=np.uint8)
+        for j in range(w):
+            out[:, j] = ((v >> np.int64(7 * j)) & 0x7F).astype(np.uint8)
+        out[:, w - 1] |= 0x80
+        return out.tobytes()
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for w in range(w_min, w_max + 1):
+        sel = np.flatnonzero(nb == w)
+        if sel.size == 0:
+            continue
+        sv = v[sel]
+        s_w = starts[sel]
+        for j in range(w):
+            out[s_w + j if j else s_w] = \
+                ((sv >> np.int64(7 * j)) & 0x7F).astype(np.uint8)
+    out[ends - 1] |= 0x80
+    return out.tobytes()
+
+
+def _vb_encode_u64(v: np.ndarray) -> bytes:
+    """Legacy uint64 writer for values with the top bit set."""
+    n = v.size
     nb = np.ones(n, dtype=np.int64)
     for k in range(1, 10):
         mask = v >= (_U64(1) << _U64(7 * k))
@@ -51,8 +106,6 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     if n > 1:
         w_min, w_max = int(nb.min()), int(nb.max())
     if w_min == w_max:
-        # uniform width: write column-wise into an (n, w) matrix — no
-        # fancy-index scatter
         w = w_min
         out = np.empty((n, w), dtype=np.uint8)
         for j in range(w):
@@ -129,11 +182,12 @@ def varbyte_decode(data: bytes, count: int | None = None) -> np.ndarray:
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64 ids -> positive deltas (uint64)."""
     ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
-    out = np.empty(ids.size, dtype=_U64)
+    out = np.empty(ids.size, dtype=np.int64)
     if ids.size:
-        out[0] = _U64(ids[0])
-        np.subtract(ids[1:].astype(_U64), ids[:-1].astype(_U64), out=out[1:])
-    return out
+        out[0] = ids[0]
+        # int64 subtract == uint64 subtract bit-for-bit (modular wrap)
+        np.subtract(ids[1:], ids[:-1], out=out[1:])
+    return out.view(_U64)
 
 
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
@@ -152,14 +206,63 @@ def encode_positions(flat: np.ndarray, seg_lens: np.ndarray) -> bytes:
     bytes instead of 5. ``seg_lens`` = tfs (one segment per doc)."""
     if flat.size == 0:
         return b""
-    u = np.ascontiguousarray(flat, dtype=np.int64).view(_U64)  # zero-copy
+    # int64 end-to-end: packed positions are < 2**63, in-segment deltas
+    # are positive, and boundary diffs are overwritten with absolutes —
+    # two's-complement wrap makes the bytes identical to uint64 math.
+    # Chunked like varbyte_encode: head-term position streams reach 10^7+
+    # values, and a single full-size delta temporary would re-fault
+    # hundreds of MB per call on this hypervisor.
+    u = np.ascontiguousarray(flat, dtype=np.int64)
     seg_lens = np.asarray(seg_lens, dtype=np.int64)
-    d = np.empty(u.size, dtype=_U64)
+    seg_ends = np.cumsum(seg_lens)
+    seg_starts = seg_ends - seg_lens  # includes 0
+    n = u.size
+    parts = []
+    for lo in range(0, n, _ENC_CHUNK):
+        hi = min(lo + _ENC_CHUNK, n)
+        d = np.empty(hi - lo, dtype=np.int64)
+        d[0] = (u[lo] - u[lo - 1]) if lo else u[0]
+        np.subtract(u[lo + 1:hi], u[lo:hi - 1], out=d[1:])
+        a = np.searchsorted(seg_starts, lo, side="left")
+        b = np.searchsorted(seg_starts, hi, side="left")
+        ss = seg_starts[a:b]
+        d[ss - lo] = u[ss]
+        parts.append(varbyte_encode(d.view(_U64)))
+    return parts[0] if len(parts) == 1 else b"".join(parts)
+
+
+def encode_positions_rowwise(
+    flat: np.ndarray, seg_lens: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode per-segment positions into ONE varbyte buffer + per-segment
+    byte offsets (len(seg_lens)+1 int64).
+
+    Each segment is independently delta-coded (absolute first value), so
+    slicing ``data[offsets[i]:offsets[i+1]]`` yields segment i's blob and
+    ``b"".join`` of any segments in any order is byte-identical to
+    ``encode_positions`` over those segments in that order — the property
+    the tokenize stage uses to pre-encode per-(term, doc) blobs that the
+    postings reducer later concatenates without re-encoding."""
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    offsets = np.zeros(seg_lens.size + 1, dtype=np.int64)
+    if flat.size == 0:
+        return b"", offsets
+    u = np.ascontiguousarray(flat, dtype=np.int64)
+    seg_ends = np.cumsum(seg_lens)
+    seg_starts = seg_ends - seg_lens
+    d = np.empty(u.size, dtype=np.int64)
     d[0] = u[0]
     np.subtract(u[1:], u[:-1], out=d[1:])
-    seg_starts = np.cumsum(seg_lens)[:-1]
     d[seg_starts] = u[seg_starts]
-    return varbyte_encode(d)
+    nb = np.ones(u.size, dtype=np.int64)
+    for k in range(1, 9):
+        m = d >= (np.int64(1) << np.int64(7 * k))
+        if not m.any():
+            break
+        nb += m
+    byte_ends = np.cumsum(nb)
+    offsets[1:] = byte_ends[seg_ends - 1]
+    return varbyte_encode(d.view(_U64)), offsets
 
 
 def decode_positions(data: bytes, seg_lens: np.ndarray) -> np.ndarray:

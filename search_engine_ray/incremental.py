@@ -68,6 +68,7 @@ def _merge_bucket(
     affected_ref,
     old_map_ref,
     new_map_ref,
+    doclen_ref,
 ) -> pd.DataFrame:
     """Merge one bucket: old postings minus affected docs plus delta rows.
 
@@ -82,6 +83,7 @@ def _merge_bucket(
     affected = ray.get(affected_ref)  # sorted int64 ndarray (broadcast once)
     old_map = ray.get(old_map_ref)
     new_map = ray.get(new_map_ref)
+    doclen_new = ray.get(doclen_ref)  # doc_len by NEW ordinal
     out = []
     for _, row in batch.iterrows():
         t0 = time.monotonic()
@@ -123,18 +125,24 @@ def _merge_bucket(
         if delta_files:
             import pyarrow.dataset as pds
 
+            from search_engine_ray.codec import decode_positions
+
             dt = pds.dataset(delta_files).to_table(
-                columns=["term", "doc_id", "tf", "doc_len", "positions"])
+                columns=["term", "doc_id", "tf", "pos_vb"])
             terms_l.append(np.asarray(dt.column("term").to_pylist(),
                                       dtype=object))
-            di_l.append(dt.column("doc_id").to_numpy(zero_copy_only=False))
-            tf_l.append(dt.column("tf").to_numpy(zero_copy_only=False)
-                        .astype(np.int64))
-            dl_l.append(dt.column("doc_len").to_numpy(zero_copy_only=False)
-                        .astype(np.int64))
+            di_d = dt.column("doc_id").to_numpy(zero_copy_only=False)
+            di_l.append(di_d)
+            tf_d = dt.column("tf").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tf_l.append(tf_d)
+            dl_l.append(doclen_new[di_d])
             if store_positions:
-                pos_l.extend(np.asarray(p, dtype=np.int64)
-                             for p in dt.column("positions").to_pylist())
+                # tokens v2: per-doc blobs; their concatenation decodes
+                # as one stream segmented by tf
+                flat = decode_positions(
+                    b"".join(dt.column("pos_vb").to_pylist()), tf_d)
+                pos_l.extend(np.split(flat, np.cumsum(tf_d)[:-1]))
 
         if terms_l:
             cols = {
@@ -200,7 +208,11 @@ def apply_delta(
     t_start = time.monotonic()
     docs_clean = os.path.join(index_root, "docs_clean")
     metrics: dict = {}
-    from search_engine_ray.state.ordinals import load_ordinals, write_ordinals
+    from search_engine_ray.state.ordinals import (
+        doclens_by_ordinal,
+        load_ordinals,
+        write_ordinals,
+    )
 
     old_sorted_ids = load_ordinals(index_root)
 
@@ -296,7 +308,8 @@ def apply_delta(
                        avgdl=avgdl, store_positions=cfg.store_positions,
                        affected_ref=aff_ref,
                        old_map_ref=ray.put(old_sorted_ids),
-                       new_map_ref=ray.put(new_sorted_ids)),
+                       new_map_ref=ray.put(new_sorted_ids),
+                       doclen_ref=ray.put(doclens_by_ordinal(docs_clean))),
     )
     built = result.to_pandas()
     shutil.rmtree(delta_root, ignore_errors=True)

@@ -41,7 +41,6 @@ import pyarrow.parquet as pq
 
 from search_engine_ray.codec import (
     bm25_partial,
-    decode_positions,
     delta_decode,
     delta_encode,
     encode_blockmax,
@@ -89,20 +88,6 @@ def _term_slices(terms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
-def _sorted_group_arrays(g: pd.DataFrame) -> dict:
-    """Sort a token group by (term, doc_id); return plain numpy columns."""
-    order = np.lexsort(
-        (g["doc_id"].to_numpy(), g["term"].to_numpy(dtype=object))
-    )
-    return {
-        "term": g["term"].to_numpy(dtype=object)[order],
-        "doc_id": g["doc_id"].to_numpy()[order],
-        "tf": g["tf"].to_numpy()[order].astype(np.int64),
-        "doc_len": g["doc_len"].to_numpy()[order].astype(np.int64),
-        "positions": g["positions"].to_numpy(dtype=object)[order],
-    }
-
-
 def _flat_positions(pos_cells, store_positions: bool) -> bytes:
     if not store_positions:
         return b""
@@ -113,22 +98,37 @@ def _flat_positions(pos_cells, store_positions: bool) -> bytes:
     return encode_positions(np.concatenate(arrs), lens)
 
 
-def encode_run(g: pd.DataFrame, store_positions: bool = True) -> pd.DataFrame:
+def encode_run(
+    g: pd.DataFrame, store_positions: bool = True, doclen_ref=None
+) -> pd.DataFrame:
     """Phase-1 (salted path): one sorted, varbyte-encoded run per term for a
-    (bucket, salt) group. No blockmax yet — that needs the full merged list."""
-    cols = _sorted_group_arrays(g)
-    starts, ends = _term_slices(cols["term"])
+    (bucket, salt) group. No blockmax yet — that needs the full merged list.
+
+    Tokens format v2: rows carry pre-encoded per-doc position blobs
+    (``pos_vb``), so a run's positions are a byte concatenation; BM25 doc
+    lengths come from the broadcast ordinal->doc_len array."""
+    import ray
+
+    order = np.lexsort(
+        (g["doc_id"].to_numpy(), g["term"].to_numpy(dtype=object))
+    )
+    terms = g["term"].to_numpy(dtype=object)[order]
+    di = g["doc_id"].to_numpy()[order]
+    tf = g["tf"].to_numpy()[order].astype(np.int64)
+    dl = ray.get(doclen_ref)[di]
+    pos_cells = g["pos_vb"].to_numpy(dtype=object)[order]
+    starts, ends = _term_slices(terms)
     bucket = int(g["bucket"].iloc[0])
     salt = int(g["salt"].iloc[0])
-    store_pos = store_positions
     rows = {k: [] for k in ("term", "df", "docs_vb", "tfs_vb", "lens_vb", "pos_vb")}
     for s, e in zip(starts, ends):
-        rows["term"].append(cols["term"][s])
+        rows["term"].append(terms[s])
         rows["df"].append(int(e - s))
-        rows["docs_vb"].append(varbyte_encode(delta_encode(cols["doc_id"][s:e])))
-        rows["tfs_vb"].append(varbyte_encode(cols["tf"][s:e]))
-        rows["lens_vb"].append(varbyte_encode(cols["doc_len"][s:e]))
-        rows["pos_vb"].append(_flat_positions(cols["positions"][s:e], store_pos))
+        rows["docs_vb"].append(varbyte_encode(delta_encode(di[s:e])))
+        rows["tfs_vb"].append(varbyte_encode(tf[s:e]))
+        rows["lens_vb"].append(varbyte_encode(dl[s:e]))
+        rows["pos_vb"].append(
+            b"".join(pos_cells[s:e]) if store_positions else b"")
     n = len(rows["term"])
     return pd.DataFrame(
         {"bucket": [bucket] * n, "salt": [salt] * n, **rows}
@@ -192,28 +192,13 @@ def _encode_sorted_bucket(
                      for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
 
 
-def build_bucket_direct(
-    g: pd.DataFrame,
-    index_root: str,
-    cfg_hash: str,
-    avgdl: float,
-    store_positions: bool,
-) -> pd.DataFrame:
-    """Single-phase bucket build (salt == 1): sort, split, encode, write."""
-    t0 = time.monotonic()
-    bucket = int(g["bucket"].iloc[0])
-    cols = _sorted_group_arrays(g)
-    table = _encode_sorted_bucket(cols, avgdl, store_positions)
-    _write_bucket(index_root, bucket, table, cfg_hash, len(g), t0)
-    return _manifest_row(bucket, table.num_rows, len(g))
-
-
 def build_bucket_from_files(
     batch: pd.DataFrame,
     index_root: str,
     cfg_hash: str,
     avgdl: float,
     store_positions: bool,
+    doclen_ref=None,
 ) -> pd.DataFrame:
     """Reducer task for the partitioned-write shuffle: the tokenize stage
     already wrote tokens hash-partitioned by bucket (``bucket_part=``), so
@@ -224,17 +209,24 @@ def build_bucket_from_files(
 
     Everything stays in Arrow/numpy C kernels: one dataset read per bucket,
     ``Table.sort_by`` for the (term, doc_id) order, term-run boundaries via
-    a vectorized not-equal on the sorted column, and positions flattened
-    through the ListArray's offsets — no per-row Python objects."""
+    a vectorized not-equal on the sorted column. Positions arrive as
+    pre-encoded per-doc blobs (tokens format v2), so a term's ``pos_vb``
+    is a zero-decode byte-slice of the sorted binary column — the reducer
+    is memory-bandwidth-bound, and this moves ~1-2 bytes per position
+    through the sort instead of a list<int64>'s 8. BM25 doc lengths are
+    gathered from the broadcast ordinal->doc_len array (fetched once per
+    worker from the object store)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pds
+    import ray
 
+    doclens = ray.get(doclen_ref)
     out = []
     for _, row in batch.iterrows():
         t0 = time.monotonic()
         bucket = int(row["bucket"])
         t = pds.dataset(list(row["files"])).to_table(
-            columns=["term", "doc_id", "tf", "doc_len", "positions"]
+            columns=["term", "doc_id", "tf", "pos_vb"]
         )
         t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])
         t = t.combine_chunks()
@@ -252,13 +244,15 @@ def build_bucket_from_files(
         ends = np.concatenate((starts[1:], [n])) if n else starts
         di = t.column("doc_id").to_numpy()
         tf = t.column("tf").to_numpy().astype(np.int64)
-        dl = t.column("doc_len").to_numpy().astype(np.int64)
-        pos_list = t.column("positions").chunk(0) if (
-            store_positions and t.column("positions").num_chunks) else None
-        if pos_list is not None:
-            pos_offsets = pos_list.offsets.to_numpy()
-            pos_values = pos_list.values.to_numpy() if len(pos_list.values) \
-                else np.empty(0, np.int64)
+        dl = doclens[di] if n else np.empty(0, np.int64)
+        pos_chunk = t.column("pos_vb").chunk(0) if (
+            store_positions and t.column("pos_vb").num_chunks) else None
+        if pos_chunk is not None:
+            bufs = pos_chunk.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int64)[
+                pos_chunk.offset:pos_chunk.offset + n + 1]
+            pdata = np.frombuffer(bufs[2], dtype=np.uint8) \
+                if bufs[2] is not None else np.empty(0, np.uint8)
 
         rows = {k: [] for k in POSTINGS_SCHEMA.names}
         for s, e in zip(starts, ends):
@@ -271,12 +265,9 @@ def build_bucket_from_files(
             rows["docs_vb"].append(varbyte_encode(delta_encode(docids)))
             rows["tfs_vb"].append(varbyte_encode(tfs))
             rows["lens_vb"].append(varbyte_encode(lens))
-            if pos_list is not None:
-                flat = pos_values[pos_offsets[s]:pos_offsets[e]]
-                rows["pos_vb"].append(
-                    encode_positions(flat, tfs) if flat.size else b"")
-            else:
-                rows["pos_vb"].append(b"")
+            rows["pos_vb"].append(
+                pdata[offs[s]:offs[e]].tobytes()
+                if pos_chunk is not None else b"")
             rows["blockmax"].append(encode_blockmax(docids, partials))
             rows["max_partial"].append(float(partials.max()))
         table = pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
@@ -315,11 +306,19 @@ def merge_runs(
             tf_parts.append(tfs)
             len_parts.append(lens)
             if store_positions and run["pos_vb"]:
-                flat = decode_positions(run["pos_vb"], tfs)
-                splits = np.cumsum(tfs)[:-1]
-                pos_parts.extend(np.split(flat, splits))
+                # per-doc blobs are independently delta-coded, so the
+                # merge never decodes positions: split the run's bytes at
+                # per-doc boundaries (value ends = MSB bytes) and rejoin
+                # in merged doc order below
+                blob = run["pos_vb"]
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                vends = np.flatnonzero(arr & 0x80)
+                byte_ends = vends[np.cumsum(tfs) - 1] + 1
+                byte_starts = np.concatenate(([0], byte_ends[:-1]))
+                pos_parts.extend(
+                    blob[bs:be] for bs, be in zip(byte_starts, byte_ends))
             elif store_positions:
-                pos_parts.extend([np.empty(0, np.int64)] * df)
+                pos_parts.extend([b""] * df)
         docids = np.concatenate(docid_parts)
         order = np.argsort(docids, kind="mergesort")
         docids = docids[order]
@@ -333,8 +332,7 @@ def merge_runs(
         rows["tfs_vb"].append(varbyte_encode(tfs))
         rows["lens_vb"].append(varbyte_encode(lens))
         if store_positions:
-            reordered = [pos_parts[i] for i in order]
-            rows["pos_vb"].append(_flat_positions(reordered, True))
+            rows["pos_vb"].append(b"".join(pos_parts[i] for i in order))
         else:
             rows["pos_vb"].append(b"")
         rows["blockmax"].append(encode_blockmax(docids, partials))

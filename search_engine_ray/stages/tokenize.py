@@ -8,14 +8,23 @@ postings-input table — ONE row per (doc, term) with the term frequency
 pre-aggregated (an inherent map-side combine: the groupby that builds
 postings later never sees per-occurrence rows).
 
-Output schema:
-    term: string, doc_id: int64, tf: int32, doc_len: int32,
-    positions: list<int64> (packed (row<<32)|col; empty when disabled),
+Output schema (tokens format v2):
+    term: string, doc_id: int64, tf: int32,
+    pos_vb: large_binary (delta+varbyte blob of the row's packed
+            (row<<32)|col positions, absolute first value; empty when
+            positions are disabled),
     bucket: int32  (hash(term) % num_buckets — the shuffle key),
     salt:   int32  (doc_id % salt — sub-splits head-skewed buckets)
 
-``doc_len`` (total tokens in the doc) rides on every row so BM25 partials
-can be computed inside the postings build without a docmap join.
+Positions are PRE-ENCODED here (codec.encode_positions_rowwise): each
+(term, doc) blob is independently delta-coded, so a term's final
+``pos_vb`` is exactly the byte concatenation of its per-doc blobs in
+doc-id order — the postings reducer concatenates bytes instead of
+decoding + re-encoding, and the shuffled artifact carries ~1-2 bytes per
+position instead of a list<int64>'s 8 (the reducer stage is memory-
+bandwidth-bound, so shuffled bytes ARE its wall-clock). ``doc_len`` no
+longer rides on every token row; the reducer gathers it from a broadcast
+ordinal->doc_len array instead (state/ordinals.doclens_by_ordinal).
 
 The tokenizer instance is constructed once per actor/task (``__init__``),
 and the compiled regex does the per-line work in C.
@@ -29,14 +38,14 @@ import numpy as np
 import pyarrow as pa
 
 from search_engine_ray.analyzer.tokenizers import get_tokenizer, split_lines
+from search_engine_ray.codec import encode_positions_rowwise
 
 TOKENS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("doc_id", pa.int64()),
         ("tf", pa.int32()),
-        ("doc_len", pa.int32()),
-        ("positions", pa.list_(pa.int64())),
+        ("pos_vb", pa.large_binary()),
         ("bucket", pa.int32()),
         ("salt", pa.int32()),
         # duplicate of ``bucket`` consumed by write_parquet(partition_cols):
@@ -46,6 +55,25 @@ TOKENS_SCHEMA = pa.schema(
         ("bucket_part", pa.int32()),
     ]
 )
+
+
+def positions_blob_array(pos_lists: list[list[int]]) -> pa.LargeBinaryArray:
+    """Vectorized per-row position-blob column: one global delta+varbyte
+    encode over the batch's flattened positions, sliced by per-row byte
+    offsets (no per-row Python encode calls). Rows with no positions
+    (store_positions off) become empty blobs."""
+    n = len(pos_lists)
+    seg_lens = np.fromiter((len(p) for p in pos_lists), dtype=np.int64,
+                           count=n)
+    total = int(seg_lens.sum()) if n else 0
+    flat = np.fromiter(
+        (p for pl in pos_lists for p in pl), dtype=np.int64, count=total,
+    )
+    data, offsets = encode_positions_rowwise(flat, seg_lens)
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )
 
 
 def term_bucket(term: str, num_buckets: int) -> int:
@@ -89,21 +117,18 @@ class TokenizeBatch:
         terms: list[str] = []
         out_doc: list[int] = []
         tfs: list[int] = []
-        doc_lens: list[int] = []
         pos_lists: list[list[int]] = []
         salts: list[int] = []
 
         finditer = self._re.finditer
         findall = self._re.findall
         for text, doc_id in zip(texts, doc_ids):
-            n_tok = 0
             if self.store_positions:
                 per_doc: dict[str, list[int]] = {}
                 if text:
                     for row, line in enumerate(split_lines(text), start=1):
                         base = row << 32
                         for m in finditer(line):
-                            n_tok += 1
                             per_doc.setdefault(m.group(), []).append(
                                 base | m.start()
                             )
@@ -113,7 +138,6 @@ class TokenizeBatch:
                 if text:
                     for line in split_lines(text):
                         for t in findall(line):
-                            n_tok += 1
                             counts[t] = counts.get(t, 0) + 1
                 items = ((t, c, []) for t, c in counts.items())
 
@@ -122,7 +146,6 @@ class TokenizeBatch:
                 terms.append(t)
                 out_doc.append(int(doc_id))
                 tfs.append(tf)
-                doc_lens.append(n_tok)
                 pos_lists.append(poss)
                 salts.append(s)
 
@@ -145,8 +168,7 @@ class TokenizeBatch:
                 "term": pa.array(terms, pa.string()),
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "tf": pa.array(tfs, pa.int32()),
-                "doc_len": pa.array(doc_lens, pa.int32()),
-                "positions": pa.array(pos_lists, pa.list_(pa.int64())),
+                "pos_vb": positions_blob_array(pos_lists),
                 "bucket": pa.array(buckets, pa.int32()),
                 "salt": pa.array(salts, pa.int32()),
                 "bucket_part": pa.array(buckets, pa.int32()),

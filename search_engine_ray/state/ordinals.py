@@ -41,6 +41,17 @@ def write_ordinals(index_root: str, docs_clean_dir: str) -> np.ndarray:
     return ids
 
 
+def doclens_by_ordinal(docs_clean_dir: str) -> np.ndarray:
+    """doc_len per ORDINAL (int64): the postings reducers gather BM25
+    lengths from this one broadcast array instead of carrying a doc_len
+    on every shuffled token row (tokens format v2). Same 8 B/doc scale
+    ceiling as the ordinal map above."""
+    t = pq.read_table(docs_clean_dir, columns=["doc_id", "doc_len"])
+    ids = t.column("doc_id").to_numpy()
+    lens = t.column("doc_len").to_numpy().astype(np.int64)
+    return lens[np.argsort(ids, kind="stable")]
+
+
 def load_ordinals(index_root: str) -> np.ndarray:
     return pq.read_table(
         os.path.join(index_root, ORDINALS_FILE)).column("doc_id").to_numpy()
