@@ -160,6 +160,14 @@ def build_index(
     docs_clean = os.path.join(index_root, "docs_clean")
     tokens_dir = os.path.join(index_root, "tokens")
     stats_path = os.path.join(index_root, "global_stats.json")
+    # driver-side sections that only need the committed docs_clean (docmap
+    # projection, global stats) run on this pool CONCURRENTLY with the Ray
+    # stages instead of serializing between them (they are pure
+    # pyarrow/file work — no Ray calls — so thread-safety is trivial)
+    from concurrent.futures import ThreadPoolExecutor
+
+    bg = ThreadPoolExecutor(max_workers=2)
+    docmap_fut = stats_fut = None
 
     # ---- stage 1: clean + exact dedup -----------------------------------
     if not (resume and is_fresh(docs_clean, run_hash, inputs)):
@@ -213,10 +221,10 @@ def build_index(
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
         _commit_dir(tmp, docs_clean)
-        write_ordinals(index_root, docs_clean)
+        write_ordinals(index_root, docs_clean)  # stage 2 needs this NOW
         from search_engine_ray.state.docmap import write_docmap
 
-        write_docmap(index_root, docs_clean)
+        docmap_fut = bg.submit(write_docmap, index_root, docs_clean)
         write_manifest(
             docs_clean, run_hash, inputs,
             metrics={"n_docs": _count_rows(docs_clean),
@@ -226,6 +234,47 @@ def build_index(
                                       "skipped": False}
     else:
         metrics["stages"]["clean"] = {"skipped": True}
+
+    # ---- global stats (N, avgdl): resolve from cache, else compute in the
+    # background OVERLAPPING stage 2 (needs only docs_clean; joined before
+    # stage 3, which is the first consumer of avgdl) -----------------------
+    stats = None
+    if resume and os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f)
+        if stats.get("run_hash") != run_hash:
+            stats = None
+
+    def _compute_stats():
+        t0 = time.monotonic()
+        n_docs = _count_rows(docs_clean)  # parquet metadata, no scan
+        # doc_len lives on docs_clean: one tiny int column scan, not a pass
+        # over the exploded token table. Below ~2M docs a driver-side
+        # columnar read (~MBs) beats a Ray job's fixed launch cost; above
+        # it the distributed sum takes over (run inline on the main
+        # thread, after stage 2 — not from this worker thread).
+        if n_docs > 2_000_000:
+            return None
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        total_tokens = sum(
+            pc.sum(pq.read_table(f, columns=["doc_len"])
+                   .column("doc_len")).as_py() or 0
+            for f in _expand_inputs(docs_clean))
+        s = {
+            "n_docs": int(n_docs),
+            "total_tokens": int(total_tokens),
+            "avgdl": (float(total_tokens) / n_docs) if n_docs else 0.0,
+            "run_hash": run_hash,
+        }
+        atomic_write_json(stats_path, s)
+        metrics["stages"]["stats"] = {
+            "seconds": round(time.monotonic() - t0, 3), "overlapped": True}
+        return s
+
+    if stats is None:
+        stats_fut = bg.submit(_compute_stats)
 
     # ---- stage 2: tokenize + explode (shuffle map side) ------------------
     if not (resume and is_fresh(tokens_dir, run_hash)):
@@ -268,31 +317,14 @@ def build_index(
     else:
         metrics["stages"]["tokenize"] = {"skipped": True}
 
-    # ---- global stats (N, avgdl) ----------------------------------------
-    stats = None
-    if resume and os.path.exists(stats_path):
-        with open(stats_path) as f:
-            stats = json.load(f)
-        if stats.get("run_hash") != run_hash:
-            stats = None
+    # ---- join the overlapped stats (compute inline for the >2M case) -----
+    if stats is None:
+        stats = stats_fut.result()
     if stats is None:
         t0 = time.monotonic()
-        n_docs = _count_rows(docs_clean)  # parquet metadata, no scan
-        # doc_len lives on docs_clean: one tiny int column scan, not a pass
-        # over the exploded token table. Below ~2M docs a driver-side
-        # columnar read (~MBs) beats a Ray job's fixed launch cost; above
-        # it the distributed sum takes over.
-        if n_docs <= 2_000_000:
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-
-            total_tokens = sum(
-                pc.sum(pq.read_table(f, columns=["doc_len"])
-                       .column("doc_len")).as_py() or 0
-                for f in _expand_inputs(docs_clean))
-        else:
-            total_tokens = rd.read_parquet(
-                docs_clean, columns=["doc_len"]).sum("doc_len") or 0
+        n_docs = _count_rows(docs_clean)
+        total_tokens = rd.read_parquet(
+            docs_clean, columns=["doc_len"]).sum("doc_len") or 0
         stats = {
             "n_docs": int(n_docs),
             "total_tokens": int(total_tokens),
@@ -388,7 +420,10 @@ def build_index(
     # is columnar, so reading only (doc_id, url, warc_ts, lang) skips the
     # text bytes entirely; a second projection write would only duplicate).
 
-    # ---- root manifest ---------------------------------------------------
+    # ---- join background sections + root manifest ------------------------
+    if docmap_fut is not None:
+        docmap_fut.result()
+    bg.shutdown(wait=True)
     cfg_dict = asdict(cfg)
     cfg_dict["extractor"] = EXTRACTOR_VERSION
     cfg_dict["codec"] = CODEC_VERSION

@@ -93,7 +93,12 @@ def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
     return g.drop(columns=["dedup_bucket"])
 
 
-def compute_dup_winners(input_files: list[str], batch_size: int = 8192):
+def compute_dup_winners(
+    input_files: list[str],
+    batch_size: int = 8192,
+    driver_rows: int = 50_000,
+    parallel_rows: int = 20_000_000,
+):
     """Light dedup pass: scan ONLY (url, warc_ts) — parquet column pruning
     keeps html/text bytes on disk — and return {doc_id: winner_warc_ts}
     for urls that occur more than once. The heavy pass then just filters
@@ -107,12 +112,9 @@ def compute_dup_winners(input_files: list[str], batch_size: int = 8192):
     import pyarrow.parquet as pq
 
     n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in input_files)
-    # the driver path is a SERIAL O(n) pass (~1.4 s at 500k rows): cheaper
-    # than a Ray job's launch cost only while small
-    if n_rows <= 1_000_000:
-        # small corpus: one driver-side pass over the two tiny columns is
-        # cheaper than a Ray execution; the distributed path below is the
-        # scale path (same outputs, tested equivalent)
+    # tiny corpus / single file: a driver-side pass over the two columns
+    # beats any Ray launch cost (unit tests, single-file deltas)
+    if n_rows <= driver_rows or len(input_files) == 1:
         import pyarrow as pa_
 
         t = pa.concat_tables([
@@ -136,6 +138,54 @@ def compute_dup_winners(input_files: list[str], batch_size: int = 8192):
         ties = (at_max[at_max["ts"] == at_max["max_ts"]]
                 .groupby("doc_id").size() > 1).any()
         return dict(winners.items()), bool(ties)
+    if n_rows <= parallel_rows:
+        # mid-size: the url hashing (blake2b per url) dominates, so hash
+        # per FILE in parallel Ray tasks and do one vectorized numpy merge
+        # on the small (id, h2, ts) arrays — the r2 serial driver pass was
+        # ~1.4 s at 500k rows and did not shrink with cluster size
+        import numpy as np
+        import ray
+
+        @ray.remote
+        def _file_ids(f: str):
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(f, columns=["url", "warc_ts"])
+            urls = t.column("url").to_pylist()
+            return (
+                np.asarray(doc_ids_for_urls(urls), dtype=np.int64),
+                np.asarray(doc_ids_for_urls([u + "\x00#2" for u in urls]),
+                           dtype=np.int64),
+                _pc.cast(t.column("warc_ts"), pa.int64()).to_numpy(),
+            )
+
+        parts = ray.get([_file_ids.remote(f) for f in input_files])
+        ids = np.concatenate([p[0] for p in parts])
+        h2 = np.concatenate([p[1] for p in parts])
+        ts = np.concatenate([p[2] for p in parts])
+        order = np.lexsort((ts, ids))
+        ids_s, ts_s, h2_s = ids[order], ts[order], h2[order]
+        change = np.flatnonzero(ids_s[1:] != ids_s[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [ids_s.size]))
+        lens = ends - starts
+        dup = lens > 1
+        if not dup.any():
+            return {}, False
+        coll = (np.minimum.reduceat(h2_s, starts)
+                != np.maximum.reduceat(h2_s, starts)) & dup
+        if coll.any():
+            raise ValueError(
+                "doc_id hash collision between urls: ids "
+                f"{ids_s[starts[coll]][:4].tolist()}")
+        max_ts = ts_s[ends - 1]  # ts-ascending within each id run
+        is_max = ts_s == np.repeat(max_ts, lens)
+        n_at_max = np.add.reduceat(is_max.astype(np.int64), starts)
+        ties = bool((n_at_max[dup] > 1).any())
+        winners = dict(zip(ids_s[starts[dup]].tolist(),
+                           max_ts[dup].tolist()))
+        return winners, ties
 
     import ray.data as rd
 

@@ -180,6 +180,42 @@ def test_dedup_modes_equivalent(ray_session, tmp_path):
     assert (a["n_docs"], a["total_tokens"]) == (b_["n_docs"], b_["total_tokens"])
 
 
+def test_dup_winner_paths_equivalent(ray_session, tmp_path):
+    """compute_dup_winners' three size tiers — driver pandas pass,
+    parallel per-file hash + vectorized numpy merge, bucketed Ray
+    aggregate — return identical (winners, has_ties) on a corpus with
+    duplicates, max-ts winners and exact-tie groups."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.corpus import generate_pages
+    from search_engine_ray.stages.clean import compute_dup_winners
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    for i in range(3):  # multi-file so dup groups span files
+        pq.write_table(generate_pages(120, seed=23 + i, split=f"dw{i}"),
+                       str(pdir / f"p{i}.parquet"))
+    # same url re-emitted across splits? generate_pages dups are within a
+    # split; also append an extra file duplicating file 0's rows with
+    # shifted timestamps to force cross-file duplicates
+    t0 = pq.read_table(str(pdir / "p0.parquet"))
+    import pyarrow.compute as pc_
+
+    import pyarrow as pa_
+
+    ts_shift = pc_.add(pc_.cast(t0.column("warc_ts"), pa_.int64()),
+                       1_000_000).cast(pa_.timestamp("us"))
+    shifted = t0.set_column(
+        t0.schema.get_field_index("warc_ts"), "warc_ts", ts_shift)
+    pq.write_table(shifted, str(pdir / "p3.parquet"))
+    files = sorted(str(p) for p in pdir.glob("*.parquet"))
+    driver = compute_dup_winners(files, driver_rows=10**9)
+    par = compute_dup_winners(files, driver_rows=0, parallel_rows=10**9)
+    shuffle = compute_dup_winners(files, driver_rows=0, parallel_rows=0)
+    assert len(driver[0]) > 0            # the corpus really has dups
+    assert driver == par == shuffle
+
+
 @pytest.mark.parametrize("queries", [
     ["mila", "mama"], ["mila", "ruka"], ["bako", "zzz_missing"],
     ["mila"], [],
