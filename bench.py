@@ -135,22 +135,33 @@ def run_bench() -> dict:
     index_root = f"{BENCH_DIR}/index_{NUM_CPUS}"
 
     # untimed warm build: page-fault / first-touch costs on this VM are
-    # large and noisy; the timed run below measures steady-state compute
+    # large and noisy; the timed runs below measure steady-state compute
     if os.environ.get("BENCH_WARM_BUILD", "1") == "1":
         shutil.rmtree(index_root, ignore_errors=True)
         build_index(pages, index_root,
                     BuildConfig(num_buckets=128, dedup_buckets=64,
                                 batch_size=512))
-    shutil.rmtree(index_root, ignore_errors=True)
 
-    # --- headline: index build -------------------------------------------
-    t0 = time.monotonic()
-    m = build_index(
-        pages, index_root,
-        BuildConfig(num_buckets=128, dedup_buckets=64, batch_size=512),
-    )
-    t_build = time.monotonic() - t0
+    # --- headline: index build, best-of-N --------------------------------
+    # hypervisor steal on this box is additive and bursty (identical runs
+    # vary 2-3x within an hour); the MIN of N fresh builds measures the
+    # engine, a single draw measures the host's mood
+    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    t_build, m = None, None
+    all_builds = []
+    for _ in range(build_reps):
+        shutil.rmtree(index_root, ignore_errors=True)
+        t0 = time.monotonic()
+        mi = build_index(
+            pages, index_root,
+            BuildConfig(num_buckets=128, dedup_buckets=64, batch_size=512),
+        )
+        dt = time.monotonic() - t0
+        all_builds.append(round(dt, 3))
+        if t_build is None or dt < t_build:
+            t_build, m = dt, mi
     queries["index_build"] = round(t_build, 3)
+    extras["index_build_all"] = all_builds
     extras["docs_per_sec"] = round(m["n_docs"] / t_build, 1)
     extras["n_docs"] = m["n_docs"]
 
@@ -305,7 +316,9 @@ def run_scaling() -> dict:
 
     def one(ncpu: int, calibrate: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_PAGES=str(N_PAGES), BENCH_SKIP_SECONDARY="1")
+                   BENCH_PAGES=str(N_PAGES), BENCH_SKIP_SECONDARY="1",
+                   # best-of-N happens at the invocation level here
+                   BENCH_BUILD_REPS="1")
         args = [sys.executable, os.path.abspath(__file__)]
         if calibrate:
             args += ["--calibrate", str(ncpu)]
