@@ -30,6 +30,40 @@ _TOKS_CTE = (
 )
 
 
+def _ngram_jaccard_sql(threshold=0.5, shingle_k=5) -> str:
+    """Brute-force all-pairs exact shingle-set Jaccard — the oracle for
+    the LOSSLESS prefix-filtering self-join (functions/dedup.
+    ngram_jaccard_near_dups). No blocking or caps to replicate: the Ray
+    pipeline's candidate generation is a proven superset of true pairs,
+    so its verified output must equal literal brute force. Shingle hash
+    = md5_number_lower masked to 61 bits (same as _minhash_sql)."""
+    return f"""
+WITH toksl AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOK}') AS ts FROM documents),
+shingle_strs AS (
+  SELECT doc_id,
+     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+          WHEN len(ts) < {shingle_k} THEN [array_to_string(ts, ' ')]
+          ELSE list_transform(range(1, len(ts) - {shingle_k - 2}),
+                              i -> array_to_string(
+                                  ts[i:i+{shingle_k - 1}], ' '))
+     END AS shs
+  FROM toksl),
+sh AS (
+  SELECT DISTINCT doc_id,
+         (md5_number_lower(s) % 2305843009213693952)::BIGINT AS x
+  FROM (SELECT doc_id, unnest(shs) AS s FROM shingle_strs)),
+shl AS (SELECT doc_id, list(x ORDER BY x) AS xs FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.xs, b.xs))::DOUBLE /
+         (len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs)))::DOUBLE
+             AS j
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= {threshold}
+"""
+
+
 def _minhash_sql(threshold=0.5, shingle_k=5, n_perm=64, n_bands=8,
                  cap=50) -> str:
     """The FULL MinHash-LSH pipeline in SQL — shingling, the 64 universal-
@@ -184,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": d.fingerprints,
         "minhash_pairs": d.minhash_pairs,        # SQL-checked since r3
         "simhash_pairs": d.simhash_pairs,        # SQL-checked since r3
+        "ngram_jaccard_pairs": d.ngram_jaccard_pairs,  # exact; brute-force oracle
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -435,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "ann_topk": """
             WITH q AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1
                               AS query_id,

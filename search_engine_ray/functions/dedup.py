@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import math
 from itertools import combinations
 
 import numpy as np
@@ -283,51 +284,25 @@ class JaccardVerify:
         )
 
 
-def minhash_near_dups(
+def _verify_candidate_pairs(
     ds,
-    shingle_k: int = 5,
-    n_perm: int = 64,
-    n_bands: int = 8,
-    threshold: float = 0.7,
+    pairs,
+    *,
+    shingle_k: int,
+    threshold: float,
     batch_size: int = 2048,
     texts_ref=None,
     verify_concurrency=(1, 4),
-    bucket_cap: int = BUCKET_CAP_DEFAULT,
     join_partitions: int | None = None,
     broadcast_max_pairs: int = 1_000_000,
     broadcast_max_bytes: int = 1 << 30,
 ):
-    """Full MinHash-LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
-
-    Verification never materializes the corpus on the driver; it picks the
-    cheapest scale-safe tier:
-
-    1. candidate set small (``broadcast_max_pairs`` pairs AND
-       ``broadcast_max_bytes`` of blobs): ONE corpus pass filtered to
-       suspect docs computes their shingle-hash blobs, which broadcast to
-       the verifiers (semi-join reduction — driver memory is bounded by
-       the SUSPECT set, never the corpus);
-    2. otherwise: two partitioned hash joins co-shuffle pairs with blobs
-       (fully streaming at any size);
-    3. ``texts_ref`` (a ``ray.put`` {doc_id: text} dict) forces the
-       legacy broadcast-texts path for callers that already hold one.
-
-    All tiers compute Jaccard on the same shingle-hash sets, so results
-    are identical (tests/test_functions.py proves path identity).
-    """
+    """Tiered EXACT shingle-set-Jaccard verification of candidate
+    (doc_a, doc_b) pairs against the corpus ``ds`` — the shared tail of
+    the MinHash-LSH and exact n-gram-Jaccard paths. Tier selection and
+    scale reasoning are documented on minhash_near_dups."""
     import ray
 
-    sigs = ds.map_batches(
-        MinHashBatch(shingle_k, n_perm, n_bands),
-        batch_format="pyarrow", batch_size=batch_size,
-    )
-    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
-
-    pairs = bucketed_group_agg(
-        sigs, ["band_id", "band_hash"],
-        lambda g: _bucket_pairs(g, bucket_cap=bucket_cap))
-    # distinct pairs (several bands can propose the same pair)
-    pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"])
     if texts_ref is not None:
         return pairs.map_batches(
             JaccardVerify,
@@ -419,6 +394,188 @@ def minhash_near_dups(
     return j.map_batches(
         _verify_joined, batch_format="pyarrow", batch_size=1024,
         fn_kwargs={"threshold": threshold},
+    )
+
+
+def minhash_near_dups(
+    ds,
+    shingle_k: int = 5,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    threshold: float = 0.7,
+    batch_size: int = 2048,
+    texts_ref=None,
+    verify_concurrency=(1, 4),
+    bucket_cap: int = BUCKET_CAP_DEFAULT,
+    join_partitions: int | None = None,
+    broadcast_max_pairs: int = 1_000_000,
+    broadcast_max_bytes: int = 1 << 30,
+):
+    """Full MinHash-LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
+
+    Verification never materializes the corpus on the driver; it picks the
+    cheapest scale-safe tier:
+
+    1. candidate set small (``broadcast_max_pairs`` pairs AND
+       ``broadcast_max_bytes`` of blobs): ONE corpus pass filtered to
+       suspect docs computes their shingle-hash blobs, which broadcast to
+       the verifiers (semi-join reduction — driver memory is bounded by
+       the SUSPECT set, never the corpus);
+    2. otherwise: two partitioned hash joins co-shuffle pairs with blobs
+       (fully streaming at any size);
+    3. ``texts_ref`` (a ``ray.put`` {doc_id: text} dict) forces the
+       legacy broadcast-texts path for callers that already hold one.
+
+    All tiers compute Jaccard on the same shingle-hash sets, so results
+    are identical (tests/test_functions.py proves path identity).
+    """
+    import ray
+
+    sigs = ds.map_batches(
+        MinHashBatch(shingle_k, n_perm, n_bands),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+
+    pairs = bucketed_group_agg(
+        sigs, ["band_id", "band_hash"],
+        lambda g: _bucket_pairs(g, bucket_cap=bucket_cap))
+    # distinct pairs (several bands can propose the same pair)
+    pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"])
+    return _verify_candidate_pairs(
+        ds, pairs, shingle_k=shingle_k, threshold=threshold,
+        batch_size=batch_size, texts_ref=texts_ref,
+        verify_concurrency=verify_concurrency,
+        join_partitions=join_partitions,
+        broadcast_max_pairs=broadcast_max_pairs,
+        broadcast_max_bytes=broadcast_max_bytes,
+    )
+
+
+class PrefixEmitBatch:
+    """(doc_id, text) -> (px, doc_id, n_sh): prefix-filtering emission for
+    the EXACT n-gram-Jaccard self-join.
+
+    Order the shingle universe by hash value (any global total order
+    works); if J(A, B) >= t then |A ∩ B| >= t * max(|A|, |B|), so A and B
+    must collide on at least one hash inside each one's first
+    ``n - ceil(t*n) + 1`` sorted shingle hashes (prefix filtering,
+    Chaudhuri et al. ICDE'06 / Xiao et al. PPJoin). The emitted candidate
+    set is therefore a SUPERSET of the true pairs — exact verification
+    downstream makes the result identical to brute force. ``n_sh`` (the
+    doc's shingle-set size) rides along for the length filter."""
+
+    def __init__(self, shingle_k: int = 5, threshold: float = 0.5):
+        self.k = shingle_k
+        self.t = threshold
+        self._re = token_regex()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_px, out_doc, out_n = [], [], []
+        for d, text in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist()):
+            xs = _shingle_hash_array(text, self._re, self.k)
+            n = xs.size
+            if not n:
+                continue
+            plen = n - math.ceil(self.t * n) + 1
+            out_px.append(xs[:plen])
+            out_doc.append(np.full(plen, d, dtype=np.int64))
+            out_n.append(np.full(plen, n, dtype=np.int64))
+        if not out_px:
+            return pa.table({"px": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_sh": pa.array([], pa.int64())})
+        return pa.table({
+            "px": pa.array(np.concatenate(out_px)),
+            "doc_id": pa.array(np.concatenate(out_doc)),
+            "n_sh": pa.array(np.concatenate(out_n)),
+        })
+
+
+def _prefix_bucket_pairs(g: pd.DataFrame, threshold: float,
+                         group_log_size: int = 1000) -> pd.DataFrame:
+    """Candidate pairs from all prefix-hash groups in one coarse partition.
+
+    UNCAPPED — prefix filtering must stay lossless for the final result to
+    equal brute force. A group of s docs yields s*(s-1)/2 pairs, which is
+    quadratic only in the size of a genuine near-identical cluster (every
+    group member shares an identical k-shingle in its prefix); groups past
+    ``group_log_size`` are logged. The PPJoin length filter
+    (min(n_a, n_b) >= t * max(n_a, n_b)) prunes vectorized — it drops no
+    true pair because J >= t bounds the size ratio."""
+    a, b = [], []
+    sizes = g.groupby("px")["doc_id"].nunique()
+    multi = sizes[sizes >= 2]
+    if len(multi):
+        sub = g.set_index("px").loc[multi.index]
+        for key in multi.index:
+            rows = (sub.loc[[key]][["doc_id", "n_sh"]]
+                    .drop_duplicates("doc_id"))
+            docs = rows["doc_id"].to_numpy(dtype=np.int64)
+            ns = rows["n_sh"].to_numpy(dtype=np.int64)
+            order = np.argsort(docs)
+            docs, ns = docs[order], ns[order]
+            s = docs.size
+            if s > group_log_size:
+                logger.warning(
+                    "ngram-jaccard: prefix group px=%d has %d docs "
+                    "(%d candidate pairs) — hot shingle / dup cluster",
+                    int(key), s, s * (s - 1) // 2)
+            ia, ib = np.triu_indices(s, k=1)
+            na, nb = ns[ia], ns[ib]
+            keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+            a.append(docs[ia[keep]])
+            b.append(docs[ib[keep]])
+    if a:
+        av = np.concatenate(a)
+        bv = np.concatenate(b)
+    else:
+        av = bv = np.empty(0, np.int64)
+    return pd.DataFrame({"doc_a": pd.Series(av, dtype="int64"),
+                         "doc_b": pd.Series(bv, dtype="int64")})
+
+
+def ngram_jaccard_near_dups(
+    ds,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    batch_size: int = 2048,
+    texts_ref=None,
+    verify_concurrency=(1, 4),
+    join_partitions: int | None = None,
+    broadcast_max_pairs: int = 1_000_000,
+    broadcast_max_bytes: int = 1 << 30,
+):
+    """EXACT n-gram (k-shingle-set) Jaccard near-dup join: every unordered
+    doc pair with J >= threshold — no approximation anywhere.
+
+    Candidate generation is a lossless prefix-filtering self-join
+    (PrefixEmitBatch/_prefix_bucket_pairs) instead of the MinHash path's
+    probabilistic banding, then the same tiered exact verify
+    (_verify_candidate_pairs), so the output equals brute-force all-pairs
+    — the DuckDB oracle runs literal brute force and hash-matches.
+
+    Scale: emission is ~(1-t) of total shingles at 24 B/row, shuffled once
+    on the coarse hash bucket of px; pair blowup is bounded by true dup
+    cluster sizes (logged), and verification never materializes the
+    corpus. ref: DocumentIndexManager.java:334-336 (the reference's exact
+    dedup-check analogue)."""
+    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+
+    em = ds.map_batches(PrefixEmitBatch(shingle_k, threshold),
+                        batch_format="pyarrow", batch_size=batch_size)
+    pairs = bucketed_group_agg(
+        em, ["px"], lambda g: _prefix_bucket_pairs(g, threshold))
+    # the same pair usually collides on several prefix hashes
+    pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"])
+    return _verify_candidate_pairs(
+        ds, pairs, shingle_k=shingle_k, threshold=threshold,
+        batch_size=batch_size, texts_ref=texts_ref,
+        verify_concurrency=verify_concurrency,
+        join_partitions=join_partitions,
+        broadcast_max_pairs=broadcast_max_pairs,
+        broadcast_max_bytes=broadcast_max_bytes,
     )
 
 

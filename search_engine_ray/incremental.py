@@ -85,9 +85,9 @@ def _merge_bucket(
     new_map = ray.get(new_map_ref)
     doclen_new = ray.get(doclen_ref)  # doc_len by NEW ordinal
     out = []
-    for _, row in batch.iterrows():
+    for bucket, files in zip(batch["bucket"].astype(int).tolist(),
+                             batch["files"].tolist()):
         t0 = time.monotonic()
-        bucket = int(row["bucket"])
         bdir = os.path.join(index_root, "buckets", f"bucket={bucket}")
         old = pq.read_table(os.path.join(bdir, "postings.parquet"))
 
@@ -121,7 +121,7 @@ def _merge_bucket(
 
         # delta rows for this bucket (token files written by the delta
         # tokenize stage)
-        delta_files = list(row["files"]) if row["files"] else []
+        delta_files = list(files) if files is not None and len(files) else []
         if delta_files:
             import pyarrow.dataset as pds
 

@@ -340,6 +340,14 @@ def simhash_pairs(sf_dir: str):
     return simhash_near_dups(load_documents(sf_dir))
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """EXACT shingle-set Jaccard near-dups (prefix-filtering self-join);
+    oracle is brute-force all-pairs SQL — results must hash-match."""
+    from search_engine_ray.functions.dedup import ngram_jaccard_near_dups
+
+    return ngram_jaccard_near_dups(load_documents(sf_dir), threshold=0.5)
+
+
 def media_features_demo(sf_dir: str):
     """Multimodal plumbing demo on a deterministic synthetic media table
     (sf_dir unused — the container has no media columns in testdata)."""

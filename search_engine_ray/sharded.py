@@ -205,8 +205,7 @@ def build_term_stats(root: str, num_doc_shards: int,
 
     def merge_buckets(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, row in batch.iterrows():
-            b = int(row["bucket"])
+        for b in batch["bucket"].astype(int).tolist():
             parts = []
             for s in range(num_doc_shards):
                 p = os.path.join(root, f"shard={s}", "buckets",

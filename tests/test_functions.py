@@ -104,6 +104,51 @@ def test_simhash_finds_exact_dup(docs_ds):
     assert all(h <= 3 for h in pairs["hamming"])
 
 
+def test_ngram_jaccard_equals_brute_force(docs_ds):
+    """The prefix-filtering self-join is LOSSLESS: the verified output must
+    equal literal brute-force all-pairs exact Jaccard (same claim the
+    DuckDB oracle checks at sf0.01)."""
+    from search_engine_ray.functions.dedup import (
+        _hashset_jaccard, _shingle_hash_array, ngram_jaccard_near_dups)
+    from search_engine_ray.functions.textstats import (
+        round_half_away, token_regex)
+
+    got = ngram_jaccard_near_dups(docs_ds, threshold=0.5).to_pandas()
+    got_set = sorted((int(a), int(b), float(j)) for a, b, j in
+                     zip(got["doc_a"], got["doc_b"], got["jaccard"]))
+
+    tok = token_regex()
+    rows = docs_ds.take_all()
+    hs = {r["doc_id"]: _shingle_hash_array(r["text"], tok, 5) for r in rows}
+    ids = sorted(hs)
+    bf = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not hs[a].size or not hs[b].size:
+                continue
+            j = _hashset_jaccard(hs[a], hs[b])
+            if j >= 0.5:
+                bf.append((a, b, round_half_away(j)))
+    assert got_set == sorted(bf)
+    assert (0, 21, 1.0) in got_set  # the planted exact dup
+
+
+def test_ngram_jaccard_tiers_identical(docs_ds):
+    """Broadcast and two-join verify tiers agree for the ngram path too
+    (the shared _verify_candidate_pairs contract)."""
+    from search_engine_ray.functions.dedup import ngram_jaccard_near_dups
+
+    def norm(df):
+        return (df.sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)[["doc_a", "doc_b", "jaccard"]])
+
+    bc = norm(ngram_jaccard_near_dups(docs_ds, threshold=0.5).to_pandas())
+    jn = norm(ngram_jaccard_near_dups(docs_ds, threshold=0.5,
+                                      broadcast_max_pairs=0).to_pandas())
+    assert len(bc) > 0
+    assert bc.equals(jn)
+
+
 def test_ann_bruteforce_matches_numpy(ray_session):
     import ray.data as rd
 
