@@ -234,6 +234,7 @@ def run_bench() -> dict:
     timed("dedup_exact", d.dedup_exact_docs)
     timed("term_df_top100", d.term_df_top100)
     timed("minhash_pairs", d.minhash_pairs)
+    timed("ngram_jaccard_pairs", d.ngram_jaccard_pairs)
     timed("ann_topk", e.ann_bruteforce_topk)
     timed("events_hourly", ev.events_hourly_user)
 
