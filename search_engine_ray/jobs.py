@@ -136,6 +136,48 @@ def cmd_sharded_delta(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Training-data dedup family as a submittable job: reads a
+    ``documents``-shaped parquet (``doc_id:int64, text:string``; the
+    ``embedding`` method reads ``vec_id, embedding``), streams the chosen
+    pipeline, writes pairs/representatives as partitioned parquet."""
+    import os
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    if args.method == "embedding":
+        from search_engine_ray.functions.ann import cosine_near_dup_pairs
+
+        ds = rd.read_parquet(args.input, columns=["vec_id", "embedding"])
+        res = cosine_near_dup_pairs(ds, threshold=args.threshold)
+    else:
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        if args.method == "exact":
+            from search_engine_ray.functions.dedup import exact_dedup
+
+            res = exact_dedup(ds)
+        elif args.method == "minhash":
+            from search_engine_ray.functions.dedup import minhash_near_dups
+
+            res = minhash_near_dups(ds, threshold=args.threshold)
+        elif args.method == "simhash":
+            from search_engine_ray.functions.dedup import simhash_near_dups
+
+            res = simhash_near_dups(ds, max_hamming=args.max_hamming)
+        else:  # ngram
+            from search_engine_ray.functions.dedup import (
+                ngram_jaccard_near_dups)
+
+            res = ngram_jaccard_near_dups(ds, threshold=args.threshold)
+    os.makedirs(args.out, exist_ok=True)
+    res.write_parquet(args.out)
+    n = sum(f.count_rows() for f in
+            pds.dataset(args.out, format="parquet").get_fragments())
+    print(json.dumps({"method": args.method, "out": args.out, "rows": n}))
+    return 0
+
+
 def cmd_invalidate(args) -> int:
     from search_engine_ray.build import invalidate_index
 
@@ -191,6 +233,18 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--root", required=True)
     sd.add_argument("--delete-urls-file", default=None)
     sd.set_defaults(fn=cmd_sharded_delta)
+
+    dd = sub.add_parser("dedup")
+    dd.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text); embeddings "
+                         "parquet (vec_id, embedding) for --method embedding")
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--method", default="exact",
+                    choices=["exact", "minhash", "simhash", "ngram",
+                             "embedding"])
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--max-hamming", type=int, default=3)
+    dd.set_defaults(fn=cmd_dedup)
 
     i = sub.add_parser("invalidate")
     i.add_argument("--index", required=True)

@@ -127,6 +127,33 @@ def test_jobs_cli_build_and_query(ray_session, tmp_path):
     assert len(pre_rows) >= 2
 
 
+def test_jobs_cli_dedup(ray_session, tmp_path):
+    """The dedup family is submittable as a job: ngram method writes the
+    exact near-dup pairs parquet and reports row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [f"alpha beta gamma delta epsilon zeta eta theta doc{i}"
+             for i in range(8)]
+    texts.append(texts[0])  # exact dup of doc 0 -> jaccard 1.0 pair
+    t = pa.table({"doc_id": pa.array(range(9), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    dpath = tmp_path / "docs.parquet"
+    pq.write_table(t, str(dpath))
+    out_dir = str(tmp_path / "pairs")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "dedup",
+         "--input", str(dpath), "--out", out_dir,
+         "--method", "ngram", "--threshold", "0.5"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows"] >= 1
+    got = pq.read_table(out_dir).to_pandas()
+    assert ((got["doc_a"] == 0) & (got["doc_b"] == 8)
+            & (got["jaccard"] == 1.0)).any()
+
+
 def test_replica_pool_phrase_and_suggest(built_index):
     """serve surface parity: phrase + suggestion search through the
     replica pool equal LocalSearcher's answers."""
