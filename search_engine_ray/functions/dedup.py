@@ -503,30 +503,38 @@ def _prefix_bucket_pairs(g: pd.DataFrame, threshold: float,
     group member shares an identical k-shingle in its prefix); groups past
     ``group_log_size`` are logged. The PPJoin length filter
     (min(n_a, n_b) >= t * max(n_a, n_b)) prunes vectorized — it drops no
-    true pair because J >= t bounds the size ratio."""
+    true pair because J >= t bounds the size ratio.
+
+    All group work is sorted-array slicing (one sort + boundary scan) —
+    per-key pandas indexing was the partition hot spot; triu index
+    templates are memoized by group size (groups are overwhelmingly
+    tiny)."""
+    sub = (g[["px", "doc_id", "n_sh"]]
+           .drop_duplicates(["px", "doc_id"])
+           .sort_values(["px", "doc_id"]))
+    px = sub["px"].to_numpy()
+    docs = sub["doc_id"].to_numpy(dtype=np.int64)
+    ns = sub["n_sh"].to_numpy(dtype=np.int64)
     a, b = [], []
-    sizes = g.groupby("px")["doc_id"].nunique()
-    multi = sizes[sizes >= 2]
-    if len(multi):
-        sub = g.set_index("px").loc[multi.index]
-        for key in multi.index:
-            rows = (sub.loc[[key]][["doc_id", "n_sh"]]
-                    .drop_duplicates("doc_id"))
-            docs = rows["doc_id"].to_numpy(dtype=np.int64)
-            ns = rows["n_sh"].to_numpy(dtype=np.int64)
-            order = np.argsort(docs)
-            docs, ns = docs[order], ns[order]
-            s = docs.size
-            if s > group_log_size:
+    if px.size:
+        bounds = np.flatnonzero(np.r_[True, px[1:] != px[:-1], True])
+        triu_memo: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cnt = e - s
+            if cnt < 2:
+                continue
+            if cnt > group_log_size:
                 logger.warning(
                     "ngram-jaccard: prefix group px=%d has %d docs "
                     "(%d candidate pairs) — hot shingle / dup cluster",
-                    int(key), s, s * (s - 1) // 2)
-            ia, ib = np.triu_indices(s, k=1)
-            na, nb = ns[ia], ns[ib]
+                    int(px[s]), cnt, cnt * (cnt - 1) // 2)
+            if cnt not in triu_memo:
+                triu_memo[cnt] = np.triu_indices(cnt, k=1)
+            ia, ib = triu_memo[cnt]
+            na, nb = ns[s:e][ia], ns[s:e][ib]
             keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
-            a.append(docs[ia[keep]])
-            b.append(docs[ib[keep]])
+            a.append(docs[s:e][ia[keep]])
+            b.append(docs[s:e][ib[keep]])
     if a:
         av = np.concatenate(a)
         bv = np.concatenate(b)
