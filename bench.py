@@ -131,6 +131,10 @@ def run_bench() -> dict:
     ).count()
     TokenizeBatch()  # compile regexes on the driver too
 
+    # scaling mode runs its own dedicated calibration subprocesses
+    if not os.environ.get("BENCH_SKIP_SECONDARY"):
+        extras["calib_tasks_per_sec"] = _host_stamp(NUM_CPUS)
+
     pages = _ensure_corpus()
     index_root = f"{BENCH_DIR}/index_{NUM_CPUS}"
 
@@ -223,13 +227,21 @@ def run_bench() -> dict:
     from search_engine_ray.pipelines import embeddings as e
     from search_engine_ray.pipelines import events as ev
 
+    sec_reps = int(os.environ.get("BENCH_SECONDARY_REPS", "2"))
+
     def timed(name, fn):
-        t0 = time.monotonic()
-        res = fn(SF_DIR)
-        # consume (count) to force full execution of lazy datasets
-        if hasattr(res, "count"):
-            res.count()
-        queries[name] = round(time.monotonic() - t0, 3)
+        # best-of-N, like the build: single draws on this VM swing 2-3x
+        # under hypervisor steal and would read as pipeline regressions
+        best = None
+        for _ in range(sec_reps):
+            t0 = time.monotonic()
+            res = fn(SF_DIR)
+            # consume (count) to force full execution of lazy datasets
+            if hasattr(res, "count"):
+                res.count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     timed("dedup_exact", d.dedup_exact_docs)
     timed("term_df_top100", d.term_df_top100)
@@ -251,6 +263,43 @@ def run_bench() -> dict:
     }
 
 
+def _calib_kernel(seed: int) -> int:
+    """Mimics the build's work mix: Python-regex tokenization (the
+    tokenize stage) + int64 lexsort/cumsum (the encode stage). A
+    purely bandwidth-bound kernel would understate the ceiling and
+    flatter the engine; a purely CPU-bound one would overstate it."""
+    import re
+
+    rng = np.random.default_rng(seed)
+    words = ["w%04d" % w for w in rng.integers(0, 9999, size=150_000)]
+    text = " ".join(words)
+    pat = re.compile(r"[^ .,:;()\[\]/-]+")
+    out = 0
+    for _ in range(3):
+        out ^= len(pat.findall(text))
+    a = rng.integers(0, 1 << 40, size=2_000_000).astype(np.int64)
+    b = rng.integers(0, 1000, size=2_000_000).astype(np.int64)
+    for _ in range(2):
+        order = np.lexsort((b, a))
+        out ^= int(np.cumsum(a[order])[-1])
+    return out
+
+
+def _host_stamp(ncpu: int) -> float:
+    """In-session host-state stamp: tasks/sec of the no-engine calibration
+    kernel in the CURRENT Ray session. Recorded in every bench JSON so a
+    cross-round comparison can normalize out the VM's 2-3x hour-to-hour
+    hypervisor-steal swings."""
+    import ray
+
+    kernel = ray.remote(_calib_kernel)
+    ray.get([kernel.remote(i) for i in range(min(4, ncpu))])  # warm
+    n_tasks = ncpu * 2
+    t0 = time.monotonic()
+    ray.get([kernel.remote(100 + i) for i in range(n_tasks)])
+    return round(n_tasks / (time.monotonic() - t0), 2)
+
+
 def run_calibration(ncpu: int) -> dict:
     """Raw VM task-throughput ceiling at ``ncpu``: identical CPU-bound
     numpy kernels (lexsort + cumsum — the engine's hot ops) as plain Ray
@@ -262,29 +311,7 @@ def run_calibration(ncpu: int) -> dict:
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              logging_level="ERROR")
-
-    @ray.remote
-    def kernel(seed: int) -> int:
-        """Mimics the build's work mix: Python-regex tokenization (the
-        tokenize stage) + int64 lexsort/cumsum (the encode stage). A
-        purely bandwidth-bound kernel would understate the ceiling and
-        flatter the engine; a purely CPU-bound one would overstate it."""
-        import re
-
-        rng = np.random.default_rng(seed)
-        words = ["w%04d" % w for w in rng.integers(0, 9999, size=150_000)]
-        text = " ".join(words)
-        pat = re.compile(r"[^ .,:;()\[\]/-]+")
-        out = 0
-        for _ in range(3):
-            out ^= len(pat.findall(text))
-        a = rng.integers(0, 1 << 40, size=2_000_000).astype(np.int64)
-        b = rng.integers(0, 1000, size=2_000_000).astype(np.int64)
-        for _ in range(2):
-            order = np.lexsort((b, a))
-            out ^= int(np.cumsum(a[order])[-1])
-        return out
-
+    kernel = ray.remote(_calib_kernel)
     ray.get([kernel.remote(i) for i in range(min(4, ncpu))])  # warm
     n_tasks = ncpu * 4
     t0 = time.monotonic()
