@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": d.minhash_pairs,        # SQL-checked since r3
         "simhash_pairs": d.simhash_pairs,        # SQL-checked since r3
         "ngram_jaccard_pairs": d.ngram_jaccard_pairs,  # exact; brute-force oracle
+        "embedding_near_dups_exact": e.embedding_near_dups_exact,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -471,6 +472,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        # exact all-pairs cosine: DOUBLE[] cast is load-bearing —
+        # list_cosine_similarity on FLOAT[] computes in float32 and the
+        # 6-dp rounding would diverge from the engine's float64 matmul
+        "embedding_near_dups_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                  >= 0.4
+        """,
         "ann_topk": """
             WITH q AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1
                               AS query_id,

@@ -397,3 +397,59 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
     pairs = bucketed_group_agg(with_b, ["table_id", "bucket"], per_partition)
     # several tables can propose the same pair — dedup on the pair key
     return bucketed_distinct(pairs, ["vec_a", "vec_b", "cos"])
+
+
+def cosine_all_pairs_exact(ds, threshold: float = 0.5,
+                           block_rows: int = 4096, round_to: int = 6):
+    """EXACT all-pairs cosine near-dups (``round(cos, 6) >= threshold``) —
+    the quadratic exactness anchor for ``cosine_near_dup_pairs``, same
+    output schema ``(vec_a, vec_b, cos)``.
+
+    Shape: one streaming pass snapshots L2-normalized row blocks into the
+    object store (the driver holds ONE block at a time, never the corpus),
+    then ONE Ray task per upper-triangle block pair runs a bounded
+    ``block_rows x block_rows`` matmul; results assemble via
+    ``from_arrow_refs`` (pair tables never transit the driver). O(n^2/2)
+    FLOPs by definition — usable to ~1M vectors; beyond that the
+    LSH-bucketed ``cosine_near_dup_pairs`` is the scale path. Raw Ray
+    tasks are justified here: a self cross-join of blocks is not
+    expressible as a Dataset transform; every block pair is independent
+    (no partitioning assumption). SQL oracle: DuckDB
+    ``list_cosine_similarity`` over ``DOUBLE[]`` — hash-identical at 6dp.
+    """
+    import ray
+    import ray.data as rd
+
+    refs = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=block_rows):
+        ids = b.column("vec_id").to_numpy()
+        mat = _normalize(_matrix(b.column("embedding")))
+        refs.append(ray.put((ids, mat)))
+
+    @ray.remote
+    def block_pair(a, b, same: bool) -> pa.Table:
+        ids_a, ma = a
+        ids_b, mb = b
+        cf = np.round(ma @ mb.T, round_to)
+        if same:
+            iu, ju = np.triu_indices(len(ids_a), 1)
+            keep = cf[iu, ju] >= threshold
+            va, vb = ids_a[iu[keep]], ids_b[ju[keep]]
+            cv = cf[iu[keep], ju[keep]]
+        else:
+            ia, ib = np.nonzero(cf >= threshold)
+            va, vb, cv = ids_a[ia], ids_b[ib], cf[ia, ib]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        return pa.table({"vec_a": pa.array(lo, pa.int64()),
+                         "vec_b": pa.array(hi, pa.int64()),
+                         "cos": pa.array(cv, pa.float64())})
+
+    if not refs:
+        return rd.from_arrow(pa.table(
+            {"vec_a": pa.array([], pa.int64()),
+             "vec_b": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}))
+    futs = [block_pair.remote(refs[i], refs[j], i == j)
+            for i in range(len(refs)) for j in range(i, len(refs))]
+    return rd.from_arrow_refs(futs)

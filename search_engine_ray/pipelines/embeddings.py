@@ -103,3 +103,15 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.5):
                            "cos": pd.Series(dtype="float64")})
     return pa.Table.from_pandas(df[["vec_a", "vec_b", "cos"]],
                                 preserve_index=False)
+
+
+def embedding_near_dups_exact(sf_dir: str, threshold: float = 0.4):
+    """EXACT all-pairs cosine near-dups — SQL-hash-checked against DuckDB
+    ``list_cosine_similarity`` brute force. Threshold 0.4 yields a
+    meaningful pair set on the random testdata embeddings (~60 pairs at
+    sf0.01); the approximate ``embedding_near_dups`` is anchored to this
+    result by test (approx ⊆ exact)."""
+    from search_engine_ray.functions.ann import cosine_all_pairs_exact
+
+    return cosine_all_pairs_exact(load_embeddings(sf_dir),
+                                  threshold=threshold)

@@ -255,6 +255,41 @@ def test_cosine_near_dups_blocked_matmul_matches_unblocked(ray_session):
     assert len(a) > 0 and a.equals(b)
 
 
+def test_cosine_all_pairs_exact_matches_numpy_and_anchors_approx(
+        ray_session):
+    """The blocked exact all-pairs kernel equals local numpy brute force
+    across block boundaries (block_rows < n), and the approximate LSH
+    path's pairs are a subset of it at the same threshold."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import (cosine_all_pairs_exact,
+                                                 cosine_near_dup_pairs)
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((50, 12))
+    vecs[:6] = vecs[0] + 0.05 * rng.standard_normal((6, 12))  # dup cluster
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float64()))})
+    got = (cosine_all_pairs_exact(rd.from_arrow(t), threshold=0.8,
+                                  block_rows=16).to_pandas()
+           .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+    mn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = np.round(mn @ mn.T, 6)
+    iu, ju = np.triu_indices(50, 1)
+    keep = cos[iu, ju] >= 0.8
+    ref = sorted(zip(iu[keep].tolist(), ju[keep].tolist(),
+                     cos[iu, ju][keep].tolist()))
+    assert ref == list(zip(got["vec_a"], got["vec_b"], got["cos"]))
+    assert len(ref) >= 10  # the planted cluster alone gives C(6,2)
+
+    approx = cosine_near_dup_pairs(rd.from_arrow(t), threshold=0.8,
+                                   n_planes=3, n_tables=6).to_pandas()
+    exact_set = set(zip(got["vec_a"], got["vec_b"]))
+    assert set(zip(approx["vec_a"], approx["vec_b"])) <= exact_set
+
+
 def test_lsh_topk_multiprobe_recall(ray_session):
     """Multi-probe must return >= the single-bucket candidate coverage:
     every query fills all k slots on this corpus."""
