@@ -7,14 +7,18 @@ nothing here (nor in the library code these callables use) calls
 ``queries()`` exposes the engine's operator surface (SURVEY.md §2) over the
 driver testdata tables; every SQL-expressible entry has a matching
 ``oracle_sql()`` DuckDB statement with IDENTICAL column names and rounding.
-Non-SQL-expressible pipelines (near-dup sketches, LSH ANN, media plumbing,
-heuristic scorers) are listed without an oracle -> rows-only check.
+Non-SQL-expressible pipelines (IVF ANN — iterative k-means — the capped
+LSH near-dup pairs, and media plumbing) are listed without an oracle ->
+rows-only check; those still emit quality columns (recall_at_k) pinned by
+tests.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+
+import numpy as np
 
 from search_engine_ray.functions.textstats import (
     BPE_PRETOKEN_PATTERN,
@@ -61,6 +65,64 @@ jac AS (
              AS j
   FROM shl a JOIN shl b ON a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= {threshold}
+"""
+
+
+def _ann_lsh_sql(k=10, n_planes=6, n_probe=2, n_q=5, seed=13,
+                 dim=64) -> str:
+    """The FULL multi-probe hyperplane-LSH top-k in SQL: the 6 seeded
+    Gaussian hyperplanes inlined as DOUBLE[] constants (same generator as
+    functions/ann.HyperplaneLSH; sign of the dot product is invariant to
+    the engine's L2 normalization), bucket = sign-bit integer, the
+    Hamming-ball multi-probe as ``bit_count(xor(qb, vb)) <= n_probe``,
+    per-query top-k with the engine's tie-break (unrounded cos desc,
+    vec_id asc), and the in-pipeline ``recall_at_k`` column against the
+    brute-force truth. ``dim`` is the testdata embedding width."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for i in range(n_planes):
+            lst = ("[" + ",".join(repr(float(planes[d, i]))
+                                  for d in range(dim)) + "]::DOUBLE[]")
+            terms.append(f"(CASE WHEN list_dot_product({col}, {lst}) > 0 "
+                         f"THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vb AS (SELECT vec_id, e, {bucket_expr('e')} AS bucket FROM emb),
+q AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS query_id,
+             e AS qe, bucket AS qbucket
+      FROM vb ORDER BY vec_id LIMIT {n_q}),
+cand AS (SELECT q.query_id, v.vec_id,
+                list_cosine_similarity(q.qe, v.e) AS cos
+         FROM q JOIN vb v
+           ON bit_count(xor(q.qbucket::BIGINT, v.bucket::BIGINT))
+              <= {n_probe}),
+approx AS (SELECT query_id, vec_id, round(cos, 6) AS cos
+           FROM (SELECT *, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+                 FROM cand)
+           WHERE rn <= {k}),
+exact AS (SELECT query_id, vec_id
+          FROM (SELECT q.query_id, v.vec_id, row_number() OVER
+                    (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.qe, v.e) DESC,
+                              v.vec_id) AS rn
+                FROM q CROSS JOIN vb v)
+          WHERE rn <= {k}),
+inter AS (SELECT a.query_id, count(*) AS n_inter
+          FROM approx a JOIN exact e USING (query_id, vec_id)
+          GROUP BY a.query_id),
+tcnt AS (SELECT query_id, count(*) AS n_truth FROM exact GROUP BY query_id)
+SELECT a.query_id, a.vec_id, a.cos,
+       round(coalesce(i.n_inter, 0)::DOUBLE / greatest(1, t.n_truth), 6)
+           AS recall_at_k
+FROM approx a
+JOIN tcnt t USING (query_id)
+LEFT JOIN inter i USING (query_id)
 """
 
 
@@ -475,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs cosine: DOUBLE[] cast is load-bearing —
         # list_cosine_similarity on FLOAT[] computes in float32 and the
         # 6-dp rounding would diverge from the engine's float64 matmul
+        "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_near_dups_exact": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(
