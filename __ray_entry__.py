@@ -126,6 +126,41 @@ LEFT JOIN inter i USING (query_id)
 """
 
 
+def _embedding_near_dups_sql(threshold=0.5, n_planes=2, n_tables=8,
+                             seed=13, dim=64) -> str:
+    """The multi-table LSH cosine near-dup pipeline in SQL: each table's
+    seeded hyperplanes inlined (same generator chain as
+    functions/ann.cosine_near_dup_pairs: seed + 9973*t), same-bucket
+    candidate pairs unioned across tables, exact cosine verify at the
+    threshold, DISTINCT pair set. The pipeline's bucket_cap never engages
+    at driver scale (buckets << cap), so the SQL needs no cap clause."""
+    parts = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + 9973 * t)
+        planes = rng.standard_normal((dim, n_planes))
+        terms = []
+        for i in range(n_planes):
+            lst = ("[" + ",".join(repr(float(planes[d, i]))
+                                  for d in range(dim)) + "]::DOUBLE[]")
+            terms.append(f"(CASE WHEN list_dot_product(e, {lst}) > 0 "
+                         f"THEN {1 << i} ELSE 0 END)")
+        parts.append(f"SELECT vec_id, e, {t} AS t, ("
+                     + " + ".join(terms) + ") AS bucket FROM emb")
+    buckets = " UNION ALL ".join(parts)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vb AS ({buckets}),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM vb a JOIN vb b ON a.t = b.t AND a.bucket = b.bucket
+                            AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cos
+FROM cand c JOIN emb a ON a.vec_id = c.vec_a
+            JOIN emb b ON b.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {threshold}
+"""
+
+
 def _minhash_sql(threshold=0.5, shingle_k=5, n_perm=64, n_bands=8,
                  cap=50) -> str:
     """The FULL MinHash-LSH pipeline in SQL — shingling, the 64 universal-
@@ -538,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         # list_cosine_similarity on FLOAT[] computes in float32 and the
         # 6-dp rounding would diverge from the engine's float64 matmul
         "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "embedding_near_dups_exact": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(
