@@ -147,10 +147,13 @@ def cmd_dedup(args) -> int:
     import ray.data as rd
 
     if args.method == "embedding":
-        from search_engine_ray.functions.ann import cosine_near_dup_pairs
+        from search_engine_ray.functions.ann import (cosine_all_pairs_exact,
+                                                     cosine_near_dup_pairs)
 
         ds = rd.read_parquet(args.input, columns=["vec_id", "embedding"])
-        res = cosine_near_dup_pairs(ds, threshold=args.threshold)
+        res = (cosine_all_pairs_exact(ds, threshold=args.threshold)
+               if args.exact else
+               cosine_near_dup_pairs(ds, threshold=args.threshold))
     else:
         ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
         if args.method == "exact":
@@ -244,6 +247,9 @@ def main(argv: list[str] | None = None) -> int:
                              "embedding"])
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.add_argument("--max-hamming", type=int, default=3)
+    dd.add_argument("--exact", action="store_true",
+                    help="embedding method: exact blocked all-pairs "
+                         "(quadratic anchor) instead of LSH")
     dd.set_defaults(fn=cmd_dedup)
 
     i = sub.add_parser("invalidate")

@@ -133,6 +133,29 @@ def test_ngram_jaccard_equals_brute_force(docs_ds):
     assert (0, 21, 1.0) in got_set  # the planted exact dup
 
 
+def test_ngram_jaccard_edge_semantics(ray_session):
+    """threshold=1.0 (prefix length collapses to the single min hash)
+    still finds exact duplicates; sub-k-token docs shingle as their whole
+    text; empty/None docs never pair; containment scores exactly."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import ngram_jaccard_near_dups
+
+    texts = ["short doc", "short doc", "", None,
+             "one two three four five six",
+             "one two three four five six seven"]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = ngram_jaccard_near_dups(rd.from_arrow(t), threshold=1.0
+                                  ).to_pandas()
+    assert sorted(zip(out.doc_a, out.doc_b, out.jaccard)) == [(0, 1, 1.0)]
+    out2 = ngram_jaccard_near_dups(rd.from_arrow(t), threshold=0.3
+                                   ).to_pandas()
+    # 6-token doc's 2 shingles ⊂ 7-token doc's 3 -> J = 2/3
+    assert sorted(zip(out2.doc_a, out2.doc_b, out2.jaccard)) == \
+        [(0, 1, 1.0), (4, 5, 0.666667)]
+
+
 def test_ngram_jaccard_tiers_identical(docs_ds):
     """Broadcast and two-join verify tiers agree for the ngram path too
     (the shared _verify_candidate_pairs contract)."""
