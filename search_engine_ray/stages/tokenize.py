@@ -37,7 +37,12 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from search_engine_ray.analyzer.tokenizers import get_tokenizer, split_lines
+from search_engine_ray.analyzer.tokenizers import (
+    _LINE_RE,
+    get_tokenizer,
+    re2_document_token_pattern,
+    split_lines,
+)
 from search_engine_ray.codec import encode_positions_rowwise
 
 TOKENS_SCHEMA = pa.schema(
@@ -93,6 +98,15 @@ class TokenizeBatch:
     ):
         self._tok = get_tokenizer(tokenizer)
         self._re = self._tok._token_re
+        # document-level pattern: separators + line terminators in ONE
+        # class, so a single C-level findall/split over the whole doc
+        # yields the identical token stream to per-line tokenization
+        # (analyzer/tokenizers.re2_document_token_pattern; equivalence
+        # pinned by test_tokenize_fast_path_equals_reference)
+        import re as _re
+
+        self._doc_re = _re.compile(
+            re2_document_token_pattern(self._tok.separators))
         self.num_buckets = num_buckets
         self.salt = max(1, salt)
         self.store_positions = store_positions
@@ -108,6 +122,164 @@ class TokenizeBatch:
             # postings store dense ORDINALS, not raw hash ids — see
             # state/ordinals.py. The broadcast sorted-id array is a local
             # object-store hit after the first call.
+            import ray
+
+            from search_engine_ray.state.ordinals import to_ordinals
+
+            doc_ids = to_ordinals(doc_ids, ray.get(ordinals_ref))
+
+        # Vectorized tokenize (v3): the only per-token Python work left is
+        # C-level findall/split and a list extend. Everything downstream is
+        # Arrow / numpy over the WHOLE BATCH:
+        #   1. one findall per doc (doc pattern folds line terminators into
+        #      the separator class — identical token stream to per-line);
+        #   2. token char offsets WITHOUT match objects, from the
+        #      findall/split length structure (text = sep0+tok0+sep1+...),
+        #      lengths via Arrow utf8_length (codepoints == Python len);
+        #   3. one batch-level dictionary_encode + ONE stable argsort of
+        #      (doc, term-code) keys groups per-(doc, term) rows; tf =
+        #      segment lengths; positions stay in scan order per group;
+        #   4. term->bucket hashed once per DICTIONARY entry, not per row.
+        # Row ORDER within the batch differs from the reference loop
+        # (sorted per doc by dictionary code, not first-occurrence); every
+        # consumer sorts by (term, doc) — value-equivalence is pinned by
+        # tests/test_tokenizers.py::test_tokenize_fast_path_equals_reference
+        # and the end-to-end byte-identity build tests.
+        import pyarrow.compute as pc
+
+        dfind = self._doc_re.findall
+        dsplit = self._doc_re.split
+        store_pos = self.store_positions
+
+        all_toks: list[str] = []
+        all_seps: list[str] = []
+        per_doc_nt: list[int] = []
+        kept_docs: list[int] = []
+        kept_texts: list[str] = []
+        for text, doc_id in zip(texts, doc_ids):
+            if not text:
+                continue
+            toks = dfind(text)
+            if not toks:
+                continue
+            all_toks.extend(toks)
+            if store_pos:
+                all_seps.extend(dsplit(text))
+                kept_texts.append(text)
+            per_doc_nt.append(len(toks))
+            kept_docs.append(int(doc_id))
+
+        if not all_toks:
+            empty_pos = pa.Array.from_buffers(
+                pa.large_binary(), 0,
+                [None, pa.py_buffer(np.zeros(1, np.int64).tobytes()),
+                 pa.py_buffer(b"")])
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int32()),
+                 "pos_vb": empty_pos,
+                 "bucket": pa.array([], pa.int32()),
+                 "salt": pa.array([], pa.int32()),
+                 "bucket_part": pa.array([], pa.int32())},
+                schema=TOKENS_SCHEMA)
+
+        nt = np.asarray(per_doc_nt, dtype=np.int64)
+        n_docs = len(kept_docs)
+        doc_ids_arr = np.asarray(kept_docs, dtype=np.int64)
+        toks_arr = pa.array(all_toks, pa.string())
+        dict_arr = pc.dictionary_encode(toks_arr)
+        codes = dict_arr.indices.to_numpy().astype(np.int64, copy=False)
+        dictionary = dict_arr.dictionary
+        n_dict = len(dictionary)
+        # per-token doc index
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), nt)
+
+        if store_pos:
+            tok_lens = pc.utf8_length(toks_arr).to_numpy() \
+                .astype(np.int64, copy=False)
+            sep_lens = pc.utf8_length(
+                pa.array(all_seps, pa.string())).to_numpy() \
+                .astype(np.int64, copy=False)
+            tok_ends = np.cumsum(nt)
+            tok_starts = tok_ends - nt
+            packed = np.empty(len(codes), dtype=np.int64)
+            finditer = _LINE_RE.finditer
+            for d in range(n_docs):
+                s, e = tok_starts[d], tok_ends[d]
+                n_t = e - s
+                sl = sep_lens[s + d:e + d + 1]  # n_t + 1 separators
+                starts = np.cumsum(sl[:-1])
+                if n_t > 1:
+                    starts[1:] += np.cumsum(tok_lens[s:e - 1])
+                line_ends = np.fromiter(
+                    (m.end() for m in finditer(kept_texts[d])), np.int64)
+                line_starts = np.concatenate(
+                    (np.zeros(1, np.int64), line_ends))
+                rows = np.searchsorted(line_starts, starts, side="right")
+                packed[s:e] = (rows << 32) | (starts -
+                                              line_starts[rows - 1])
+        else:
+            packed = np.empty(0, dtype=np.int64)
+
+        # ONE stable sort groups per-(doc, term) rows; positions keep scan
+        # order within each group
+        key = doc_idx * n_dict + codes
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        seg_lens_rows = np.diff(np.r_[bounds, len(ks)])
+        row_codes = codes[order][bounds]
+        row_docpos = doc_idx[order][bounds]
+
+        if store_pos:
+            flat = packed[order]
+            data, offsets = encode_positions_rowwise(flat, seg_lens_rows)
+        else:
+            data, offsets = encode_positions_rowwise(
+                np.empty(0, np.int64), np.zeros(len(bounds), np.int64))
+        pos_col = pa.Array.from_buffers(
+            pa.large_binary(), len(bounds),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        )
+
+        # bucket per dictionary entry (vocab << rows), memoized per actor
+        memo = self._bucket_memo
+        nb = self.num_buckets
+
+        def bucket_of(t: str) -> int:
+            b = memo.get(t)
+            if b is None:
+                b = term_bucket(t, nb)
+                if len(memo) < 2_000_000:
+                    memo[t] = b
+            return b
+
+        dict_buckets = np.fromiter(
+            (bucket_of(t) for t in dictionary.to_pylist()),
+            dtype=np.int32, count=n_dict)
+        buckets = dict_buckets[row_codes]
+        out_docs = doc_ids_arr[row_docpos]
+        salts_arr = (out_docs % self.salt).astype(np.int32)
+        return pa.table(
+            {
+                "term": pc.take(dictionary, pa.array(row_codes)),
+                "doc_id": pa.array(out_docs),
+                "tf": pa.array(seg_lens_rows.astype(np.int32)),
+                "pos_vb": pos_col,
+                "bucket": pa.array(buckets, pa.int32()),
+                "salt": pa.array(salts_arr),
+                "bucket_part": pa.array(buckets, pa.int32()),
+            },
+            schema=TOKENS_SCHEMA,
+        )
+
+    def call_reference(self, batch: pa.Table, ordinals_ref=None) -> pa.Table:
+        """The original per-line reference loop (dict-accumulated), kept as
+        the equivalence twin for the vectorized ``__call__`` — test-only."""
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if ordinals_ref is not None:
             import ray
 
             from search_engine_ray.state.ordinals import to_ordinals

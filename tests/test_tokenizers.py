@@ -91,3 +91,45 @@ def test_tokenizer_plugin_registration():
 
     register_tokenizer("colon", Colon)
     assert get_tokenizer("colon").tokens_only("a:b c") == ["a", "b c"]
+
+
+def test_tokenize_fast_path_equals_reference():
+    """The batch-level Arrow tokenize (dictionary_encode + one stable
+    sort) is VALUE-equivalent to the per-line reference loop
+    (TokenizeBatch.call_reference) on adversarial inputs: \\r/\\n/\\r\\n
+    mixes, empty/None/sep-only docs, unicode incl. astral plane, negative
+    doc ids, both tokenizers, positions on AND off, salted."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_ray.stages.tokenize import TokenizeBatch
+
+    def canon(t: pa.Table):
+        df = (t.to_pandas().sort_values(["term", "doc_id"])
+              .reset_index(drop=True))
+        return [tuple(r) for r in df.itertuples(index=False)]
+
+    texts = [
+        "hello world\nhello again",
+        "a.b,c!d?e:f;g\"h'i(j)k[l]m/n-o“p”q r<s>t{u}v+w*x^y#z~0%1$2@3",
+        "\r\nleading\r\nmixed\rterminators\nhere\r\n\r\n",
+        "", None, "     ", "...!!...",
+        "tab\there (tab is NOT a separator)",
+        "uni çödé tökens naïve café\nsecond çödé line",
+        "dup dup dup\ndup dup",
+        "trailing token no newline at end",
+        "emoji 😀😀 line\nafter 😀 emoji",
+        "=signs_and&digits123 are4 part5of6tokens",
+    ]
+    ids = ((np.arange(len(texts), dtype=np.int64) * 7919 + 13)
+           * ((-1) ** np.arange(len(texts))))
+    batch = pa.table({"doc_id": pa.array(ids),
+                      "text": pa.array(texts, pa.string())})
+    for pos in (True, False):
+        for salt in (1, 3):
+            tb = TokenizeBatch(num_buckets=32, salt=salt,
+                               store_positions=pos)
+            assert canon(tb(batch)) == canon(tb.call_reference(batch))
+        tw = TokenizeBatch(tokenizer="whitespace", num_buckets=8,
+                           store_positions=pos)
+        assert canon(tw(batch)) == canon(tw.call_reference(batch))
