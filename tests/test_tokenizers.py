@@ -133,3 +133,32 @@ def test_tokenize_fast_path_equals_reference():
         tw = TokenizeBatch(tokenizer="whitespace", num_buckets=8,
                            store_positions=pos)
         assert canon(tw(batch)) == canon(tw.call_reference(batch))
+
+
+def test_tokenize_fast_path_randomized():
+    """Seeded random corpora (random words, separators, terminators,
+    unicode sprinkles) — fast path == reference loop on every draw."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_ray.analyzer.tokenizers import STANDARD_SEPARATORS
+    from search_engine_ray.stages.tokenize import TokenizeBatch
+
+    def canon(t: pa.Table):
+        df = (t.to_pandas().sort_values(["term", "doc_id"])
+              .reset_index(drop=True))
+        return [tuple(r) for r in df.itertuples(index=False)]
+
+    alphabet = list("abcXYZ01_&=çø😀") + list(STANDARD_SEPARATORS) + \
+        ["\n", "\r", "\r\n", "\t"]
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        texts = []
+        for _ in range(30):
+            n = int(rng.integers(0, 120))
+            texts.append("".join(rng.choice(alphabet, size=n)))
+        ids = rng.integers(-2**62, 2**62, size=30, dtype=np.int64)
+        batch = pa.table({"doc_id": pa.array(ids),
+                          "text": pa.array(texts, pa.string())})
+        tb = TokenizeBatch(num_buckets=16, salt=2, store_positions=True)
+        assert canon(tb(batch)) == canon(tb.call_reference(batch)), seed
