@@ -166,6 +166,11 @@ def build_index(
     # pyarrow/file work — no Ray calls — so thread-safety is trivial)
     from concurrent.futures import ThreadPoolExecutor
 
+    from search_engine_ray._compat import patch_http_fs_probe
+
+    # the background sections may run Ray Data reads concurrently with
+    # the main-thread stages — make the http-fs import probe thread-safe
+    patch_http_fs_probe()
     bg = ThreadPoolExecutor(max_workers=2)
     docmap_fut = stats_fut = None
 
@@ -234,6 +239,14 @@ def build_index(
                                       "skipped": False}
     else:
         metrics["stages"]["clean"] = {"skipped": True}
+        # a resumed build whose docs_clean is fresh may still be missing
+        # the docmap artifact (e.g. the first run died in stage 2/3 before
+        # the background docmap write landed) — without this, DocMap
+        # silently serves from the O(corpus) docs_clean fallback forever
+        from search_engine_ray.state.docmap import DOCMAP_DIR, write_docmap
+
+        if not os.path.isdir(os.path.join(index_root, DOCMAP_DIR)):
+            docmap_fut = bg.submit(write_docmap, index_root, docs_clean)
 
     # ---- global stats (N, avgdl): resolve from cache, else compute in the
     # background OVERLAPPING stage 2 (needs only docs_clean; joined before

@@ -215,16 +215,22 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     # RANDOM codebook sample (seeded => deterministic): a first-N sample
     # would bias the codebook on any corpus sorted/clustered by a key and
-    # degrade recall at partial n_probe. Oversample 2x by fraction, then
-    # cap at sample_size. The sample is sorted by vec_id before k-means:
-    # take_all block order varies run to run, and k-means++ seeding is
-    # index-dependent — sorting pins the codebook bit-for-bit.
+    # degrade recall at partial n_probe. Take ALL sampled rows (expected
+    # 2x sample_size — a .limit() here would keep the first-in-dataset-
+    # order rows and re-introduce front-of-corpus bias), sort by vec_id
+    # (take_all block order varies run to run, and k-means++ seeding is
+    # index-dependent), then seeded-subsample down to sample_size — every
+    # corpus region is equally represented, bit-for-bit reproducible.
     n_rows = ds.count()
     emb = ds.select_columns(["vec_id", "embedding"])
     if n_rows > sample_size:
         frac = min(1.0, (2.0 * sample_size) / n_rows)
-        emb = emb.random_sample(frac, seed=seed).limit(sample_size)
+        emb = emb.random_sample(frac, seed=seed)
     rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
+    if len(rows) > sample_size:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(len(rows), size=sample_size, replace=False)
+        rows = [rows[i] for i in np.sort(keep)]
     sample = _normalize(np.asarray([r["embedding"] for r in rows],
                                    dtype=np.float64))
     C = _kmeans(sample, n_centroids, seed)

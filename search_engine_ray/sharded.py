@@ -44,31 +44,8 @@ from search_engine_ray.search import (
 from search_engine_ray.state.manifest import atomic_write_json
 
 
-def _patch_http_fs_probe() -> None:
-    """Make Ray Data's ``_is_http_filesystem`` probe thread-safe in this
-    environment. It does ``from fsspec.implementations.http import
-    HTTPFileSystem`` on EVERY ``read_parquet`` (the failed import is
-    never cached), catching only ModuleNotFoundError; without aiohttp,
-    CONCURRENT importers hit CPython's partial-module window and get a
-    plain ImportError ("cannot import name ...") instead — which
-    escapes and kills a builder thread. Any ImportError here means "no
-    http filesystem", so answer False for it too."""
-    import ray.data.datasource.path_util as _pu
-
-    orig = getattr(_pu._is_http_filesystem, "__wrapped__", None) \
-        or _pu._is_http_filesystem
-    if getattr(_pu._is_http_filesystem, "_ser_safe", False):
-        return
-
-    def safe(fs):
-        try:
-            return orig(fs)
-        except ImportError:
-            return False
-
-    safe._ser_safe = True
-    safe.__wrapped__ = orig
-    _pu._is_http_filesystem = safe
+from search_engine_ray._compat import patch_http_fs_probe as \
+    _patch_http_fs_probe  # moved to _compat (build_index needs it too)
 
 
 def build_sharded(

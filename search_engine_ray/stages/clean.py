@@ -112,9 +112,11 @@ def compute_dup_winners(
     import pyarrow.parquet as pq
 
     n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in input_files)
-    # tiny corpus / single file: a driver-side pass over the two columns
-    # beats any Ray launch cost (unit tests, single-file deltas)
-    if n_rows <= driver_rows or len(input_files) == 1:
+    # tiny corpus: a driver-side pass over the two columns beats any Ray
+    # launch cost (unit tests, single-file deltas). Row-count-gated ONLY
+    # — a single LARGE file must still take the distributed path (the
+    # footer count above is exact either way).
+    if n_rows <= driver_rows:
         import pyarrow as pa_
 
         t = pa.concat_tables([

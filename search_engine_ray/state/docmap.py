@@ -60,8 +60,10 @@ def write_docmap(index_root: str, docs_clean_dir: str) -> None:
 
         ds = rd.read_parquet(_expand_inputs(docs_clean_dir),
                              columns=["doc_id", "url"])
-        ds.sort("doc_id").write_parquet(
-            tmp, arrow_parquet_args={"row_group_size": ROW_GROUP})
+        # NOTE: row_group_size must be a direct kwarg — Ray 2.49's
+        # write_parquet(**arrow_parquet_args) forwards an
+        # arrow_parquet_args dict verbatim and the writer rejects it
+        ds.sort("doc_id").write_parquet(tmp, row_group_size=ROW_GROUP)
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)

@@ -62,6 +62,8 @@ SQL_BACKED = [
     "events_hourly", "events_sessions", "ann_topk", "phrase_search",
     "quality_scores", "langid", "fingerprints",
     "minhash_pairs", "simhash_pairs",  # full sketch pipelines in SQL (r3)
+    "ngram_jaccard_pairs", "embedding_near_dups_exact",  # exact (late r3)
+    "ann_lsh_topk", "embedding_near_dups",  # LSH pipelines in SQL (late r3)
 ]
 
 

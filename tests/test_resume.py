@@ -105,3 +105,19 @@ def test_uncommitted_manifest_not_trusted(ray_session, corpus_dir, tmp_path):
         f.write(content.replace("committed", "inprogress"))
     m = build_index(corpus_dir, root, cfg)
     assert not m["stages"]["clean"]["skipped"]
+
+
+def test_resume_restores_missing_docmap(ray_session, corpus_dir, tmp_path):
+    """A resumed build whose docs_clean is fresh but whose docmap artifact
+    never landed (first run died mid-stage-2/3) must rewrite docmap/ —
+    otherwise DocMap silently serves from the O(corpus) fallback."""
+    from search_engine_ray.state.docmap import DOCMAP_DIR
+
+    root = str(tmp_path / "idx")
+    build_index(corpus_dir, root, BuildConfig(num_buckets=4))
+    dm = os.path.join(root, DOCMAP_DIR)
+    assert os.path.isdir(dm)
+    shutil.rmtree(dm)
+    m = build_index(corpus_dir, root, BuildConfig(num_buckets=4))
+    assert m["stages"]["clean"]["skipped"]
+    assert os.path.isdir(dm) and os.listdir(dm)
