@@ -25,21 +25,26 @@ scorers, verified identical:
 * ``taat`` — term-at-a-time, fully vectorized: concatenate posting arrays in
   lexicographic term order, stable-sort by doc id, ``np.add.reduceat`` per
   doc (preserves the float-addition-order invariant shared with the oracle).
-* ``bmw``  — document-at-a-time block-max WAND: per-term cursors with
-  (last_docid, max_partial) block metadata; candidates whose upper bound
-  cannot beat the current k-th score are skipped without scoring.
+* ``bmw``  — range-at-a-time block-max scoring: per-128-entry block
+  (last_docid, max_partial) metadata is coarsened to fixed ordinal
+  ranges; ranges are visited in descending upper-bound order and every
+  range that cannot beat the current k-th score is skipped without
+  touching its postings (see ``_score_bmw``).
 
-``taat`` is the DEFAULT, for cause (measured at 50k docs / 128 buckets,
-min-of-5 warm): head-term OR pairs taat 2.1 ms vs bmw 404 ms; 4-term head
-OR 3.9 ms vs 650 ms; mid-frequency 4-term OR 0.21 ms vs 0.31 ms
-(bench.py emits the same comparison per run as ``scorer_taat_p50_ms`` /
-``scorer_bmw_p50_ms``). The physics: TAAT's cost is O(total postings) in
-numpy C kernels (~ns/posting), BMW's is O(pivots) in the Python
-interpreter (~us/pivot) — with postings decoded IN MEMORY, skipping 90%
-of scoring work still loses by 100x. BMW's win condition is postings too
-large for RAM, where block metadata skips disk IO: that is the
-deployment its block-max layout (codec.py) exists for, and the exact-
-identity tests keep it correct for it.
+``taat`` is the DEFAULT. History: the r1/r2 ``bmw`` was a classic
+doc-at-a-time WAND pivot walk — O(pivots) in the Python interpreter
+(~us/pivot) vs TAAT's O(postings) numpy kernels (~ns/posting), losing
+100x with postings decoded in memory (404 ms vs 2.1 ms on head-term OR
+pairs at 50k docs). The r3 vectorized range-at-a-time design closes
+that to parity (head-pair OR 19 ms vs 18 ms, mixed head+mid OR slightly
+AHEAD at 3.9 vs 4.6 ms, same index, min-of-9 warm; bench.py emits the
+comparison per run as ``scorer_taat_p50_ms`` / ``scorer_bmw_p50_ms``).
+``taat`` remains default because on this corpus shape (near-uniform doc
+lengths => block maxes ~= global max) pruning rarely skips enough to
+win; ``bmw``'s win condition is skewed partials or postings too large
+for RAM, where skipped ranges save decode/IO — the deployment the
+block-max layout (codec.py) exists for. Exact-identity tests keep both
+scorers bit-equal to the oracle.
 
 Determinism: scores accumulate per doc over query terms in lexicographic
 term order; final order is (score desc, doc_id asc); float64 throughout.
@@ -416,95 +421,118 @@ class LocalSearcher:
              "score": pa.array(np.asarray(keep_scores, dtype=np.float64)),
              "url": pa.array(urls, pa.string())}, schema=RESULT_SCHEMA)
 
+    # ordinal-range width for the vectorized block-max scorer: 32 codec
+    # blocks (codec.BLOCK_SIZE=128). Small enough that the per-range dense
+    # accumulator stays L2-resident, large enough that the Python range
+    # loop is O(n_docs/4096) at worst.
+    _BMW_RANGE = 4096
+
     def _score_bmw(self, gathered, k: int):
-        """Exact block-max WAND; identical output to taat."""
-        import heapq
+        """Exact block-max scoring, range-at-a-time; identical output to
+        ``taat``.
 
-        if not gathered:
+        The classic doc-at-a-time WAND pivot walk costs O(pivots) in the
+        Python interpreter (~us each) and loses to TAAT's O(postings)
+        numpy kernels (~ns each) by 100x whenever postings are decoded in
+        memory (the r1/r2 measurement in the module docstring). This
+        version keeps the block-max skipping but moves the granularity up
+        to fixed ordinal RANGES (32 codec blocks each):
+
+        1. per term, coarsen the per-128-block (last_docid, max_partial)
+           metadata to a per-range upper bound (monotone reduceat — a
+           block straddling a range boundary contributes to both sides,
+           still a valid bound);
+        2. sum per-term bounds into a per-range bound, sort ranges by it
+           DESCENDING (high-scoring regions first → theta rises fast);
+        3. walk ranges: once the top-k heap is full, any range whose
+           bound is strictly below theta — and therefore every remaining
+           range — is skipped without touching its postings. Surviving
+           ranges are scored with the same dense per-term scatter-adds as
+           ``_score_taat`` (term-lex order ⇒ bit-identical float sums),
+           using precomputed per-range slice offsets (no per-range
+           binary search).
+
+        Interpreter cost is O(ranges_survived x terms); the skipped work
+        is real posting-score work, so selective queries (high theta
+        after the first ranges) finish without reading most of the
+        postings — the win condition block-max metadata exists for.
+        Ranges with bound == theta are still scored: a doc scoring
+        exactly theta can win the (score desc, ordinal asc) tie-break."""
+        if not gathered or k <= 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        cursors = []
-        for t, rec, idf in gathered:
+        n_ords = len(self.ords())
+        W = self._BMW_RANGE
+        n_ranges = (n_ords + W - 1) // W
+        range_ub = np.zeros(n_ranges, dtype=np.float64)
+        term_data = []  # (docids, partial, per-range slice offsets)
+        range_edges = np.arange(n_ranges + 1, dtype=np.int64) * W
+        for t, rec, idf in gathered:  # lexicographic term order
             dec = self._decode(t, rec)
+            docids = dec["docids"]
+            if docids.size == 0:
+                continue
+            partial = idf * _partials(dec, self.avgdl, self.k1, self.b)
             lasts, maxs = decode_blockmax(rec["blockmax"])
-            cursors.append({
-                "term": t,
-                "docids": dec["docids"],
-                "partial": idf * _partials(dec, self.avgdl, self.k1, self.b),
-                "ub": idf * rec["max_partial"],
-                "block_last": lasts,
-                "block_ub": idf * maxs,
-                "pos": 0,
-            })
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+            ubs = idf * maxs
+            # block i spans (lasts[i-1], lasts[i]] in ordinal space; its
+            # ub covers ranges firsts[i]//W .. lasts[i]//W
+            firsts = np.empty_like(lasts)
+            firsts[0] = docids[0]
+            firsts[1:] = lasts[:-1] + 1
+            lo_r = firsts // W
+            hi_r = lasts // W
+            spans = hi_r - lo_r + 1
+            # concatenated aranges [0..span_i): idx is non-decreasing
+            # because blocks are docid-sorted
+            total = int(spans.sum())
+            step = np.ones(total, dtype=np.int64)
+            step[0] = 0
+            seg = np.cumsum(spans)[:-1]
+            step[seg] -= spans[:-1]
+            idx = np.repeat(lo_r, spans) + np.cumsum(step)
+            uidx, first_at = np.unique(idx, return_index=True)
+            range_ub[uidx] += np.maximum.reduceat(
+                np.repeat(ubs, spans), first_at)
+            offs = np.searchsorted(docids, range_edges)
+            term_data.append((docids, partial, offs))
+        if not term_data:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        order = np.argsort(-range_ub, kind="stable")
+        acc = np.zeros(W, dtype=np.float64)
+        top_ids = np.empty(0, np.int64)
+        top_scores = np.empty(0, np.float64)
         theta = -np.inf
-        BS = 128
-
-        def alive(c):
-            return c["pos"] < len(c["docids"])
-
-        while True:
-            cs = [c for c in cursors if alive(c)]
-            if not cs:
-                break
-            cs.sort(key=lambda c: (int(c["docids"][c["pos"]]), c["term"]))
-            # find pivot: smallest doc where cumulative global UBs exceed theta
-            acc = 0.0
-            pivot_i = None
-            for i, c in enumerate(cs):
-                acc += c["ub"]
-                if acc > theta:
-                    pivot_i = i
-                    break
-            if pivot_i is None:
-                break  # even the sum of all UBs can't beat theta
-            pivot_doc = int(cs[pivot_i]["docids"][cs[pivot_i]["pos"]])
-            if int(cs[0]["docids"][cs[0]["pos"]]) == pivot_doc:
-                # block-max refinement on the lists that contain pivot_doc
-                block_acc = 0.0
-                involved = []
-                for c in cs:
-                    if not alive(c):
-                        continue
-                    d = int(c["docids"][c["pos"]])
-                    if d > pivot_doc:
-                        break
-                    bi = np.searchsorted(c["block_last"], pivot_doc)
-                    if bi < len(c["block_last"]):
-                        block_acc += float(c["block_ub"][bi])
-                    involved.append(c)
-                if block_acc > theta:
-                    score = 0.0
-                    for c in sorted(involved, key=lambda c: c["term"]):
-                        d = int(c["docids"][c["pos"]])
-                        if d == pivot_doc:
-                            score += float(c["partial"][c["pos"]])
-                    if score > theta or (len(heap) < k and score > -np.inf):
-                        item = (score, -pivot_doc)
-                        if len(heap) < k:
-                            heapq.heappush(heap, item)
-                        elif item > heap[0]:
-                            heapq.heapreplace(heap, item)
-                        if len(heap) == k:
-                            theta = heap[0][0]
-                # advance every cursor sitting on pivot_doc
-                for c in cs:
-                    if alive(c) and int(c["docids"][c["pos"]]) == pivot_doc:
-                        c["pos"] += 1
-            else:
-                # advance lists before the pivot up to pivot_doc; use block
-                # metadata to jump whole blocks
-                for c in cs[:pivot_i]:
-                    if not alive(c):
-                        continue
-                    tgt = pivot_doc
-                    c["pos"] += int(
-                        np.searchsorted(c["docids"][c["pos"]:], tgt, "left")
-                    )
-            _ = BS
-        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
-        ids = np.array([-d for _, d in out], dtype=np.int64)
-        scs = np.array([s for s, _ in out], dtype=np.float64)
-        return ids, scs
+        for r in order.tolist():
+            ub = float(range_ub[r])
+            if ub <= 0.0 or (top_ids.size == k and ub < theta):
+                break  # descending order: every remaining range loses too
+            base = r * W
+            width = min(base + W, n_ords) - base
+            acc[:width] = 0.0
+            touched = False
+            for docids, partial, offs in term_data:  # term-lex order
+                a, b = int(offs[r]), int(offs[r + 1])
+                if a == b:
+                    continue
+                acc[docids[a:b] - base] += partial[a:b]
+                touched = True
+            if not touched:
+                continue
+            cand = np.flatnonzero(acc[:width] > 0)
+            totals = acc[cand]
+            cand += base
+            if top_ids.size == k:
+                keep = totals >= theta  # == theta can win the id tie-break
+                cand, totals = cand[keep], totals[keep]
+                if cand.size == 0:
+                    continue
+            all_ids = np.concatenate([top_ids, cand])
+            all_sc = np.concatenate([top_scores, totals])
+            sel = np.lexsort((all_ids, -all_sc))[:k]
+            top_ids, top_scores = all_ids[sel], all_sc[sel]
+            if top_ids.size == k:
+                theta = float(top_scores[-1])
+        return top_ids, top_scores
 
     # --- forward index (reference I5: getKeys(docId)) --------------------
 
