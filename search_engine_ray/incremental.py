@@ -49,7 +49,6 @@ from search_engine_ray.build import (
 )
 from search_engine_ray.idhash import doc_ids_for_urls
 from search_engine_ray.stages.clean import CleanBatch, dedup_group
-from search_engine_ray.stages.postings import POSTINGS_SCHEMA
 from search_engine_ray.stages.tokenize import TokenizeBatch
 from search_engine_ray.state.manifest import (
     atomic_write_json,
@@ -57,6 +56,108 @@ from search_engine_ray.state.manifest import (
     input_fingerprint,
     write_manifest,
 )
+
+
+_TOKEN_SHAPE = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int64()),
+        ("pos_vb", pa.large_binary()),
+    ]
+)
+
+
+def _bin_col_bytes(col: pa.ChunkedArray) -> np.ndarray:
+    """All cells of a single-chunk binary column concatenated, as a uint8
+    view of the Arrow data buffer (no per-cell Python objects)."""
+    ch = col.chunk(0)
+    width = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+    bufs = ch.buffers()
+    offs = np.frombuffer(bufs[1], dtype=width)[
+        ch.offset:ch.offset + len(ch) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) \
+        if bufs[2] is not None else np.empty(0, np.uint8)
+    return data[int(offs[0]):int(offs[-1])]
+
+
+def _explode_surviving(
+    old: pa.Table,
+    affected: np.ndarray,
+    old_map: np.ndarray,
+    new_map: np.ndarray,
+    store_positions: bool,
+) -> pa.Table:
+    """Vectorized inverse of ``encode_token_table`` over one bucket's
+    stored postings, minus the affected docs: returns a token-shaped table
+    (term, doc_id NEW-ordinal, tf, pos_vb per-doc blob).
+
+    One bulk varbyte decode per column — all terms' ``docs_vb`` streams
+    concatenate into a single buffer that ``decode_positions`` re-absolutes
+    per df-segment (each term's stream is independently delta-coded with
+    an absolute head, the same property tokens v2 exploits), and
+    ``tfs_vb`` decodes as one direct stream. Positions are NEVER decoded:
+    per-doc blob boundaries fall out of the varbyte continuation bits
+    (value ends = MSB bytes) + cumulative tfs, and surviving blobs are
+    re-packed with one ragged fancy-gather. Membership against the sorted
+    ``affected`` array is one searchsorted (the old per-term ``np.isin``
+    re-sorted it once per term)."""
+    from search_engine_ray.codec import decode_positions, varbyte_decode
+    from search_engine_ray.state.ordinals import to_ordinals
+
+    n_terms = old.num_rows
+    if n_terms == 0:
+        return _TOKEN_SHAPE.empty_table()
+    old = old.combine_chunks()
+    df = old.column("df").to_numpy()
+    total = int(df.sum())
+    old_ords = decode_positions(_bin_col_bytes(old.column("docs_vb"))
+                                .tobytes(), df)
+    tfs_flat = varbyte_decode(_bin_col_bytes(old.column("tfs_vb"))
+                              .tobytes(), total).astype(np.int64)
+    real = old_map[old_ords]
+    if affected.size:
+        p = np.minimum(np.searchsorted(affected, real), affected.size - 1)
+        keep = affected[p] != real
+    else:
+        keep = np.ones(real.size, dtype=bool)
+    kept = np.flatnonzero(keep)
+    term_idx = np.repeat(np.arange(n_terms, dtype=np.int64), df)
+    term_kept = old.column("term").take(pa.array(term_idx[kept]))
+    di_kept = to_ordinals(real[kept], new_map)
+    tf_kept = tfs_flat[kept]
+    if store_positions and total:
+        pos_b = _bin_col_bytes(old.column("pos_vb"))
+        vends = np.flatnonzero(pos_b & 0x80)
+        doc_ends = vends[np.cumsum(tfs_flat) - 1] + 1
+        doc_starts = np.concatenate(([0], doc_ends[:-1]))
+        bl = (doc_ends - doc_starts)[kept]
+        st = doc_starts[kept]
+        tot_b = int(bl.sum())
+        if tot_b:
+            # ragged gather: index = repeat(starts) + per-segment arange
+            step = np.ones(tot_b, dtype=np.int64)
+            step[0] = 0
+            seg = np.cumsum(bl)[:-1]
+            step[seg] -= bl[:-1]
+            data = pos_b[np.repeat(st, bl) + np.cumsum(step)]
+        else:
+            data = np.empty(0, np.uint8)
+        offsets = np.concatenate(([0], np.cumsum(bl))).astype(np.int64)
+        pos_arr = pa.Array.from_buffers(
+            pa.large_binary(), kept.size,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(data.tobytes())])
+    else:
+        pos_arr = pa.Array.from_buffers(
+            pa.large_binary(), kept.size,
+            [None, pa.py_buffer(np.zeros(kept.size + 1,
+                                         np.int64).tobytes()),
+             pa.py_buffer(b"")])
+    return pa.table(
+        {"term": term_kept, "doc_id": pa.array(di_kept, pa.int64()),
+         "tf": pa.array(tf_kept, pa.int64()), "pos_vb": pos_arr},
+        schema=_TOKEN_SHAPE)
 
 
 def _merge_bucket(
@@ -75,10 +176,15 @@ def _merge_bucket(
     Postings store ordinals (state/ordinals.py); the doc-id space changes
     with the delta, so surviving old entries are translated old-ordinal ->
     real doc_id -> new-ordinal (vectorized lookups against the two
-    broadcast sorted-id arrays)."""
-    from search_engine_ray.codec import decode_posting
-    from search_engine_ray.stages.postings import _write_bucket
-    from search_engine_ray.state.ordinals import to_ordinals
+    broadcast sorted-id arrays). The surviving rows are exploded
+    vectorized (``_explode_surviving``), concatenated with the bucket's
+    delta token rows, and re-encoded by the SAME kernel the full build
+    uses (``encode_token_table``) — byte-identity with a from-scratch
+    build holds by construction."""
+    from search_engine_ray.stages.postings import (
+        _write_bucket,
+        encode_token_table,
+    )
 
     affected = ray.get(affected_ref)  # sorted int64 ndarray (broadcast once)
     old_map = ray.get(old_map_ref)
@@ -89,84 +195,21 @@ def _merge_bucket(
                              batch["files"].tolist()):
         t0 = time.monotonic()
         bdir = os.path.join(index_root, "buckets", f"bucket={bucket}")
-        old = pq.read_table(os.path.join(bdir, "postings.parquet"))
-
-        # explode old postings (decode) into flat arrays, dropping affected.
-        # Column access is hoisted to one to_pylist per column (per-cell
-        # .as_py() costs ~5 Arrow calls per term).
-        terms_l, di_l, tf_l, dl_l, pos_l = [], [], [], [], []
-        old_cols = {k: old.column(k).to_pylist()
-                    for k in ("df", "docs_vb", "tfs_vb", "lens_vb",
-                              "pos_vb", "term")}
-        for i in range(old.num_rows):
-            rec = {k: old_cols[k][i] for k in
-                   ("df", "docs_vb", "tfs_vb", "lens_vb", "pos_vb")}
-            dec = decode_posting(rec, with_positions=store_positions)
-            real_ids = old_map[dec["docids"]]
-            keep = ~np.isin(real_ids, affected, assume_unique=False)
-            if not keep.any():
-                continue
-            n_keep = int(keep.sum())
-            terms_l.append(np.full(n_keep, old_cols["term"][i],
-                                   dtype=object))
-            di_l.append(to_ordinals(real_ids[keep], new_map))
-            tf_l.append(dec["tfs"][keep])
-            dl_l.append(dec["doc_lens"][keep])
-            if store_positions:
-                splits = np.cumsum(dec["tfs"])[:-1]
-                per_doc = np.split(dec.get("positions",
-                                           np.empty(0, np.int64)), splits) \
-                    if rec["pos_vb"] else [np.empty(0, np.int64)] * len(keep)
-                pos_l.extend(p for p, k in zip(per_doc, keep) if k)
-
-        # delta rows for this bucket (token files written by the delta
-        # tokenize stage)
+        old = pq.read_table(os.path.join(bdir, "postings.parquet"),
+                            columns=["term", "df", "docs_vb", "tfs_vb",
+                                     "pos_vb"])
+        parts = [_explode_surviving(old, affected, old_map, new_map,
+                                    store_positions)]
         delta_files = list(files) if files is not None and len(files) else []
         if delta_files:
             import pyarrow.dataset as pds
 
-            from search_engine_ray.codec import decode_positions
-
             dt = pds.dataset(delta_files).to_table(
                 columns=["term", "doc_id", "tf", "pos_vb"])
-            terms_l.append(np.asarray(dt.column("term").to_pylist(),
-                                      dtype=object))
-            di_d = dt.column("doc_id").to_numpy(zero_copy_only=False)
-            di_l.append(di_d)
-            tf_d = dt.column("tf").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            tf_l.append(tf_d)
-            dl_l.append(doclen_new[di_d])
-            if store_positions:
-                # tokens v2: per-doc blobs; their concatenation decodes
-                # as one stream segmented by tf
-                flat = decode_positions(
-                    b"".join(dt.column("pos_vb").to_pylist()), tf_d)
-                pos_l.extend(np.split(flat, np.cumsum(tf_d)[:-1]))
-
-        if terms_l:
-            cols = {
-                "term": np.concatenate(terms_l),
-                "doc_id": np.concatenate(di_l),
-                "tf": np.concatenate(tf_l).astype(np.int64),
-                "doc_len": np.concatenate(dl_l).astype(np.int64),
-            }
-            order = np.lexsort((cols["doc_id"], cols["term"]))
-            for k in ("term", "doc_id", "tf", "doc_len"):
-                cols[k] = cols[k][order]
-            if store_positions:
-                pos_arr = np.empty(len(pos_l), dtype=object)
-                for i, p in enumerate(pos_l):
-                    pos_arr[i] = p
-                cols["positions"] = pos_arr[order]
-            else:
-                cols["positions"] = np.empty(len(cols["term"]), dtype=object)
-            from search_engine_ray.stages.postings import _encode_sorted_bucket
-
-            table = _encode_sorted_bucket(cols, avgdl, store_positions)
-        else:
-            table = POSTINGS_SCHEMA.empty_table()
-        n_post = int(sum(len(x) for x in di_l)) if di_l else 0
+            parts.append(dt.cast(_TOKEN_SHAPE))
+        tok = pa.concat_tables(parts)
+        table, n_post = encode_token_table(tok, doclen_new, avgdl,
+                                           store_positions)
         _write_bucket(index_root, bucket, table, cfg_hash, n_post, t0)
         out.append((bucket, table.num_rows, n_post))
     return pd.DataFrame(out, columns=["bucket", "n_terms", "n_postings"])

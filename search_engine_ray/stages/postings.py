@@ -44,7 +44,6 @@ from search_engine_ray.codec import (
     delta_decode,
     delta_encode,
     encode_blockmax,
-    encode_positions,
     varbyte_decode,
     varbyte_encode,
 )
@@ -86,16 +85,6 @@ def _term_slices(terms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n]))
     return starts, ends
-
-
-def _flat_positions(pos_cells, store_positions: bool) -> bytes:
-    if not store_positions:
-        return b""
-    arrs = [np.asarray(p, dtype=np.int64) for p in pos_cells if p is not None and len(p)]
-    if not arrs:
-        return b""
-    lens = np.array([len(a) for a in arrs], dtype=np.int64)
-    return encode_positions(np.concatenate(arrs), lens)
 
 
 def encode_run(
@@ -169,27 +158,68 @@ def _manifest_row(bucket: int, n_terms: int, n_postings: int) -> pd.DataFrame:
     )
 
 
-def _encode_sorted_bucket(
-    cols: dict, avgdl: float, store_positions: bool
-) -> pa.Table:
-    """Encode a (term, doc_id)-sorted column dict into the postings table."""
-    starts, ends = _term_slices(cols["term"])
+def encode_token_table(
+    t: pa.Table, doclens: np.ndarray, avgdl: float, store_positions: bool
+) -> tuple[pa.Table, int]:
+    """Sort a token-shaped table — (term, doc_id ORDINAL, tf, pos_vb
+    per-doc blob) — by (term, doc_id) and encode it into the postings
+    schema; returns (table, n_postings).
+
+    The ONE encode kernel: both the full-build reducer
+    (``build_bucket_from_files``) and the delta merge
+    (``incremental._merge_bucket``) feed it, so an index produced by
+    apply_delta is byte-identical to a from-scratch build by
+    construction, not by parallel-implementation luck. BM25 doc lengths
+    are gathered from the ordinal->doc_len array; per-doc position blobs
+    (tokens v2) concatenate into a term's ``pos_vb`` as zero-decode byte
+    slices of the sorted binary column."""
+    import pyarrow.compute as pc
+
+    t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    t = t.combine_chunks()
+    term_col = t.column("term").chunk(0) if t.column("term").num_chunks \
+        else pa.array([], pa.string())
+    n = len(term_col)
+    if n > 1:
+        neq = pc.not_equal(term_col.slice(1), term_col.slice(0, n - 1))
+        starts = np.concatenate(
+            ([0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1))
+    else:
+        starts = np.zeros(min(n, 1), dtype=np.int64)
+    ends = np.concatenate((starts[1:], [n])) if n else starts
+    di = t.column("doc_id").to_numpy()
+    tf = t.column("tf").to_numpy().astype(np.int64)
+    dl = doclens[di] if n else np.empty(0, np.int64)
+    pos_chunk = t.column("pos_vb").chunk(0) if (
+        store_positions and t.column("pos_vb").num_chunks) else None
+    if pos_chunk is not None:
+        bufs = pos_chunk.buffers()
+        off_dt = np.int64 if pa.types.is_large_binary(pos_chunk.type) \
+            else np.int32  # tokens write large_binary; merges may not
+        offs = np.frombuffer(bufs[1], dtype=off_dt)[
+            pos_chunk.offset:pos_chunk.offset + n + 1]
+        pdata = np.frombuffer(bufs[2], dtype=np.uint8) \
+            if bufs[2] is not None else np.empty(0, np.uint8)
+
     rows = {k: [] for k in POSTINGS_SCHEMA.names}
     for s, e in zip(starts, ends):
-        docids = cols["doc_id"][s:e]
-        tfs = cols["tf"][s:e]
-        lens = cols["doc_len"][s:e]
+        docids = di[s:e]
+        tfs = tf[s:e]
+        lens = dl[s:e]
         partials = bm25_partial(tfs, lens, avgdl)
-        rows["term"].append(cols["term"][s])
+        rows["term"].append(term_col[s].as_py())
         rows["df"].append(int(e - s))
         rows["docs_vb"].append(varbyte_encode(delta_encode(docids)))
         rows["tfs_vb"].append(varbyte_encode(tfs))
         rows["lens_vb"].append(varbyte_encode(lens))
-        rows["pos_vb"].append(_flat_positions(cols["positions"][s:e], store_positions))
+        rows["pos_vb"].append(
+            pdata[offs[s]:offs[e]].tobytes()
+            if pos_chunk is not None else b"")
         rows["blockmax"].append(encode_blockmax(docids, partials))
         rows["max_partial"].append(float(partials.max()))
-    return pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
-                     for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
+    table = pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
+                      for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
+    return table, t.num_rows
 
 
 def build_bucket_from_files(
@@ -207,16 +237,15 @@ def build_bucket_from_files(
     sort/groupby exchange at all (classic external shuffle; the bucket is
     also the resume unit).
 
-    Everything stays in Arrow/numpy C kernels: one dataset read per bucket,
-    ``Table.sort_by`` for the (term, doc_id) order, term-run boundaries via
-    a vectorized not-equal on the sorted column. Positions arrive as
-    pre-encoded per-doc blobs (tokens format v2), so a term's ``pos_vb``
-    is a zero-decode byte-slice of the sorted binary column — the reducer
-    is memory-bandwidth-bound, and this moves ~1-2 bytes per position
-    through the sort instead of a list<int64>'s 8. BM25 doc lengths are
-    gathered from the broadcast ordinal->doc_len array (fetched once per
-    worker from the object store)."""
-    import pyarrow.compute as pc
+    Everything stays in Arrow/numpy C kernels (``encode_token_table``):
+    one dataset read per bucket, ``Table.sort_by`` for the (term, doc_id)
+    order, term-run boundaries via a vectorized not-equal on the sorted
+    column. Positions arrive as pre-encoded per-doc blobs (tokens format
+    v2), so a term's ``pos_vb`` is a zero-decode byte-slice of the sorted
+    binary column — the reducer is memory-bandwidth-bound, and this moves
+    ~1-2 bytes per position through the sort instead of a list<int64>'s 8.
+    BM25 doc lengths are gathered from the broadcast ordinal->doc_len
+    array (fetched once per worker from the object store)."""
     import pyarrow.dataset as pds
     import ray
 
@@ -228,52 +257,10 @@ def build_bucket_from_files(
         t = pds.dataset(list(row["files"])).to_table(
             columns=["term", "doc_id", "tf", "pos_vb"]
         )
-        t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-        t = t.combine_chunks()
-        term_col = t.column("term").chunk(0) if t.column("term").num_chunks \
-            else pa.array([], pa.string())
-        n = len(term_col)
-        if n > 1:
-            neq = pc.not_equal(term_col.slice(1), term_col.slice(0, n - 1))
-            starts = np.concatenate(
-                ([0],
-                 np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1)
-            )
-        else:
-            starts = np.zeros(min(n, 1), dtype=np.int64)
-        ends = np.concatenate((starts[1:], [n])) if n else starts
-        di = t.column("doc_id").to_numpy()
-        tf = t.column("tf").to_numpy().astype(np.int64)
-        dl = doclens[di] if n else np.empty(0, np.int64)
-        pos_chunk = t.column("pos_vb").chunk(0) if (
-            store_positions and t.column("pos_vb").num_chunks) else None
-        if pos_chunk is not None:
-            bufs = pos_chunk.buffers()
-            offs = np.frombuffer(bufs[1], dtype=np.int64)[
-                pos_chunk.offset:pos_chunk.offset + n + 1]
-            pdata = np.frombuffer(bufs[2], dtype=np.uint8) \
-                if bufs[2] is not None else np.empty(0, np.uint8)
-
-        rows = {k: [] for k in POSTINGS_SCHEMA.names}
-        for s, e in zip(starts, ends):
-            docids = di[s:e]
-            tfs = tf[s:e]
-            lens = dl[s:e]
-            partials = bm25_partial(tfs, lens, avgdl)
-            rows["term"].append(term_col[s].as_py())
-            rows["df"].append(int(e - s))
-            rows["docs_vb"].append(varbyte_encode(delta_encode(docids)))
-            rows["tfs_vb"].append(varbyte_encode(tfs))
-            rows["lens_vb"].append(varbyte_encode(lens))
-            rows["pos_vb"].append(
-                pdata[offs[s]:offs[e]].tobytes()
-                if pos_chunk is not None else b"")
-            rows["blockmax"].append(encode_blockmax(docids, partials))
-            rows["max_partial"].append(float(partials.max()))
-        table = pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
-                          for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
-        _write_bucket(index_root, bucket, table, cfg_hash, t.num_rows, t0)
-        out.append((bucket, table.num_rows, t.num_rows))
+        table, n_post = encode_token_table(t, doclens, avgdl,
+                                           store_positions)
+        _write_bucket(index_root, bucket, table, cfg_hash, n_post, t0)
+        out.append((bucket, table.num_rows, n_post))
     return pd.DataFrame(out, columns=["bucket", "n_terms", "n_postings"])
 
 
