@@ -158,6 +158,36 @@ def _manifest_row(bucket: int, n_terms: int, n_postings: int) -> pd.DataFrame:
     )
 
 
+def _vb_widths(v: np.ndarray) -> np.ndarray:
+    """Per-value varbyte byte widths (int64 values < 2**63)."""
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 9):
+        m = v >= (np.int64(1) << np.int64(7 * k))
+        if not m.any():
+            break
+        nb += m
+    return nb
+
+
+def _bin_from_stream(stream: bytes, byte_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy-ish binary array from one encoded stream + per-cell byte
+    offsets (len = cells + 1)."""
+    return pa.Array.from_buffers(
+        pa.binary(), byte_offsets.size - 1,
+        [None, pa.py_buffer(byte_offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(stream)])
+
+
+def _concat_aranges(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated (lens all >= 1)."""
+    total = int(lens.sum())
+    step = np.ones(total, dtype=np.int64)
+    step[0] = 0
+    seg = np.cumsum(lens)[:-1]
+    step[seg] -= lens[:-1]
+    return np.cumsum(step)
+
+
 def encode_token_table(
     t: pa.Table, doclens: np.ndarray, avgdl: float, store_positions: bool
 ) -> tuple[pa.Table, int]:
@@ -169,57 +199,120 @@ def encode_token_table(
     (``build_bucket_from_files``) and the delta merge
     (``incremental._merge_bucket``) feed it, so an index produced by
     apply_delta is byte-identical to a from-scratch build by
-    construction, not by parallel-implementation luck. BM25 doc lengths
-    are gathered from the ordinal->doc_len array; per-doc position blobs
-    (tokens v2) concatenate into a term's ``pos_vb`` as zero-decode byte
-    slices of the sorted binary column."""
+    construction, not by parallel-implementation luck.
+
+    Fully vectorized — no per-term Python encode loop and no Arrow
+    string sort:
+
+    * the (term, doc_id) order comes from dictionary-encoding the term
+      column, ranking the (small) dictionary with an Arrow sort (UTF-8
+      bytewise — identical order to the previous ``Table.sort_by``), and
+      ONE numpy lexsort over (doc_id, rank) — term strings are never
+      gathered per row;
+    * ``docs_vb`` / ``tfs_vb`` / ``lens_vb`` are encoded as ONE varbyte
+      stream each with per-term byte offsets (varbyte is value-delimited,
+      so the stream slice for a term is byte-identical to encoding that
+      term alone — the tokens-v2 property, cf. ``encode_positions_rowwise``);
+      docs deltas restart with an absolute head at each term start;
+    * block-max metadata is one ``np.maximum.reduceat`` over global block
+      starts; per-doc position blobs (tokens v2) are re-packed in sorted
+      order with a single ragged gather and byte-sliced per term.
+
+    BM25 doc lengths are gathered from the ordinal->doc_len array."""
     import pyarrow.compute as pc
 
-    t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    from search_engine_ray.codec import BLOCK_SIZE
+
     t = t.combine_chunks()
-    term_col = t.column("term").chunk(0) if t.column("term").num_chunks \
-        else pa.array([], pa.string())
-    n = len(term_col)
-    if n > 1:
-        neq = pc.not_equal(term_col.slice(1), term_col.slice(0, n - 1))
-        starts = np.concatenate(
-            ([0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1))
-    else:
-        starts = np.zeros(min(n, 1), dtype=np.int64)
-    ends = np.concatenate((starts[1:], [n])) if n else starts
+    n = t.num_rows
+    if n == 0:
+        return POSTINGS_SCHEMA.empty_table(), 0
+    term_col = t.column("term").chunk(0)
     di = t.column("doc_id").to_numpy()
     tf = t.column("tf").to_numpy().astype(np.int64)
-    dl = doclens[di] if n else np.empty(0, np.int64)
+
+    # ---- (term, doc_id) permutation via dictionary ranks ----------------
+    enc = pc.dictionary_encode(term_col)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    dict_arr = enc.dictionary
+    dsort = pc.array_sort_indices(dict_arr).to_numpy().astype(np.int64)
+    rank = np.empty(dsort.size, dtype=np.int64)
+    rank[dsort] = np.arange(dsort.size)
+    key = rank[codes]
+    order = np.lexsort((di, key))
+    di = di[order]
+    tf = tf[order]
+    key = key[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(np.diff(key) != 0) + 1)) \
+        if n > 1 else np.zeros(1, dtype=np.int64)
+    ends = np.concatenate((starts[1:], [n]))
+    df = ends - starts
+    dl = doclens[di]
+    partials = bm25_partial(tf, dl, avgdl)
+
+    # ---- one varbyte stream per column, per-term byte offsets -----------
+    d = np.empty(n, dtype=np.int64)
+    d[0] = di[0]
+    np.subtract(di[1:], di[:-1], out=d[1:])
+    d[starts] = di[starts]  # absolute head per term
+    cells = {}
+    for name, vals in (("docs_vb", d), ("tfs_vb", tf), ("lens_vb", dl)):
+        byte_ends = np.cumsum(_vb_widths(vals))
+        offs = np.zeros(starts.size + 1, dtype=np.int64)
+        offs[1:] = byte_ends[ends - 1]
+        cells[name] = _bin_from_stream(varbyte_encode(vals.view(np.uint64)),
+                                       offs)
+
+    # ---- block-max metadata, vectorized over all terms ------------------
+    nblk = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_starts = np.repeat(starts, nblk) + _concat_aranges(nblk) * BLOCK_SIZE
+    blk_ends = np.minimum(blk_starts + BLOCK_SIZE, np.repeat(ends, nblk))
+    lasts = di[blk_ends - 1].astype("<i8")
+    maxs = np.maximum.reduceat(partials, blk_starts).astype("<f8")
+    blk_bounds = np.concatenate(([0], np.cumsum(nblk)))
+    max_partial = np.maximum.reduceat(maxs, blk_bounds[:-1])
+    blockmax_cells = [
+        lasts[a:b].tobytes() + maxs[a:b].tobytes()
+        for a, b in zip(blk_bounds[:-1], blk_bounds[1:])
+    ]
+
+    # ---- per-doc position blobs: ragged gather into sorted order --------
     pos_chunk = t.column("pos_vb").chunk(0) if (
         store_positions and t.column("pos_vb").num_chunks) else None
     if pos_chunk is not None:
-        bufs = pos_chunk.buffers()
-        off_dt = np.int64 if pa.types.is_large_binary(pos_chunk.type) \
+        # Arrow's C++ take does the ragged per-row byte gather natively
+        # (a numpy fancy-gather here needs 8x-amplified int64 index
+        # temporaries — measured 10x slower cold on this hypervisor)
+        sorted_pos = pos_chunk.take(pa.array(order))
+        bufs = sorted_pos.buffers()
+        off_dt = np.int64 if pa.types.is_large_binary(sorted_pos.type) \
             else np.int32  # tokens write large_binary; merges may not
-        offs = np.frombuffer(bufs[1], dtype=off_dt)[
-            pos_chunk.offset:pos_chunk.offset + n + 1]
+        p_offs = np.frombuffer(bufs[1], dtype=off_dt)[
+            sorted_pos.offset:sorted_pos.offset + n + 1].astype(np.int64)
         pdata = np.frombuffer(bufs[2], dtype=np.uint8) \
             if bufs[2] is not None else np.empty(0, np.uint8)
+        pos_offs = p_offs[np.concatenate((starts, [n]))] - p_offs[0]
+        pos_cell = _bin_from_stream(
+            pdata[p_offs[0]:p_offs[-1]].tobytes(), pos_offs)
+    else:
+        pos_cell = _bin_from_stream(
+            b"", np.zeros(starts.size + 1, dtype=np.int64))
 
-    rows = {k: [] for k in POSTINGS_SCHEMA.names}
-    for s, e in zip(starts, ends):
-        docids = di[s:e]
-        tfs = tf[s:e]
-        lens = dl[s:e]
-        partials = bm25_partial(tfs, lens, avgdl)
-        rows["term"].append(term_col[s].as_py())
-        rows["df"].append(int(e - s))
-        rows["docs_vb"].append(varbyte_encode(delta_encode(docids)))
-        rows["tfs_vb"].append(varbyte_encode(tfs))
-        rows["lens_vb"].append(varbyte_encode(lens))
-        rows["pos_vb"].append(
-            pdata[offs[s]:offs[e]].tobytes()
-            if pos_chunk is not None else b"")
-        rows["blockmax"].append(encode_blockmax(docids, partials))
-        rows["max_partial"].append(float(partials.max()))
-    table = pa.table({k: pa.array(v, POSTINGS_SCHEMA.field(k).type)
-                      for k, v in rows.items()}, schema=POSTINGS_SCHEMA)
-    return table, t.num_rows
+    table = pa.table(
+        {
+            "term": dict_arr.take(pa.array(dsort)).cast(pa.string()),
+            "df": pa.array(df, pa.int64()),
+            "docs_vb": cells["docs_vb"],
+            "tfs_vb": cells["tfs_vb"],
+            "lens_vb": cells["lens_vb"],
+            "pos_vb": pos_cell,
+            "blockmax": pa.array(blockmax_cells, pa.binary()),
+            "max_partial": pa.array(max_partial, pa.float64()),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+    return table, n
 
 
 def build_bucket_from_files(
