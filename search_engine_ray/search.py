@@ -186,23 +186,46 @@ class LocalSearcher:
 
     # --- term resolution --------------------------------------------------
 
+    def _has_term(self, term: str) -> bool:
+        """Existence probe — bisect only, no blob materialization."""
+        return self.bucket(term_bucket(term, self.num_buckets)) \
+            .find(term) is not None
+
     def _posting_for(self, term: str) -> dict | None:
+        """Raw posting record, LRU-cached per term: ``_Bucket.record``
+        copies every blob column out of Arrow (``.as_py()`` on a head
+        term's cells moves ~MBs), which dominated warm query time when
+        re-fetched per query — 74% of a head-pair OR profile."""
+        if not hasattr(self, "_rec_cache"):
+            from collections import OrderedDict
+
+            self._rec_cache = OrderedDict()
+        cache = self._rec_cache
+        hit = cache.get(term)
+        if hit is not None:
+            cache.move_to_end(term)
+            return hit
         bk = self.bucket(term_bucket(term, self.num_buckets))
         i = bk.find(term)
-        return None if i is None else bk.record(i)
+        if i is None:
+            return None
+        rec = bk.record(i)
+        cache[term] = rec
+        if len(cache) > self._DECODE_CACHE_MAX:
+            cache.popitem(last=False)
+        return rec
 
     def expand(self, queries: list[str], search_type: str) -> list[str]:
         """Concrete sorted term list a query scores (same contract as
         oracle.OracleIndex.expand)."""
         if search_type == "exact":
             cands = queries[:1]
-            terms = [q for q in cands if self._posting_for(q) is not None]
+            terms = [q for q in cands if self._has_term(q)]
         elif search_type == "or":
-            terms = [q for q in queries if self._posting_for(q) is not None]
+            terms = [q for q in queries if self._has_term(q)]
         elif search_type == "and":
             # conjunctive: all terms must exist, else the result is empty
-            if queries and all(self._posting_for(q) is not None
-                               for q in queries):
+            if queries and all(self._has_term(q) for q in queries):
                 terms = list(queries)
             else:
                 terms = []
@@ -250,6 +273,9 @@ class LocalSearcher:
             cache.move_to_end(term)
             return hit
         dec = decode_posting(rec)
+        # idf-free partial depends only on per-searcher constants — cache
+        # it with the decode so warm queries skip the float recompute
+        dec["partial"] = _partials(dec, self.avgdl, self.k1, self.b)
         cache[term] = dec
         if len(cache) > self._DECODE_CACHE_MAX:
             cache.popitem(last=False)
@@ -300,7 +326,7 @@ class LocalSearcher:
         id_parts, sc_parts = [], []
         for t, rec, idf in gathered:  # lexicographic term order
             dec = self._decode(t, rec)
-            partial = _partials(dec, self.avgdl, self.k1, self.b)
+            partial = dec["partial"]
             id_parts.append(dec["docids"])
             sc_parts.append(idf * partial)
         if len(id_parts) == 1:
@@ -329,8 +355,7 @@ class LocalSearcher:
         totals = np.zeros(ids.size, dtype=np.float64)
         for _, dec, idf in decs:  # lexicographic (gathered is term-sorted)
             pos = np.searchsorted(dec["docids"], ids)
-            partial = _partials(dec, self.avgdl, self.k1, self.b)
-            totals += idf * partial[pos]
+            totals += idf * dec["partial"][pos]
         top = _topk_indices(ids, totals, k)
         return ids[top], totals[top]
 
@@ -471,7 +496,7 @@ class LocalSearcher:
             docids = dec["docids"]
             if docids.size == 0:
                 continue
-            partial = idf * _partials(dec, self.avgdl, self.k1, self.b)
+            partial = idf * dec["partial"]
             lasts, maxs = decode_blockmax(rec["blockmax"])
             ubs = idf * maxs
             # block i spans (lasts[i-1], lasts[i]] in ordinal space; its
