@@ -88,6 +88,15 @@ def cmd_query(args) -> int:
 
         res = SuggestionExpander(s).search_with_suggestions(
             args.terms[0], k=args.k, scorer=args.scorer)
+    elif getattr(args, "highlight", False):
+        # app-flow parity: matched lines + char spans per hit (the Swing
+        # preview pane's highlight data, highlight.py)
+        from search_engine_ray.highlight import search_highlights
+
+        res = search_highlights(s, args.terms, args.type, k=args.k,
+                                scorer=args.scorer)
+        print(json.dumps(res.to_pylist()))
+        return 0
     else:
         res = s.search(args.terms, args.type, k=args.k, scorer=args.scorer)
     print(json.dumps(res.to_pylist()))
@@ -211,6 +220,9 @@ def main(argv: list[str] | None = None) -> int:
                             "suggest"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
+    q.add_argument("--highlight", action="store_true",
+                   help="emit matched lines + char spans per hit "
+                        "(exact/or/and/prefix; local index only)")
     q.add_argument("--sharded", action="store_true",
                    help="--index is a doc-sharded root (sharded-build)")
     q.set_defaults(fn=cmd_query)
