@@ -68,6 +68,174 @@ SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= {threshold}
 """
 
 
+def _repetition_sql() -> str:
+    """Gopher-style repetition fractions in SQL: non-empty-line duplicate
+    fractions via per-(doc,line) counts, token 3-/2-gram stats via the
+    same list_transform n-gram construction as _ngram_jaccard_sql (token
+    strings contain no spaces, so the joined string is a faithful tuple
+    key). Same newline-split convention as phrase_search's oracle."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\r\\n|\\r|\\n')) AS line
+  FROM documents),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lines WHERE line <> ''
+       GROUP BY doc_id, line),
+lagg AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_uniq,
+                sum(length(line) * c) AS total_chars,
+                sum(CASE WHEN c >= 2 THEN length(line) * c ELSE 0 END)
+                    AS dup_chars
+         FROM lc GROUP BY doc_id),
+toksl AS (SELECT doc_id, regexp_extract_all(text, '{TOK}') AS ts
+          FROM documents),
+g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                  i -> array_to_string(ts[i:i+2], ' '))) AS g
+       FROM toksl WHERE len(ts) >= 3),
+g3a AS (SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS u3
+        FROM g3 GROUP BY doc_id),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                  i -> array_to_string(ts[i:i+1], ' '))) AS g
+       FROM toksl WHERE len(ts) >= 2),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+g2a AS (SELECT doc_id, max(c) AS mx, sum(c) AS n2 FROM g2c GROUP BY doc_id)
+SELECT d.doc_id,
+       round(coalesce(1.0 - la.n_uniq::DOUBLE / la.n_lines, 0.0), 6)
+           AS dup_line_frac,
+       round(coalesce(CASE WHEN la.total_chars > 0
+                 THEN la.dup_chars::DOUBLE / la.total_chars END, 0.0), 6)
+           AS dup_line_char_frac,
+       round(coalesce(1.0 - g3a.u3::DOUBLE / g3a.n3, 0.0), 6)
+           AS dup_3gram_frac,
+       round(coalesce(g2a.mx::DOUBLE / g2a.n2, 0.0), 6) AS top_2gram_frac
+FROM documents d
+LEFT JOIN lagg la USING (doc_id)
+LEFT JOIN g3a USING (doc_id)
+LEFT JOIN g2a USING (doc_id)
+"""
+
+
+def _surprisal_sql() -> str:
+    """The unigram-LM surprisal score in SQL: train the add-one-smoothed
+    unigram model (freq + totals CTEs) and score every doc as
+    avg(ln(T+V) - ln(c+1)) — the same double-precision expression the
+    SurprisalBatch kernel evaluates (6-dp rounding absorbs sum-order and
+    libm ulps, as in the bm25 oracle)."""
+    return f"""
+{_TOKS_CTE},
+freq AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+stats AS (SELECT (SELECT count(*)::DOUBLE FROM toks) AS t,
+                 (SELECT count(DISTINCT term)::DOUBLE FROM toks) AS v),
+per AS (SELECT toks.doc_id, count(*)::BIGINT AS n,
+               avg(ln(stats.t + stats.v) - ln(freq.c + 1)) AS nll
+        FROM toks JOIN freq USING (term) CROSS JOIN stats
+        GROUP BY toks.doc_id)
+SELECT d.doc_id, coalesce(per.n, 0) AS n_tokens,
+       round(coalesce(per.nll, 0.0), 6) AS mean_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def _shingle_sh_cte(k: int) -> str:
+    """toksl/shingle_strs/sh CTE body for k-gram 61-bit shingle hashes —
+    the md5_number_lower convention shared with _minhash_sql and
+    functions/dedup._shingle_hash_array."""
+    return f"""
+toksl AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOK}') AS ts FROM documents),
+shingle_strs AS (
+  SELECT doc_id,
+     CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+          WHEN len(ts) < {k} THEN [array_to_string(ts, ' ')]
+          ELSE list_transform(range(1, len(ts) - {k - 2}),
+                              i -> array_to_string(
+                                  ts[i:i+{k - 1}], ' '))
+     END AS shs
+  FROM toksl),
+sh AS (
+  SELECT DISTINCT doc_id,
+         (md5_number_lower(s) % 2305843009213693952)::BIGINT AS x
+  FROM (SELECT doc_id, unnest(shs) AS s FROM shingle_strs))"""
+
+
+def _decontam_sql(eval_mod=10, eval_rem=7, k=8) -> str:
+    """Benchmark decontamination in SQL: the eval slice's distinct
+    k-gram hash union, LEFT-JOIN membership counts per training doc."""
+    return f"""
+WITH {_shingle_sh_cte(k)},
+evals AS (SELECT DISTINCT x FROM sh WHERE doc_id % {eval_mod} = {eval_rem}),
+cnt AS (SELECT sh.doc_id, count(*) AS n_grams, count(e.x) AS n_hit
+        FROM sh LEFT JOIN evals e ON e.x = sh.x
+        WHERE sh.doc_id % {eval_mod} <> {eval_rem}
+        GROUP BY sh.doc_id)
+SELECT b.doc_id,
+       coalesce(cnt.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(cnt.n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(CASE WHEN cnt.n_grams > 0
+                 THEN cnt.n_hit::DOUBLE / cnt.n_grams END, 0.0), 6)
+           AS contam_frac,
+       (CASE WHEN coalesce(cnt.n_hit, 0) >= 1 THEN 1 ELSE 0 END)::BIGINT
+           AS contaminated
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {eval_mod} <> {eval_rem}) b
+LEFT JOIN cnt USING (doc_id)
+"""
+
+
+def _corpus_filter_sql(eval_mod=10, eval_rem=7, k=8, min_tokens=20,
+                       min_quality=0.5, max_dup3=0.6) -> str:
+    """The composite keep/reject gate in SQL — the quality, repetition
+    and contamination expressions are the SAME 6-dp-rounded expressions
+    as their standalone oracles, so thresholding sees identical values
+    in both engines; reason = first failing rule."""
+    stop = "('the','a','and','of','to','in','is','it','that','for')"
+    return f"""
+WITH {_shingle_sh_cte(k)},
+evals AS (SELECT DISTINCT x FROM sh WHERE doc_id % {eval_mod} = {eval_rem}),
+hits AS (SELECT sh.doc_id, count(e.x) AS n_hit
+         FROM sh LEFT JOIN evals e ON e.x = sh.x GROUP BY sh.doc_id),
+toks AS (SELECT doc_id, unnest(ts) AS term FROM toksl),
+agg AS (SELECT doc_id, count(*) AS n,
+               sum(CASE WHEN term IN {stop} THEN 1 ELSE 0 END) AS shits
+        FROM toks GROUP BY doc_id),
+base AS (SELECT d.doc_id,
+                coalesce(a.n, 0) AS n,
+                coalesce(a.shits, 0) AS shits,
+                CASE WHEN length(coalesce(d.text, '')) > 0
+                     THEN len(regexp_extract_all(
+                              d.text, '[A-Za-z]'))::DOUBLE / length(d.text)
+                     ELSE 0.0 END AS alpha
+         FROM documents d LEFT JOIN agg a USING (doc_id)),
+qual AS (SELECT doc_id, n,
+                round(0.4 * least(1.0, n / 50.0)
+                      + 0.3 * least(1.0, alpha * 1.25)
+                      + 0.3 * least(1.0,
+                            shits::DOUBLE / greatest(1, n) * 10), 6) AS q
+         FROM base),
+g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                  i -> array_to_string(ts[i:i+2], ' '))) AS g
+       FROM toksl WHERE len(ts) >= 3),
+g3a AS (SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS u3
+        FROM g3 GROUP BY doc_id),
+sig AS (SELECT d.doc_id, qual.n AS n_tokens, qual.q,
+               round(coalesce(1.0 - g3a.u3::DOUBLE / g3a.n3, 0.0), 6)
+                   AS dup3,
+               coalesce(h.n_hit, 0) AS n_hit
+        FROM documents d
+        JOIN qual ON qual.doc_id = d.doc_id
+        LEFT JOIN g3a ON g3a.doc_id = d.doc_id
+        LEFT JOIN hits h ON h.doc_id = d.doc_id)
+SELECT doc_id,
+       (CASE WHEN reason = '' THEN 1 ELSE 0 END)::BIGINT AS keep, reason
+FROM (SELECT doc_id,
+             CASE WHEN doc_id % {eval_mod} = {eval_rem} THEN 'eval_holdout'
+                  WHEN n_tokens < {min_tokens} THEN 'too_short'
+                  WHEN q < {min_quality} THEN 'low_quality'
+                  WHEN dup3 > {max_dup3} THEN 'repetitive'
+                  WHEN n_hit >= 1 THEN 'contaminated'
+                  ELSE '' END AS reason
+      FROM sig)
+"""
+
+
 def _ann_lsh_sql(k=10, n_planes=6, n_probe=2, n_q=5, seed=13,
                  dim=64) -> str:
     """The FULL multi-probe hyperplane-LSH top-k in SQL: the 6 seeded
@@ -317,6 +485,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": d.simhash_pairs,        # SQL-checked since r3
         "ngram_jaccard_pairs": d.ngram_jaccard_pairs,  # exact; brute-force oracle
         "embedding_near_dups_exact": e.embedding_near_dups_exact,
+        # --- webtext curation family (functions/webtext.py, new in r3) ---
+        "repetition_scores": d.repetition_scores,
+        "source_stats": d.source_stats_agg,
+        "unigram_surprisal": d.unigram_surprisal_scores,
+        "decontaminate": d.decontaminate_docs,
+        "corpus_filter": d.corpus_filter_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -566,6 +740,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM sess GROUP BY user_id, sid
         """,
+        "repetition_scores": _repetition_sql(),
+        "source_stats": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars,
+                   round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*),
+                         6) AS dup_text_frac
+            FROM documents GROUP BY source
+        """,
+        "unigram_surprisal": _surprisal_sql(),
+        "decontaminate": _decontam_sql(),
+        "corpus_filter": _corpus_filter_sql(),
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),

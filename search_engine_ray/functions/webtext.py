@@ -1,0 +1,422 @@
+"""Webtext corpus-curation signals for large-scale pre-training pipelines.
+
+Gopher-style repetition statistics, per-source corpus statistics, a
+dependency-free unigram-LM surprisal score (the KenLM-perplexity-filter
+analogue), benchmark decontamination by n-gram overlap, and a composite
+keep/reject corpus filter chaining them. Each is a streaming
+``map_batches`` stage over the ``documents`` table and each is
+reproducible in DuckDB SQL (``__ray_entry__.oracle_sql``) for the
+driver's cross-engine value-hash check.
+
+Public method references (patterns only, all published):
+- Rae et al., "Scaling Language Models: ... Gopher" (arXiv:2112.11446)
+  §A1.1 — duplicate-line / duplicate-n-gram repetition filters.
+- Wenzek et al., "CCNet" (arXiv:1911.00359) — LM-score quality
+  bucketing (here: a corpus-trained unigram LM instead of KenLM).
+- Brown et al., "GPT-3" (arXiv:2005.14165) Appendix C — benchmark
+  decontamination by n-gram overlap against a held-out eval set.
+
+Scale notes: every per-doc signal is an embarrassingly-parallel
+``map_batches`` pass (no shuffle). The unigram LM and the eval
+shingle set are the only cross-doc state; both are bounded small
+(vocabulary / benchmark-sized), built with ONE bucketed aggregate and
+broadcast once per actor via ``ray.put`` — never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from search_engine_ray.functions.dedup import _shingle_hash_array
+from search_engine_ray.functions.textstats import (
+    round_half_away,
+    token_regex,
+)
+
+log = logging.getLogger(__name__)
+
+_LINE_SPLIT = re.compile(r"\r\n|\r|\n")
+
+# Vocabulary sizes beyond this get logged — the broadcast unigram table
+# is vocab-bounded (webtext vocabularies plateau in the tens of millions;
+# ~16 bytes/term), but the log makes the assumption visible at scale.
+BROADCAST_VOCAB_WARN = 50_000_000
+
+
+class RepetitionStatsBatch:
+    """Per-doc repetition signals (Gopher §A1.1 family):
+
+    - ``dup_line_frac``      1 - distinct/total over non-empty lines
+    - ``dup_line_char_frac`` chars inside lines occurring >= 2x / chars
+    - ``dup_3gram_frac``     1 - distinct/total over token 3-grams
+    - ``top_2gram_frac``     occurrences of the most frequent token
+                             2-gram / total 2-grams
+
+    All fractions are 0.0 when the denominator is empty and are rounded
+    half-away-from-zero at 6 dp (dyadic fractions like 1/128 DO hit
+    .5 ties at 6 dp, where banker's rounding would diverge from SQL).
+    """
+
+    def __init__(self):
+        self._re = token_regex()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        dlf = np.zeros(n)
+        dlcf = np.zeros(n)
+        d3f = np.zeros(n)
+        t2f = np.zeros(n)
+        findall = self._re.findall
+        for i, t in enumerate(texts):
+            lines = [ln for ln in _LINE_SPLIT.split(t) if ln] if t else []
+            if lines:
+                cnt = Counter(lines)
+                dlf[i] = 1.0 - len(cnt) / len(lines)
+                total_chars = sum(len(ln) * c for ln, c in cnt.items())
+                if total_chars:
+                    dup_chars = sum(len(ln) * c for ln, c in cnt.items()
+                                    if c >= 2)
+                    dlcf[i] = dup_chars / total_chars
+            toks = findall(t) if t else []
+            if len(toks) >= 3:
+                tg = Counter(zip(toks, toks[1:], toks[2:]))
+                d3f[i] = 1.0 - len(tg) / (len(toks) - 2)
+            if len(toks) >= 2:
+                bg = Counter(zip(toks, toks[1:]))
+                t2f[i] = max(bg.values()) / (len(toks) - 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dup_line_frac": pa.array(
+                    [round_half_away(x) for x in dlf], pa.float64()),
+                "dup_line_char_frac": pa.array(
+                    [round_half_away(x) for x in dlcf], pa.float64()),
+                "dup_3gram_frac": pa.array(
+                    [round_half_away(x) for x in d3f], pa.float64()),
+                "top_2gram_frac": pa.array(
+                    [round_half_away(x) for x in t2f], pa.float64()),
+            }
+        )
+
+
+def source_stats(ds, num_buckets: int = 64):
+    """Per-source corpus curation stats: doc count, language spread,
+    char volume, and exact-duplicate fraction (1 - distinct md5 / docs).
+
+    The domain/source-level view is the curation unit for webtext
+    (per-domain quality gates, per-domain dedup priors). One coarse
+    bucketed aggregate on the source key — source cardinality is
+    domain-count-bounded, far below doc count, so the shuffle is tiny
+    relative to the corpus scan."""
+    import pandas as pd
+
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars"),
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow", batch_size=2048)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("lang", "size"),
+            n_langs=("lang", "nunique"),
+            total_chars=("n_chars", "sum"),
+            n_uniq=("text_md5", "nunique"),
+        )
+        out["mean_chars"] = [
+            round_half_away(t / n)
+            for t, n in zip(out["total_chars"], out["n_docs"])
+        ]
+        out["dup_text_frac"] = [
+            round_half_away(1.0 - u / n)
+            for u, n in zip(out["n_uniq"], out["n_docs"])
+        ]
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_langs"] = out["n_langs"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out.drop(columns=["n_uniq"])
+
+    return bucketed_group_agg(rows, ["source"], per_bucket,
+                              num_buckets=num_buckets)
+
+
+class TermCountBatch:
+    """(doc_id, text) -> map-side-combined (term, c) partial counts."""
+
+    def __init__(self):
+        self._re = token_regex()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        findall = self._re.findall
+        for t in batch.column("text").to_pylist():
+            cnt.update(findall(t) if t else ())
+        return pa.table(
+            {
+                "term": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(np.fromiter(cnt.values(), dtype=np.int64,
+                                          count=len(cnt))),
+            }
+        )
+
+
+def _unigram_model(ds, num_buckets: int = 64):
+    """Corpus unigram counts -> (sorted term ndarray, count ndarray,
+    total_tokens, vocab_size). One bucketed aggregate over map-side
+    partial counts; the result is vocabulary-sized (logged above the
+    broadcast advisory threshold), NOT corpus-sized."""
+    import pandas as pd
+
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    partials = ds.map_batches(TermCountBatch(), batch_format="pyarrow",
+                              batch_size=2048)
+    counts = bucketed_group_agg(
+        partials, ["term"],
+        lambda g: g.groupby("term", as_index=False).agg(c=("c", "sum")),
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if len(counts) > BROADCAST_VOCAB_WARN:
+        log.warning("unigram vocabulary %d exceeds broadcast advisory %d",
+                    len(counts), BROADCAST_VOCAB_WARN)
+    counts = counts.sort_values("term", kind="mergesort")
+    terms = counts["term"].to_numpy(dtype=object)
+    c = counts["c"].to_numpy(dtype=np.int64)
+    return terms, c, int(c.sum()), len(terms)
+
+
+class SurprisalBatch:
+    """Per-doc mean negative log-likelihood under the corpus unigram LM
+    with add-one smoothing: p(t) = (c(t)+1)/(T+V); OOV tokens score as
+    c=0. The (term -> count) table arrives as ONE ``ray.put`` object ref,
+    fetched zero-copy once per actor; per-batch lookup is a single
+    vectorized searchsorted over the batch's concatenated token stream."""
+
+    def __init__(self, model_ref):
+        self._re = token_regex()
+        terms, c, total, vocab = ray.get(model_ref)
+        self._terms = terms
+        self._logc1 = np.log(c.astype(np.float64) + 1.0)
+        self._log_denom = float(np.log(float(total + vocab)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        findall = self._re.findall
+        per_doc = [findall(t) if t else [] for t in texts]
+        lens = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        flat = np.array([w for p in per_doc for w in p], dtype=object)
+        mean_nll = np.zeros(len(texts))
+        if flat.size:
+            idx = np.searchsorted(self._terms, flat)
+            idx_c = np.clip(idx, 0, len(self._terms) - 1)
+            hit = self._terms[idx_c] == flat
+            tok_logc1 = np.where(hit, self._logc1[idx_c], 0.0)  # ln(0+1)=0
+            sums = np.add.reduceat(
+                np.concatenate([tok_logc1, [0.0]]),
+                np.concatenate([[0], np.cumsum(lens)[:-1]]))[:len(per_doc)]
+            nz = lens > 0
+            mean_nll[nz] = self._log_denom - sums[nz] / lens[nz]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(lens),
+                "mean_nll": pa.array(
+                    [round_half_away(x) for x in mean_nll], pa.float64()),
+            }
+        )
+
+
+def unigram_surprisal(ds, batch_size: int = 1024):
+    """CCNet-style LM quality score, dependency-free: pass 1 trains the
+    corpus unigram LM (bucketed aggregate), pass 2 scores every doc
+    against the broadcast model. High mean_nll = improbable/garbled text,
+    low = repetitive/templated — the standard bucketing signal."""
+    model_ref = ray.put(_unigram_model(ds))
+    return ds.map_batches(
+        SurprisalBatch, fn_constructor_args=(model_ref,),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+    )
+
+
+def eval_shingle_set(ds, eval_mod: int = 10, eval_rem: int = 7,
+                     k: int = 8) -> np.ndarray:
+    """Distinct k-gram shingle hashes of the held-out eval slice
+    (doc_id %% eval_mod == eval_rem). Hash convention ==
+    dedup._shingle_hash_array (md5_number_lower masked to 61 bits), so
+    the whole decontamination pipeline is SQL-reproducible.
+
+    The eval union is benchmark-sized by construction (eval sets are
+    small); materializing it on the driver and broadcasting is the
+    production-correct design (GPT-3 App. C does exactly this)."""
+    tok_re = token_regex()
+
+    def eval_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % eval_mod) == eval_rem
+        hs = [
+            _shingle_hash_array(t, tok_re, k)
+            for t, m in zip(batch.column("text").to_pylist(), keep) if m
+        ]
+        out = (np.unique(np.concatenate(hs)) if hs
+               else np.empty(0, dtype=np.int64))
+        return pa.table({"h": pa.array(out, pa.int64())})
+
+    parts = ds.map_batches(eval_hashes, batch_format="pyarrow",
+                           batch_size=2048).to_pandas()
+    return np.unique(parts["h"].to_numpy(dtype=np.int64))
+
+
+class DecontamBatch:
+    """Per-doc n-gram overlap against the broadcast eval shingle set:
+    (n_grams, n_hit, contam_frac, contaminated). Membership is one
+    sorted-array searchsorted per doc — no shuffle, no joins."""
+
+    def __init__(self, eval_ref, eval_mod: int = 10, eval_rem: int = 7,
+                 k: int = 8):
+        self._re = token_regex()
+        self._eval = ray.get(eval_ref)
+        self._mod, self._rem, self._k = eval_mod, eval_rem, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        keep = (ids % self._mod) != self._rem
+        out_id, out_n, out_hit = [], [], []
+        ev = self._eval
+        for d, t, m in zip(ids, texts, keep):
+            if not m:
+                continue
+            hs = _shingle_hash_array(t, self._re, self._k)
+            n_hit = 0
+            if hs.size and ev.size:
+                pos = np.searchsorted(ev, hs)
+                pos_c = np.clip(pos, 0, ev.size - 1)
+                n_hit = int((ev[pos_c] == hs).sum())
+            out_id.append(int(d))
+            out_n.append(int(hs.size))
+            out_hit.append(n_hit)
+        frac = [
+            round_half_away(h / n) if n else 0.0
+            for h, n in zip(out_hit, out_n)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+                "n_hit": pa.array(out_hit, pa.int64()),
+                "contam_frac": pa.array(frac, pa.float64()),
+                "contaminated": pa.array(
+                    [1 if h >= 1 else 0 for h in out_hit], pa.int64()),
+            }
+        )
+
+
+def decontaminate(ds, eval_mod: int = 10, eval_rem: int = 7, k: int = 8,
+                  batch_size: int = 1024):
+    """GPT-3-style benchmark decontamination: flag training docs sharing
+    any k-gram with the held-out eval slice. Returns non-eval docs only
+    (the eval slice itself is the benchmark, not training data)."""
+    ev = eval_shingle_set(ds, eval_mod, eval_rem, k)
+    ev_ref = ray.put(ev)
+    return ds.map_batches(
+        DecontamBatch, fn_constructor_args=(ev_ref, eval_mod, eval_rem, k),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+    )
+
+
+class CorpusFilterBatch:
+    """Composite keep/reject decision per doc, first-failing-rule reason:
+
+    1. eval_holdout   doc is in the benchmark slice (never train on it)
+    2. too_short      n_tokens < min_tokens
+    3. low_quality    composite quality score < min_quality
+    4. repetitive     dup_3gram_frac > max_dup3
+    5. contaminated   shares an 8-gram with the eval set
+    else keep.
+
+    Composes the EXACT production signal stages (QualityScoreBatch,
+    RepetitionStatsBatch, DecontamBatch) per batch so the thresholds see
+    bit-identical values to the standalone pipelines; re-tokenization
+    per signal is the price of zero drift (a fused single-tokenize pass
+    is the documented optimization if this becomes hot)."""
+
+    def __init__(self, eval_ref, eval_mod: int = 10, eval_rem: int = 7,
+                 k: int = 8, min_tokens: int = 20, min_quality: float = 0.5,
+                 max_dup3: float = 0.6):
+        from search_engine_ray.functions.textstats import (
+            QualityScoreBatch,
+            TokenStatsBatch,
+        )
+
+        self._tok = TokenStatsBatch()
+        self._qual = QualityScoreBatch()
+        self._rep = RepetitionStatsBatch()
+        self._dec = DecontamBatch(eval_ref, eval_mod, eval_rem, k)
+        self._mod, self._rem = eval_mod, eval_rem
+        self._min_tokens = min_tokens
+        self._min_quality = min_quality
+        self._max_dup3 = max_dup3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ntok = self._tok(batch).column("n_tokens").to_numpy()
+        qual = self._qual(batch).column("quality").to_numpy()
+        dup3 = self._rep(batch).column("dup_3gram_frac").to_numpy()
+        dec = self._dec(batch)
+        contam = dict(
+            zip(dec.column("doc_id").to_pylist(),
+                dec.column("contaminated").to_pylist()))
+        keep, reason = [], []
+        for i, d in enumerate(ids):
+            if (d % self._mod) == self._rem:
+                r = "eval_holdout"
+            elif ntok[i] < self._min_tokens:
+                r = "too_short"
+            elif qual[i] < self._min_quality:
+                r = "low_quality"
+            elif dup3[i] > self._max_dup3:
+                r = "repetitive"
+            elif contam.get(int(d), 0):
+                r = "contaminated"
+            else:
+                r = ""
+            keep.append(0 if r else 1)
+            reason.append(r)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "keep": pa.array(keep, pa.int64()),
+                "reason": pa.array(reason, pa.string()),
+            }
+        )
+
+
+def corpus_filter(ds, batch_size: int = 1024, **kw):
+    """The end-to-end webtext keep/reject gate (all signals composed)."""
+    ev = eval_shingle_set(ds, kw.get("eval_mod", 10), kw.get("eval_rem", 7),
+                          kw.get("k", 8))
+    ev_ref = ray.put(ev)
+    return ds.map_batches(
+        CorpusFilterBatch, fn_constructor_args=(ev_ref,),
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+    )

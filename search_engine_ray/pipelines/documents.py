@@ -348,6 +348,48 @@ def ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_near_dups(load_documents(sf_dir), threshold=0.5)
 
 
+# --- webtext curation signals (functions/webtext.py) ----------------------
+
+
+def repetition_scores(sf_dir: str):
+    """Gopher-style per-doc repetition fractions (dup lines / n-grams)."""
+    from search_engine_ray.functions.webtext import RepetitionStatsBatch
+
+    return load_documents(sf_dir).map_batches(
+        RepetitionStatsBatch(), batch_format="pyarrow", batch_size=1024
+    )
+
+
+def source_stats_agg(sf_dir: str):
+    """Per-source curation stats (docs, langs, chars, exact-dup frac)."""
+    from search_engine_ray.functions.webtext import source_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text", "lang", "source", "n_chars"])
+    return source_stats(ds)
+
+
+def unigram_surprisal_scores(sf_dir: str):
+    """Per-doc mean NLL under the corpus-trained unigram LM."""
+    from search_engine_ray.functions.webtext import unigram_surprisal
+
+    return unigram_surprisal(load_documents(sf_dir))
+
+
+def decontaminate_docs(sf_dir: str):
+    """8-gram overlap of training docs vs the held-out eval slice."""
+    from search_engine_ray.functions.webtext import decontaminate
+
+    return decontaminate(load_documents(sf_dir))
+
+
+def corpus_filter_docs(sf_dir: str):
+    """Composite keep/reject gate (holdout/short/quality/rep/contam)."""
+    from search_engine_ray.functions.webtext import corpus_filter
+
+    return corpus_filter(load_documents(sf_dir))
+
+
 def media_features_demo(sf_dir: str):
     """Multimodal plumbing demo on a deterministic synthetic media table
     (sf_dir unused — the container has no media columns in testdata)."""

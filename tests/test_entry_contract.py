@@ -64,6 +64,8 @@ SQL_BACKED = [
     "minhash_pairs", "simhash_pairs",  # full sketch pipelines in SQL (r3)
     "ngram_jaccard_pairs", "embedding_near_dups_exact",  # exact (late r3)
     "ann_lsh_topk", "embedding_near_dups",  # LSH pipelines in SQL (late r3)
+    "repetition_scores", "source_stats", "unigram_surprisal",  # webtext
+    "decontaminate", "corpus_filter",  # curation family (late r3)
 ]
 
 

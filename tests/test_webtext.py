@@ -1,0 +1,168 @@
+"""Semantics tests for the webtext curation family (functions/webtext):
+handcrafted repetition fixtures, decontamination overlap behavior, the
+unigram-LM model maths, and corpus_filter reason precedence. SQL parity
+vs DuckDB is covered separately in test_entry_contract."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _tbl(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_repetition_stats_handcrafted():
+    from search_engine_ray.functions.webtext import RepetitionStatsBatch
+
+    out = RepetitionStatsBatch()(_tbl([
+        "aa bb\naa bb\ncc dd",        # 3 lines, 1 dup pair
+        "x y z w",                     # all unique
+        "a a a a a",                   # one token repeated
+        "",                            # empty
+        "one\n\n\none",                # empty lines excluded, dup pair
+    ])).to_pydict()
+    # doc 0: lines [aa bb, aa bb, cc dd] -> 1 - 2/3; dup chars 10/15
+    assert out["dup_line_frac"][0] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert out["dup_line_char_frac"][0] == pytest.approx(10 / 15, abs=1e-6)
+    # doc 0 trigrams: (aa,bb,aa),(bb,aa,bb),(aa,bb,cc),(cc? ) -> tokens are
+    # [aa,bb,aa,bb,cc,dd]: 4 trigrams, all distinct -> 0.0
+    assert out["dup_3gram_frac"][0] == 0.0
+    # doc 0 bigrams: (aa,bb)x2,(bb,aa),(bb,cc),(cc,dd) -> top 2/5
+    assert out["top_2gram_frac"][0] == pytest.approx(0.4, abs=1e-6)
+    assert out["dup_line_frac"][1] == 0.0
+    assert out["top_2gram_frac"][1] == pytest.approx(1 / 3, abs=1e-6)
+    # doc 2: trigrams (a,a,a)x3 -> 1 - 1/3
+    assert out["dup_3gram_frac"][2] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert out["top_2gram_frac"][2] == 1.0
+    assert out["dup_line_frac"][3] == 0.0 and out["dup_3gram_frac"][3] == 0.0
+    assert out["dup_line_frac"][4] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_unigram_surprisal_maths(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import unigram_surprisal
+
+    # corpus: 'a' x3, 'b' x1 -> T=4, V=2; p(a)=(3+1)/6, p(b)=(1+1)/6
+    ds = rd.from_arrow(_tbl(["a a a", "b"]))
+    out = unigram_surprisal(ds).to_pandas().set_index("doc_id")
+    denom = math.log(6.0)
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "mean_nll"] == pytest.approx(denom - math.log(4),
+                                                   abs=1e-6)
+    assert out.loc[1, "mean_nll"] == pytest.approx(denom - math.log(2),
+                                                   abs=1e-6)
+    # rarer token -> strictly higher surprisal
+    assert out.loc[1, "mean_nll"] > out.loc[0, "mean_nll"]
+
+
+def test_decontaminate_flags_only_real_overlap(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import decontaminate
+
+    # doc 7 is the eval slice (doc_id % 10 == 7). doc 1 shares its full
+    # 8-gram; doc 2 shares a 7-token prefix only (no 8-gram); doc 3 is
+    # disjoint.
+    eval_text = "e1 e2 e3 e4 e5 e6 e7 e8 tail1 tail2"
+    ds = rd.from_arrow(_tbl(
+        [
+            "x0 e1 e2 e3 e4 e5 e6 e7 e8 x1",   # contains eval 8-gram
+            "e1 e2 e3 e4 e5 e6 e7 zz",          # 7-token overlap only
+            "u1 u2 u3 u4 u5 u6 u7 u8 u9",       # disjoint
+            eval_text,
+        ],
+        ids=[1, 2, 3, 7],
+    ))
+    out = decontaminate(ds).to_pandas().set_index("doc_id")
+    assert 7 not in out.index  # eval docs excluded from training output
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hit"] == 1
+    assert out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "contaminated"] == 0
+    assert out.loc[3, "n_grams"] == 2  # 9 tokens -> 2 distinct 8-grams
+
+
+def test_corpus_filter_reason_precedence(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import corpus_filter
+
+    filler = ("the data of table and value for index in row stream it "
+              "is that a to batch sort key scan merge part hash fast")
+    repetitive = " ".join(["loop the data of"] * 20)
+    ds = rd.from_arrow(_tbl(
+        [
+            filler,                    # good -> keep
+            "tiny doc",                # too_short
+            repetitive,                # long + stopwords but 3-gram dups
+            "held out benchmark prompt with its own answer words only",
+            # ^ eval id -> eval_holdout (disjoint from training docs)
+        ],
+        ids=[0, 1, 2, 17],
+    ))
+    out = corpus_filter(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "keep"] == 1 and out.loc[0, "reason"] == ""
+    assert out.loc[1, "reason"] == "too_short"
+    assert out.loc[2, "reason"] == "repetitive"
+    assert out.loc[17, "reason"] == "eval_holdout"
+    assert (out["keep"] == (out["reason"] == "").astype(int)).all()
+
+
+def test_source_stats_agg(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import source_stats
+
+    t = pa.table({
+        "text": pa.array(["dup", "dup", "uniq", "other"], pa.string()),
+        "lang": pa.array(["en", "de", "en", "fr"], pa.string()),
+        "source": pa.array(["s1", "s1", "s1", "s2"], pa.string()),
+        "n_chars": pa.array([3, 3, 4, 5], pa.int64()),
+    })
+    out = (source_stats(rd.from_arrow(t)).to_pandas()
+           .set_index("source").sort_index())
+    assert out.loc["s1", "n_docs"] == 3
+    assert out.loc["s1", "n_langs"] == 2
+    assert out.loc["s1", "total_chars"] == 10
+    assert out.loc["s1", "dup_text_frac"] == pytest.approx(1 - 2 / 3,
+                                                           abs=1e-6)
+    assert out.loc["s2", "dup_text_frac"] == 0.0
+    assert out.loc["s2", "mean_chars"] == 5.0
+
+
+def test_repetition_vs_bruteforce_random(ray_session):
+    """Randomized cross-check of the vectorized-ish batch kernel against
+    an independent per-doc brute force."""
+    from collections import Counter
+
+    from search_engine_ray.functions.textstats import token_regex
+    from search_engine_ray.functions.webtext import RepetitionStatsBatch
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = []
+    for _ in range(60):
+        n = int(rng.integers(0, 40))
+        words = rng.choice(vocab, size=n).tolist()
+        # random newlines
+        s = " ".join(words)
+        if n and rng.random() < 0.5:
+            parts = s.split(" ")
+            cut = int(rng.integers(1, max(2, n)))
+            s = " ".join(parts[:cut]) + "\n" + " ".join(parts[cut:])
+        texts.append(s)
+    out = RepetitionStatsBatch()(_tbl(texts)).to_pydict()
+    tok = token_regex()
+    for i, t in enumerate(texts):
+        toks = tok.findall(t)
+        if len(toks) >= 3:
+            tg = Counter(zip(toks, toks[1:], toks[2:]))
+            want = 1 - len(tg) / (len(toks) - 2)
+        else:
+            want = 0.0
+        assert out["dup_3gram_frac"][i] == pytest.approx(want, abs=1e-6), i
