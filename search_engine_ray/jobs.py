@@ -190,6 +190,53 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end webtext curation as a submittable job: annotate every
+    document with the composite keep/reject decision (functions/webtext.
+    CorpusFilterBatch — holdout/short/quality/repetition/contamination),
+    write the corpus as parquet PARTITIONED BY keep (the training corpus
+    is ``<out>/keep=1/``; rejects keep their ``reason`` for audit), and
+    print per-reason counts. The report aggregate runs as a DuckDB
+    pushdown over the written parquet — never a driver materialization."""
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import (
+        CorpusFilterBatch,
+        eval_shingle_set,
+    )
+
+    kw = {"eval_mod": args.eval_mod, "eval_rem": args.eval_rem,
+          "k": args.ngram, "min_tokens": args.min_tokens,
+          "min_quality": args.min_quality, "max_dup3": args.max_dup3}
+    sig_ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    ev_ref = ray.put(eval_shingle_set(sig_ds, args.eval_mod, args.eval_rem,
+                                      args.ngram))
+
+    class _Annotate:
+        def __init__(self):
+            self._f = CorpusFilterBatch(ev_ref, **kw)
+
+        def __call__(self, batch):
+            res = self._f(batch.select(["doc_id", "text"]))
+            return batch.append_column(
+                "keep", res.column("keep")).append_column(
+                "reason", res.column("reason"))
+
+    ds = rd.read_parquet(args.input)  # all columns survive into the output
+    ds.map_batches(_Annotate, batch_format="pyarrow", batch_size=1024,
+                   concurrency=(1, 8)).write_parquet(
+        args.out, partition_cols=["keep"])
+    rep = duckdb.sql(
+        f"SELECT coalesce(nullif(reason, ''), 'kept') AS reason, "
+        f"count(*) AS n FROM read_parquet('{args.out}/**/*.parquet', "
+        f"hive_partitioning=1) GROUP BY 1 ORDER BY n DESC").fetchall()
+    print(json.dumps({"out": args.out, "kept_dir": f"{args.out}/keep=1",
+                      "reasons": {r: int(n) for r, n in rep}}))
+    return 0
+
+
 def cmd_invalidate(args) -> int:
     from search_engine_ray.build import invalidate_index
 
@@ -263,6 +310,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="embedding method: exact blocked all-pairs "
                          "(quadratic anchor) instead of LSH")
     dd.set_defaults(fn=cmd_dedup)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text, ...)")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-tokens", type=int, default=20)
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--max-dup3", type=float, default=0.6)
+    cu.add_argument("--eval-mod", type=int, default=10)
+    cu.add_argument("--eval-rem", type=int, default=7)
+    cu.add_argument("--ngram", type=int, default=8)
+    cu.set_defaults(fn=cmd_curate)
 
     i = sub.add_parser("invalidate")
     i.add_argument("--index", required=True)

@@ -135,6 +135,53 @@ def test_source_stats_agg(ray_session):
     assert out.loc["s2", "mean_chars"] == 5.0
 
 
+def test_curate_job_partitions_and_matches_filter(ray_session, tmp_path):
+    """The curate CLI writes keep-partitioned parquet whose decisions
+    equal the corpus_filter pipeline's, with all input columns kept."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import corpus_filter
+
+    filler = ("the data of table and value for index in row stream it "
+              "is that a to batch sort key scan merge part hash fast")
+    texts = [f"{filler} doc{i}" for i in range(12)] + ["small", "tiny one"]
+    texts[7] = "held out benchmark prompt with its own answer words only"
+    t = pa.table({
+        "doc_id": pa.array(range(14), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 14, pa.string()),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "curate",
+         "--input", str(src), "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["reasons"].get("kept", 0) >= 1
+    assert rep["reasons"].get("too_short", 0) == 2
+
+    import pyarrow.dataset as pds
+
+    got = (pds.dataset(str(out), format="parquet", partitioning="hive")
+           .to_table().to_pandas().sort_values("doc_id"))
+    want = (corpus_filter(rd.from_arrow(t)).to_pandas()
+            .sort_values("doc_id"))
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert [int(k) for k in got["keep"]] == list(want["keep"])
+    assert list(got["reason"]) == list(want["reason"])
+    assert "lang" in got.columns  # extra input columns survive
+    kept = pds.dataset(str(out / "keep=1"), format="parquet").to_table()
+    assert kept.num_rows == int(want["keep"].sum())
+
+
 def test_repetition_vs_bruteforce_random(ray_session):
     """Randomized cross-check of the vectorized-ish batch kernel against
     an independent per-doc brute force."""
