@@ -201,26 +201,21 @@ def _kmeans(sample: np.ndarray, k: int, seed: int, iters: int = 10
     return C
 
 
-def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-             n_probe: int = 4, sample_size: int = 10_000, seed: int = 17,
-             batch_size: int = 4096, round_to: int = 6):
-    """IVF (inverted-file) approximate top-k — the classic scale path for
-    ANN: a spherical k-means codebook from a driver-side sample, one
-    assignment pass over the corpus, and each query scores ONLY the
-    vectors in its ``n_probe`` nearest centroid lists (corpus fraction
-    ~ n_probe/n_centroids). ``n_probe == n_centroids`` scores everything
-    and is EXACTLY brute_force_topk (the correctness anchor in tests).
-    Same output schema as brute_force_topk."""
-    import ray
+def train_codebook(ds, n_centroids: int, sample_size: int = 10_000,
+                   seed: int = 17) -> np.ndarray:
+    """Deterministic IVF codebook from an unbiased seeded sample — the
+    shared trainer for the in-memory ``ivf_topk`` and the persisted
+    ``vecindex.build_ivf_index`` (both must agree bit-for-bit so the
+    persisted index is provably the in-memory pipeline + a layout).
 
-    # RANDOM codebook sample (seeded => deterministic): a first-N sample
-    # would bias the codebook on any corpus sorted/clustered by a key and
-    # degrade recall at partial n_probe. Take ALL sampled rows (expected
-    # 2x sample_size — a .limit() here would keep the first-in-dataset-
-    # order rows and re-introduce front-of-corpus bias), sort by vec_id
-    # (take_all block order varies run to run, and k-means++ seeding is
-    # index-dependent), then seeded-subsample down to sample_size — every
-    # corpus region is equally represented, bit-for-bit reproducible.
+    A first-N sample would bias the codebook on any corpus
+    sorted/clustered by a key and degrade recall at partial n_probe.
+    Take ALL sampled rows (expected 2x sample_size — a ``.limit()``
+    here would keep the first-in-dataset-order rows and re-introduce
+    front-of-corpus bias), sort by vec_id (take_all block order varies
+    run to run, and k-means++ seeding is index-dependent), then
+    seeded-subsample down to sample_size — every corpus region is
+    equally represented, bit-for-bit reproducible."""
     n_rows = ds.count()
     emb = ds.select_columns(["vec_id", "embedding"])
     if n_rows > sample_size:
@@ -233,7 +228,22 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         rows = [rows[i] for i in np.sort(keep)]
     sample = _normalize(np.asarray([r["embedding"] for r in rows],
                                    dtype=np.float64))
-    C = _kmeans(sample, n_centroids, seed)
+    return _kmeans(sample, n_centroids, seed)
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, sample_size: int = 10_000, seed: int = 17,
+             batch_size: int = 4096, round_to: int = 6):
+    """IVF (inverted-file) approximate top-k — the classic scale path for
+    ANN: a spherical k-means codebook from a driver-side sample, one
+    assignment pass over the corpus, and each query scores ONLY the
+    vectors in its ``n_probe`` nearest centroid lists (corpus fraction
+    ~ n_probe/n_centroids). ``n_probe == n_centroids`` scores everything
+    and is EXACTLY brute_force_topk (the correctness anchor in tests).
+    Same output schema as brute_force_topk."""
+    import ray
+
+    C = train_codebook(ds, n_centroids, sample_size, seed)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     # per-query probe set: its n_probe nearest centroids
     q_cent = np.argsort(-(q @ C.T), axis=1)[:, :min(n_probe, C.shape[0])]

@@ -190,6 +190,41 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_ann_build(args) -> int:
+    """Build the persisted IVF vector index (vecindex.py): codebook +
+    list-partitioned parquet, resumable via the manifest."""
+    import ray.data as rd
+
+    from search_engine_ray.vecindex import VecIndexConfig, build_ivf_index
+
+    ds = rd.read_parquet(args.input, columns=["vec_id", "embedding"])
+    m = build_ivf_index(
+        ds, args.root,
+        VecIndexConfig(n_centroids=args.n_centroids,
+                       sample_size=args.sample_size, seed=args.seed),
+        resume=not args.no_resume)
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_ann_query(args) -> int:
+    """Query the persisted IVF index: reads ONLY the probed list
+    partitions. ``--queries`` is a (vec_id, embedding) parquet; results
+    are ordered by that file's vec_id order."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.vecindex import IvfSearcher
+
+    t = pq.read_table(args.queries, columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    vecs = t.column("embedding").to_pylist()
+    q = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    res = IvfSearcher(args.root).search(q, k=args.k, n_probe=args.n_probe)
+    print(json.dumps(res.to_dict(orient="records")))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end webtext curation as a submittable job: annotate every
     document with the composite keep/reject decision (functions/webtext.
@@ -310,6 +345,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="embedding method: exact blocked all-pairs "
                          "(quadratic anchor) instead of LSH")
     dd.set_defaults(fn=cmd_dedup)
+
+    ab = sub.add_parser("ann-build")
+    ab.add_argument("--input", required=True,
+                    help="embeddings parquet (vec_id, embedding)")
+    ab.add_argument("--root", required=True)
+    ab.add_argument("--n-centroids", type=int, default=16)
+    ab.add_argument("--sample-size", type=int, default=10_000)
+    ab.add_argument("--seed", type=int, default=17)
+    ab.add_argument("--no-resume", action="store_true")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    aq = sub.add_parser("ann-query")
+    aq.add_argument("--root", required=True)
+    aq.add_argument("--queries", required=True,
+                    help="parquet of query vectors (vec_id, embedding)")
+    aq.add_argument("-k", type=int, default=10)
+    aq.add_argument("--n-probe", type=int, default=4)
+    aq.set_defaults(fn=cmd_ann_query)
 
     cu = sub.add_parser("curate")
     cu.add_argument("--input", required=True,
