@@ -361,23 +361,25 @@ def run_scaling() -> dict:
     # best-of-N per level: hypervisor steal / page-cache noise on this VM is
     # strictly additive, so the min measures the machine's capability
     # (same rationale as timeit). Alternate levels to decorrelate drift.
-    runs_lo, runs_hi = [], []
+    # INTERLEAVE engine and calibration runs (lo-engine, lo-calib,
+    # hi-engine, hi-calib, repeat): the no-engine ceiling must sample the
+    # SAME host windows as the engine it normalizes — a calibration block
+    # run after all engine runs measures a different steal regime when
+    # the host drifts mid-campaign (observed: ceiling off by 2x between
+    # draws), which corrupts the normalized ratio in either direction.
+    runs_lo, runs_hi, cals_lo, cals_hi = [], [], [], []
     for _ in range(reps):
         runs_lo.append(one(lo))
+        cals_lo.append(one(lo, calibrate=True))
         runs_hi.append(one(hi))
+        cals_hi.append(one(hi, calibrate=True))
     r_lo = min(runs_lo, key=lambda r: r["queries"]["index_build"])
     r_hi = min(runs_hi, key=lambda r: r["queries"]["index_build"])
     thr_lo = r_lo["docs_per_sec"]
     thr_hi = r_hi["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
-    # hardware-ceiling calibration at the same two levels (fresh
-    # processes, best-of-reps): no-engine numpy kernels measure what the
-    # VM itself scales to; engine efficiency is reported raw AND
-    # normalized by that ceiling
-    cal_lo = max((one(lo, calibrate=True) for _ in range(reps)),
-                 key=lambda c: c["tasks_per_sec"])
-    cal_hi = max((one(hi, calibrate=True) for _ in range(reps)),
-                 key=lambda c: c["tasks_per_sec"])
+    cal_lo = max(cals_lo, key=lambda c: c["tasks_per_sec"])
+    cal_hi = max(cals_hi, key=lambda c: c["tasks_per_sec"])
     cal_speedup = cal_hi["tasks_per_sec"] / cal_lo["tasks_per_sec"]
     return {
         "metric": "index-build scaling efficiency (N vs 4N cpus)",
