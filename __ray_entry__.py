@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": d.dedup_exact_docs,
         "events_hourly": ev.events_hourly_user,
         "events_sessions": ev.events_sessions,
+        "events_sliding": ev.events_sliding,
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -754,6 +755,19 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": _surprisal_sql(),
         "decontaminate": _decontam_sql(),
         "corpus_filter": _corpus_filter_sql(),
+        "events_sliding": """
+            WITH ev AS (SELECT user_id, epoch_us(ts) AS t, value
+                        FROM events),
+            w AS (SELECT user_id,
+                         ((t // 900000000) - j.j) * 900000000
+                             AS window_start_us,
+                         value
+                  FROM ev CROSS JOIN
+                       (SELECT unnest(range(0, 4)) AS j) j)
+            SELECT user_id, window_start_us,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM w GROUP BY 1, 2
+        """,
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),

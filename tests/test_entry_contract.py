@@ -66,6 +66,7 @@ SQL_BACKED = [
     "ann_lsh_topk", "embedding_near_dups",  # LSH pipelines in SQL (late r3)
     "repetition_scores", "source_stats", "unigram_surprisal",  # webtext
     "decontaminate", "corpus_filter",  # curation family (late r3)
+    "events_sliding",  # sliding-window aggregate (late r3)
 ]
 
 
@@ -158,6 +159,53 @@ def test_sessionization_random_vs_bruteforce(ray_session, tmp_path):
         assert (row.user_id, row.session_start_us, row.duration_us,
                 row.n_events) == (u, st, dur, ne)
         assert abs(row.sum_value - sv) < 1e-6
+
+
+def test_sliding_window_vs_bruteforce(ray_session, tmp_path):
+    """Random events: the exploded sliding-window aggregate equals a
+    per-(user, window) brute force over every candidate window start."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.events import (
+        SLIDE_US,
+        WINDOW_US,
+        events_sliding,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    users = rng.integers(0, 25, size=n)
+    ts = rng.integers(0, 10**10, size=n)  # ~2.8h span
+    vals = np.round(rng.random(n), 3)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["x"] * n),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    # brute force: every slide-aligned window start w with any event in
+    # [w, w + WINDOW)
+    want = {}
+    for u, tt, v in zip(users, ts, vals):
+        lo = ((tt - WINDOW_US) // SLIDE_US + 1) * SLIDE_US
+        w = max(0 - 10**12, lo)
+        while w <= (tt // SLIDE_US) * SLIDE_US:
+            if w <= tt < w + WINDOW_US:
+                key = (int(u), int(w))
+                cnt, sv = want.get(key, (0, 0.0))
+                want[key] = (cnt + 1, sv + float(v))
+            w += SLIDE_US
+    got = events_sliding(str(tmp_path)).to_pandas()
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        cnt, sv = want[(row.user_id, row.window_start_us)]
+        assert row.n_events == cnt
+        assert abs(row.sum_value - round(sv, 6)) < 1e-6
 
 
 def test_sessionization_semantics(ray_session, tmp_path):
