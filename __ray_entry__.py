@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": d.unigram_surprisal_scores,
         "decontaminate": d.decontaminate_docs,
         "corpus_filter": d.corpus_filter_docs,
+        "stratified_sample": d.stratified_sample_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -755,6 +756,12 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": _surprisal_sql(),
         "decontaminate": _decontam_sql(),
         "corpus_filter": _corpus_filter_sql(),
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE (md5_number_lower(doc_id::VARCHAR || ':13')
+                   % 2305843009213693952) / 2305843009213693952.0
+                  < ((md5_number_lower(source) % 4) + 1) / 8.0
+        """,
         "events_sliding": """
             WITH ev AS (SELECT user_id, epoch_us(ts) AS t, value
                         FROM events),

@@ -343,6 +343,61 @@ def decontaminate(ds, eval_mod: int = 10, eval_rem: int = 7, k: int = 8,
     )
 
 
+_MOD61 = 1 << 61
+
+
+def _md5_low61(s: str) -> int:
+    """Lower 8 md5 digest bytes little-endian, masked to 61 bits — the
+    repo-wide DuckDB ``md5_number_lower`` convention (fingerprints,
+    shingle hashes), so sampling decisions replay exactly in SQL."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                          "little") % _MOD61
+
+
+class StratifiedSampleBatch:
+    """Deterministic per-source sampling (data mixing): keep a doc iff
+    hash(doc_id:seed)/2^61 < rate(source). The rate is itself a
+    deterministic hash of the source name mapped into ``rate_lo..rate_hi``
+    unless an explicit ``rates`` dict overrides it — so the demo entry
+    needs no source list and the op works on any corpus unchanged.
+
+    Hash-based (not rng-based) sampling is the scale-correct design:
+    decisions are per-row pure functions — reproducible across cluster
+    sizes, retries and resumes, and a re-run samples the SAME docs."""
+
+    def __init__(self, seed: int = 13, rates: dict | None = None,
+                 rate_steps: int = 4, rate_base: float = 8.0):
+        self._seed = seed
+        self._rates = rates
+        self._steps = rate_steps
+        self._base = rate_base
+
+    def rate_of(self, source: str) -> float:
+        if self._rates is not None:
+            return float(self._rates.get(source, 0.0))
+        return ((_md5_low61(source) % self._steps) + 1) / self._base
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        keep = [
+            _md5_low61(f"{d}:{self._seed}") / _MOD61 < self.rate_of(s)
+            for d, s in zip(ids, srcs)
+        ]
+        return batch.filter(pa.array(keep))
+
+
+def stratified_sample(ds, seed: int = 13, rates: dict | None = None):
+    """Per-source corpus sampling/mixing: a streaming filter, no shuffle,
+    no driver state. ``rates`` maps source -> keep probability; omitted
+    sources drop to 0 (explicit mixing weights), or leave ``rates=None``
+    for the hash-derived demo rates."""
+    return ds.map_batches(
+        StratifiedSampleBatch(seed=seed, rates=rates),
+        batch_format="pyarrow", batch_size=2048,
+    )
+
+
 class CorpusFilterBatch:
     """Composite keep/reject decision per doc, first-failing-rule reason:
 

@@ -383,6 +383,15 @@ def decontaminate_docs(sf_dir: str):
     return decontaminate(load_documents(sf_dir))
 
 
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic per-source sample (hash-derived demo rates)."""
+    from search_engine_ray.functions.webtext import stratified_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return stratified_sample(ds)
+
+
 def corpus_filter_docs(sf_dir: str):
     """Composite keep/reject gate (holdout/short/quality/rep/contam)."""
     from search_engine_ray.functions.webtext import corpus_filter

@@ -67,6 +67,7 @@ SQL_BACKED = [
     "repetition_scores", "source_stats", "unigram_surprisal",  # webtext
     "decontaminate", "corpus_filter",  # curation family (late r3)
     "events_sliding",  # sliding-window aggregate (late r3)
+    "stratified_sample",  # deterministic data mixing (late r3)
 ]
 
 

@@ -182,6 +182,39 @@ def test_curate_job_partitions_and_matches_filter(ray_session, tmp_path):
     assert kept.num_rows == int(want["keep"].sum())
 
 
+def test_stratified_sample_determinism_and_rates(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import (
+        StratifiedSampleBatch,
+        stratified_sample,
+    )
+
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % 2}" for i in range(n)], pa.string()),
+    })
+    # explicit rates: s0 kept at ~30%, s1 dropped entirely
+    out = stratified_sample(rd.from_arrow(t),
+                            rates={"s0": 0.3}).to_pandas()
+    assert set(out["source"]) == {"s0"}
+    frac = len(out) / (n / 2)
+    assert 0.25 < frac < 0.35
+    # determinism: re-running yields the identical sample
+    out2 = stratified_sample(rd.from_arrow(t),
+                             rates={"s0": 0.3}).to_pandas()
+    assert list(out["doc_id"]) == list(out2["doc_id"])
+    # different seed yields a different (same-rate) sample
+    out3 = stratified_sample(rd.from_arrow(t), seed=99,
+                             rates={"s0": 0.3}).to_pandas()
+    assert list(out["doc_id"]) != list(out3["doc_id"])
+    # hash-derived demo rates stay in [1/8, 1/2]
+    b = StratifiedSampleBatch()
+    for s in ("s0", "s1", "anything"):
+        assert 1 / 8 <= b.rate_of(s) <= 1 / 2
+
+
 def test_repetition_vs_bruteforce_random(ray_session):
     """Randomized cross-check of the vectorized-ish batch kernel against
     an independent per-doc brute force."""
