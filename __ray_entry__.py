@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": d.decontaminate_docs,
         "corpus_filter": d.corpus_filter_docs,
         "stratified_sample": d.stratified_sample_docs,
+        "sequence_pack": d.sequence_pack_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -761,6 +762,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE (md5_number_lower(doc_id::VARCHAR || ':13')
                    % 2305843009213693952) / 2305843009213693952.0
                   < ((md5_number_lower(source) % 4) + 1) / 8.0
+        """,
+        "sequence_pack": f"""
+            WITH nt AS (
+                SELECT doc_id,
+                       coalesce(len(regexp_extract_all(text, '{TOK}')), 0)
+                           ::BIGINT AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   ((sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    // 2048)::BIGINT AS pack_id
+            FROM nt
         """,
         "events_sliding": """
             WITH ev AS (SELECT user_id, epoch_us(ts) AS t, value

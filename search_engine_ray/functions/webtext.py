@@ -398,6 +398,75 @@ def stratified_sample(ds, seed: int = 13, rates: dict | None = None):
     )
 
 
+def sequence_pack(ds, budget: int = 2048, range_size: int = 100_000,
+                  batch_size: int = 2048):
+    """Assign every doc a pack_id by cumulative token budget in doc_id
+    order — the streaming form of LM sequence packing: pack_id =
+    floor((running_sum_before_doc) / budget). A doc that crosses a
+    boundary starts in its computed pack (documents are not split; the
+    contiguous-cumsum semantics are exactly SQL's
+    ``sum() OVER (ORDER BY doc_id)``, which is the oracle).
+
+    Scale shape — a distributed PREFIX SCAN: docs partition into
+    contiguous doc_id ranges (``range_size``); one pass computes
+    per-range token totals (range-count-sized, collected to the
+    driver); the driver prefix-sums those offsets (tiny); one
+    range-bucketed pass computes within-range cumsums + offset. No
+    global sort, no sequential bottleneck beyond the range-offset
+    scan. The materialized intermediate is the PROJECTED
+    (doc_id, n_tokens, range_id) rows (~24 B/doc, object-store
+    spillable) feeding both passes without re-tokenizing — never the
+    corpus text."""
+    import pandas as pd
+
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        re_ = token_regex()
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter(
+            (len(re_.findall(t)) if t else 0 for t in texts),
+            dtype=np.int64, count=len(texts))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n),
+            "range_id": pa.array((ids // range_size).astype(np.int64)),
+        })
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
+    # pass 1: per-range totals -> driver prefix sum (range-count-sized)
+    sums = toks.groupby("range_id").sum("n_tokens").to_pandas()
+    sums = sums.sort_values("range_id")
+    totals = sums["sum(n_tokens)"].to_numpy(dtype=np.int64)
+    offsets = dict(zip(
+        sums["range_id"].astype("int64"),
+        np.concatenate(([0], np.cumsum(totals)[:-1]))))
+
+    # pass 2: within-range ordered cumsum + the range's global offset
+    # (a coarse bucket may hold several ranges — handle each separately)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for rid, gg in g.groupby("range_id", sort=False):
+            gg = gg.sort_values("doc_id", kind="mergesort")
+            nt = gg["n_tokens"].to_numpy(dtype=np.int64)
+            before = offsets[int(rid)] + np.cumsum(nt) - nt
+            parts.append(pd.DataFrame({
+                "doc_id": gg["doc_id"],
+                "n_tokens": nt,
+                "pack_id": (before // budget).astype("int64"),
+            }))
+        if not parts:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "pack_id": pd.Series(dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed_group_agg(toks, ["range_id"], per_bucket)
+
+
 class CorpusFilterBatch:
     """Composite keep/reject decision per doc, first-failing-rule reason:
 

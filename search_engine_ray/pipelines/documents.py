@@ -392,6 +392,14 @@ def stratified_sample_docs(sf_dir: str):
     return stratified_sample(ds)
 
 
+def sequence_pack_docs(sf_dir: str):
+    """Token-budget sequence packing (pack_id per doc, budget 2048)."""
+    from search_engine_ray.functions.webtext import sequence_pack
+
+    return sequence_pack(load_documents(sf_dir), budget=2048,
+                         range_size=1000)
+
+
 def corpus_filter_docs(sf_dir: str):
     """Composite keep/reject gate (holdout/short/quality/rep/contam)."""
     from search_engine_ray.functions.webtext import corpus_filter

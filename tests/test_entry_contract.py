@@ -68,6 +68,7 @@ SQL_BACKED = [
     "decontaminate", "corpus_filter",  # curation family (late r3)
     "events_sliding",  # sliding-window aggregate (late r3)
     "stratified_sample",  # deterministic data mixing (late r3)
+    "sequence_pack",  # distributed prefix-scan packing (late r3)
 ]
 
 

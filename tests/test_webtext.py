@@ -215,6 +215,37 @@ def test_stratified_sample_determinism_and_rates(ray_session):
         assert 1 / 8 <= b.rate_of(s) <= 1 / 2
 
 
+def test_sequence_pack_vs_cumsum_and_range_invariance(ray_session):
+    """Packing equals the straight global cumsum rule and is invariant
+    to the range partition size (the distributed-scan correctness
+    property)."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.textstats import token_regex
+    from search_engine_ray.functions.webtext import sequence_pack
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{int(x)}" for x in
+                      rng.integers(0, 50, size=int(rng.integers(0, 60))))
+             for _ in range(300)]
+    # non-contiguous, shuffled doc ids — ranges must not assume density
+    ids = (np.arange(300) * 7 + 13)
+    rng.shuffle(ids)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    tok = token_regex()
+    order = np.argsort(ids)
+    nt = np.array([len(tok.findall(texts[i])) for i in order])
+    before = np.cumsum(nt) - nt
+    want = dict(zip(ids[order].tolist(), (before // 100).tolist()))
+    for range_size in (37, 1000, 10**9):
+        got = sequence_pack(rd.from_arrow(t), budget=100,
+                            range_size=range_size).to_pandas()
+        assert len(got) == 300
+        for row in got.itertuples(index=False):
+            assert row.pack_id == want[row.doc_id], (range_size, row)
+
+
 def test_repetition_vs_bruteforce_random(ray_session):
     """Randomized cross-check of the vectorized-ish batch kernel against
     an independent per-doc brute force."""
