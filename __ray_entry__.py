@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": d.corpus_filter_docs,
         "stratified_sample": d.stratified_sample_docs,
         "sequence_pack": d.sequence_pack_docs,
+        "line_clean": d.line_clean_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -762,6 +763,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE (md5_number_lower(doc_id::VARCHAR || ':13')
                    % 2305843009213693952) / 2305843009213693952.0
                   < ((md5_number_lower(source) % 4) + 1) / 8.0
+        """,
+        "line_clean": f"""
+            WITH lines AS (
+                SELECT doc_id,
+                       CASE WHEN coalesce(text, '') = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(text, '\\r\\n|\\r|\\n')
+                       END AS ls
+                FROM documents),
+            cleaned AS (
+                SELECT doc_id,
+                       list_filter(ls, l ->
+                           len(regexp_extract_all(l, '{TOK}')) >= 50
+                           AND NOT contains(lower(l), 'spark')) AS kept,
+                       ls
+                FROM lines)
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text,
+                   len(kept)::BIGINT AS n_lines_kept,
+                   len(ls)::BIGINT AS n_lines_total
+            FROM cleaned
         """,
         "sequence_pack": f"""
             WITH nt AS (

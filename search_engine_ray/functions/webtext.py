@@ -343,6 +343,56 @@ def decontaminate(ds, eval_mod: int = 10, eval_rem: int = 7, k: int = 8,
     )
 
 
+class LineCleanBatch:
+    """C4-style line-level cleaning (Raffel et al., arXiv:1910.10683
+    §2.2 rules, deterministic subset): keep a line iff it has >=
+    ``min_words`` tokens, ends in terminal punctuation, and does not
+    contain 'javascript' (case-insensitive). Emits the cleaned text
+    (kept lines joined with \\n) plus kept/total line counts — a text
+    TRANSFORM (the output feeds a build), not just a signal."""
+
+    def __init__(self, min_words: int = 3, require_punct: bool = True,
+                 blocklist: tuple = ("javascript",)):
+        self._re = token_regex()
+        self._term = re.compile(r"[.!?]\s*$")
+        self._min_words = min_words
+        self._require_punct = require_punct
+        self._block = tuple(b.lower() for b in blocklist)
+
+    def _keep(self, line: str) -> bool:
+        low = line.lower()
+        return (len(self._re.findall(line)) >= self._min_words
+                and (not self._require_punct
+                     or self._term.search(line) is not None)
+                and not any(b in low for b in self._block))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out_text, out_kept, out_total = [], [], []
+        for t in texts:
+            lines = _LINE_SPLIT.split(t) if t else []
+            kept = [ln for ln in lines if self._keep(ln)]
+            out_text.append("\n".join(kept))
+            out_kept.append(len(kept))
+            out_total.append(len(lines) if t else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_lines_kept": pa.array(out_kept, pa.int64()),
+                "n_lines_total": pa.array(out_total, pa.int64()),
+            }
+        )
+
+
+def line_clean(ds, min_words: int = 3, require_punct: bool = True,
+               blocklist: tuple = ("javascript",), batch_size: int = 1024):
+    """Streaming C4-style line cleaning over a documents-shaped table."""
+    return ds.map_batches(
+        LineCleanBatch(min_words, require_punct, blocklist),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
 _MOD61 = 1 << 61
 
 

@@ -400,6 +400,17 @@ def sequence_pack_docs(sf_dir: str):
                          range_size=1000)
 
 
+def line_clean_docs(sf_dir: str):
+    """C4-style line cleaning. The testdata corpus has no terminal
+    punctuation (synthetic word streams), so the punct rule is off and
+    the blocklist term is one that occurs in this vocabulary ('spark');
+    the C4-faithful defaults stay on the library surface."""
+    from search_engine_ray.functions.webtext import line_clean
+
+    return line_clean(load_documents(sf_dir), min_words=50,
+                      require_punct=False, blocklist=("spark",))
+
+
 def corpus_filter_docs(sf_dir: str):
     """Composite keep/reject gate (holdout/short/quality/rep/contam)."""
     from search_engine_ray.functions.webtext import corpus_filter

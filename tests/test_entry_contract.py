@@ -69,6 +69,7 @@ SQL_BACKED = [
     "events_sliding",  # sliding-window aggregate (late r3)
     "stratified_sample",  # deterministic data mixing (late r3)
     "sequence_pack",  # distributed prefix-scan packing (late r3)
+    "line_clean",  # C4-style line cleaning transform (late r3)
 ]
 
 

@@ -215,6 +215,25 @@ def test_stratified_sample_determinism_and_rates(ray_session):
         assert 1 / 8 <= b.rate_of(s) <= 1 / 2
 
 
+def test_line_clean_c4_rules():
+    from search_engine_ray.functions.webtext import LineCleanBatch
+
+    doc = ("This is a proper sentence with enough words.\n"
+           "short line.\n"                         # < 3 words
+           "no terminal punctuation here at all\n"  # no punct
+           "Enable JavaScript to view this page.\n"  # blocklist
+           "Another good sentence stays here!\n"
+           "Is this a question with words?  ")       # trailing ws ok
+    out = LineCleanBatch()(_tbl([doc, ""])).to_pydict()
+    assert out["clean_text"][0] == (
+        "This is a proper sentence with enough words.\n"
+        "Another good sentence stays here!\n"
+        "Is this a question with words?  ")
+    assert out["n_lines_kept"][0] == 3
+    assert out["n_lines_total"][0] == 6
+    assert out["clean_text"][1] == "" and out["n_lines_total"][1] == 0
+
+
 def test_sequence_pack_vs_cumsum_and_range_invariance(ray_session):
     """Packing equals the straight global cumsum rule and is invariant
     to the range partition size (the distributed-scan correctness
