@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": ev.events_hourly_user,
         "events_sessions": ev.events_sessions,
         "events_sliding": ev.events_sliding,
+        "events_asof": ev.events_asof_join,
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -810,6 +811,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, window_start_us,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "events_asof": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, epoch_us(ts) AS t,
+                         max(event_id) AS match_event_id
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            m AS (SELECT p.event_id, p.user_id, p.t, max(c.t) AS ct
+                  FROM p JOIN c ON c.user_id = p.user_id AND c.t <= p.t
+                  GROUP BY 1, 2, 3)
+            SELECT m.event_id, m.user_id, m.t AS ts_us,
+                   m.ct AS match_ts_us, c.match_event_id,
+                   (m.t - m.ct)::BIGINT AS lag_us
+            FROM m JOIN c ON c.user_id = m.user_id AND c.t = m.ct
         """,
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),

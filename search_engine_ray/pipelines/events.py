@@ -156,6 +156,77 @@ def events_sliding(sf_dir: str, window_us: int = WINDOW_US,
     return bucketed_group_agg(ds, ["user_id", "window_start_us"], agg)
 
 
+def _asof_bucket(g: pd.DataFrame, left_type: str,
+                 right_type: str) -> pd.DataFrame:
+    """All users of one coarse bucket: backward as-of join of the bucket's
+    ``left_type`` events against its ``right_type`` events, vectorized via
+    ``pandas.merge_asof`` (sorted-merge, no per-row Python).
+
+    Tie-break when several right events share one timestamp: the highest
+    ``event_id`` wins (rights sorted by (ts, event_id) stable; merge_asof
+    takes the LAST qualifying row)."""
+    left = g[g["event_type"] == left_type]
+    right = g[g["event_type"] == right_type]
+    cols = ["event_id", "user_id", "ts_us", "match_ts_us",
+            "match_event_id", "lag_us"]
+    if left.empty or right.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    left = left.sort_values(["ts_us", "event_id"], kind="mergesort")
+    right = right.sort_values(["ts_us", "event_id"], kind="mergesort")
+    out = pd.merge_asof(
+        left[["event_id", "user_id", "ts_us"]],
+        right[["event_id", "user_id", "ts_us"]].rename(
+            columns={"event_id": "match_event_id",
+                     "ts_us": "match_ts_us"}),
+        left_on="ts_us", right_on="match_ts_us", by="user_id",
+        direction="backward", allow_exact_matches=True)
+    out = out.dropna(subset=["match_ts_us"])
+    out["match_ts_us"] = out["match_ts_us"].astype("int64")
+    out["match_event_id"] = out["match_event_id"].astype("int64")
+    out["lag_us"] = out["ts_us"] - out["match_ts_us"]
+    return out[cols].sort_values("event_id", kind="mergesort")
+
+
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """Backward AS-OF JOIN over the event stream: for every ``left_type``
+    event, the most recent ``right_type`` event of the SAME user at or
+    before its timestamp (inner semantics — unmatched lefts drop). The
+    classic enrichment operator Ray Data lacks; DuckDB spells it
+    ``ASOF JOIN``.
+
+    Scale shape: ONE coarse shuffle on the user bucket brings both sides
+    of a user together (the same single-exchange plan a distributed
+    sort-merge as-of join uses); inside each bucket the join is a
+    vectorized ``merge_asof`` sorted merge. Partitioning assumption: a
+    user's full history fits one bucket — the same assumption as
+    ``events_sessions``, valid while no single key is object-store-scale
+    (salt-and-merge would be the evolution for a pathological hot user).
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        batch = batch.filter(mask)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+        })
+
+    ds = ds.map_batches(to_us, batch_format="pyarrow")
+    return bucketed_group_agg(
+        ds, ["user_id"],
+        lambda g: _asof_bucket(g, left_type, right_type))
+
+
 def events_hourly_user(sf_dir: str):
     """Per (user_id, hour): event count + sum(value) rounded to 6 dp.
 

@@ -70,6 +70,7 @@ SQL_BACKED = [
     "stratified_sample",  # deterministic data mixing (late r3)
     "sequence_pack",  # distributed prefix-scan packing (late r3)
     "line_clean",  # C4-style line cleaning transform (late r3)
+    "events_asof",  # backward as-of join (r3 session 4)
 ]
 
 
@@ -209,6 +210,50 @@ def test_sliding_window_vs_bruteforce(ray_session, tmp_path):
         cnt, sv = want[(row.user_id, row.window_start_us)]
         assert row.n_events == cnt
         assert abs(row.sum_value - round(sv, 6)) < 1e-6
+
+
+def test_asof_join_vs_bruteforce(ray_session, tmp_path):
+    """Random two-type events WITH planted timestamp ties: the bucketed
+    merge_asof join equals a per-purchase Python scan (max click ts <=
+    purchase ts; max event_id among tied clicks)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.events import events_asof_join
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    users = rng.integers(0, 30, size=n)
+    # coarse grid -> plenty of exact-tie timestamps within a user
+    ts = rng.integers(0, 500, size=n) * 1_000_000
+    types = np.where(rng.random(n) < 0.5, "purchase", "click")
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    want = {}
+    for eid in range(n):
+        if types[eid] != "purchase":
+            continue
+        cand = [(int(ts[j]), j) for j in range(n)
+                if types[j] == "click" and users[j] == users[eid]
+                and ts[j] <= ts[eid]]
+        if cand:
+            ct, cid = max(cand)
+            want[eid] = (int(users[eid]), int(ts[eid]), ct, cid,
+                         int(ts[eid]) - ct)
+    got = events_asof_join(str(tmp_path)).to_pandas()
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        assert want[row.event_id] == (
+            row.user_id, row.ts_us, row.match_ts_us, row.match_event_id,
+            row.lag_us), row
 
 
 def test_sessionization_semantics(ray_session, tmp_path):
