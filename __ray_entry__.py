@@ -449,6 +449,36 @@ SELECT doc_a, doc_b, hamming FROM pairs
 """
 
 
+def _redact_sql(deny_terms=("spark",)) -> str:
+    """The sequential redaction pass in SQL: each stage counts matches on
+    the text state it receives, then rewrites it — nested CTEs in the
+    SAME order as functions/webtext.RedactBatch (email, IPv4, deny list).
+    Both engines run RE2, so pattern semantics are identical."""
+    from search_engine_ray.functions.webtext import (
+        EMAIL_RE,
+        IPV4_RE,
+        _deny_re,
+    )
+
+    deny = _deny_re(deny_terms)
+    return f"""
+WITH r0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+r1 AS (SELECT doc_id,
+              len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_email,
+              regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t
+       FROM r0),
+r2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ip,
+              regexp_replace(t, '{IPV4_RE}', '<IP>', 'g') AS t
+       FROM r1),
+r3 AS (SELECT doc_id, n_email, n_ip,
+              len(regexp_extract_all(t, '{deny}'))::BIGINT AS n_denied,
+              regexp_replace(t, '{deny}', '<TERM>', 'g') AS t
+       FROM r2)
+SELECT doc_id, n_email, n_ip, n_denied, t AS redacted_text FROM r3
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
     documents table and run the fixed BM25 query set."""
@@ -496,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": d.stratified_sample_docs,
         "sequence_pack": d.sequence_pack_docs,
         "line_clean": d.line_clean_docs,
+        "redact": d.redact_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -812,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM w GROUP BY 1, 2
         """,
+        "redact": _redact_sql(),
         "events_asof": """
             WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
                        FROM events WHERE event_type = 'purchase'),

@@ -594,3 +594,57 @@ def corpus_filter(ds, batch_size: int = 1024, **kw):
         fn_constructor_kwargs=kw,
         batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pattern redaction (PII scrub)
+
+# RE2-compatible patterns, identical semantics in pyarrow (RE2) and DuckDB
+# (also RE2): email, dotted-quad IP, plus a caller-supplied deny-term list.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def _deny_re(terms: tuple) -> str:
+    return r"\b(?:" + "|".join(re.escape(t) for t in terms) + r")\b"
+
+
+class RedactBatch:
+    """PII / deny-list scrubbing: sequentially replace email, IPv4 and
+    deny-term matches with typed placeholder tokens, counting matches of
+    each pattern on the text state it actually saw (order matters — an
+    earlier replacement can consume a later pattern's match, so counts
+    are defined sequentially, and the SQL oracle nests its
+    ``regexp_replace`` calls in the same order).
+
+    Scale shape: stateless vectorized ``map_batches`` — Arrow
+    ``replace_substring_regex`` / ``count_substring_regex`` C++ kernels,
+    no shuffle, no per-row Python. The curation analogue of CCNet/C4's
+    scrub passes (C4 removes pages by deny-list; production pipelines
+    redact spans — both are one streaming regex pass)."""
+
+    def __init__(self, deny_terms: tuple = ("javascript",)):
+        self._steps = (
+            (EMAIL_RE, "<EMAIL>", "n_email"),
+            (IPV4_RE, "<IP>", "n_ip"),
+            (_deny_re(deny_terms), "<TERM>", "n_denied"),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.coalesce(batch.column("text"), "")
+        cols = {"doc_id": batch.column("doc_id")}
+        for pat, rep, name in self._steps:
+            cols[name] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+            text = pc.replace_substring_regex(text, pat, rep)
+        cols["redacted_text"] = text
+        return pa.table(cols)
+
+
+def redact(ds, deny_terms: tuple = ("javascript",),
+           batch_size: int = 1024):
+    """Streaming redaction over a documents-shaped table."""
+    return ds.map_batches(RedactBatch(deny_terms),
+                          batch_format="pyarrow", batch_size=batch_size)

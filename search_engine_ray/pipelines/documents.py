@@ -411,6 +411,16 @@ def line_clean_docs(sf_dir: str):
                       require_punct=False, blocklist=("spark",))
 
 
+def redact_docs(sf_dir: str):
+    """PII / deny-list redaction. The synthetic corpus carries no emails
+    or IPs (those patterns still execute and must count 0 in BOTH
+    engines); the deny term 'spark' occurs, so the replacement path is
+    exercised end-to-end on real hits."""
+    from search_engine_ray.functions.webtext import redact
+
+    return redact(load_documents(sf_dir), deny_terms=("spark",))
+
+
 def corpus_filter_docs(sf_dir: str):
     """Composite keep/reject gate (holdout/short/quality/rep/contam)."""
     from search_engine_ray.functions.webtext import corpus_filter

@@ -71,6 +71,7 @@ SQL_BACKED = [
     "sequence_pack",  # distributed prefix-scan packing (late r3)
     "line_clean",  # C4-style line cleaning transform (late r3)
     "events_asof",  # backward as-of join (r3 session 4)
+    "redact",  # PII / deny-list scrub (r3 session 4)
 ]
 
 

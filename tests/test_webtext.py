@@ -296,3 +296,31 @@ def test_repetition_vs_bruteforce_random(ray_session):
         else:
             want = 0.0
         assert out["dup_3gram_frac"][i] == pytest.approx(want, abs=1e-6), i
+
+
+def test_redact_patterns_and_sequential_counts(ray_session):
+    """Synthetic PII: emails and IPs redact with typed placeholders;
+    counts are sequential (an email's host part must NOT later count as
+    a deny-term hit because it was already rewritten)."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import redact
+
+    docs = rd.from_items([
+        {"doc_id": 1,
+         "text": "mail bob.smith+x@corp.example.org or 10.0.254.3 now"},
+        {"doc_id": 2, "text": "no pii here javascript twice javascript"},
+        {"doc_id": 3, "text": "edge 999.1.1.1 and a@b.co and x@y"},
+        {"doc_id": 4, "text": None},
+    ])
+    out = {r["doc_id"]: r for r in
+           redact(docs, deny_terms=("javascript",)).take_all()}
+    assert out[1]["redacted_text"] == "mail <EMAIL> or <IP> now"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_denied"]) == (1, 1, 0)
+    assert out[2]["redacted_text"] == "no pii here <TERM> twice <TERM>"
+    assert out[2]["n_denied"] == 2
+    # 999.1.1.1 still matches the dotted-quad shape (no range check —
+    # same in both engines); x@y has no TLD, so only a@b.co redacts
+    assert out[3]["n_email"] == 1 and out[3]["n_ip"] == 1
+    assert "x@y" in out[3]["redacted_text"]
+    assert out[4]["redacted_text"] == ""
