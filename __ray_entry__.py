@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": d.sequence_pack_docs,
         "line_clean": d.line_clean_docs,
         "redact": d.redact_docs,
+        "line_dedup": d.line_dedup_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -844,6 +845,43 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY 1, 2
         """,
         "redact": _redact_sql(),
+        # global line dedup: winner = row_number over the 61-bit line-hash
+        # partition (same md5_number_lower convention as the engine, so
+        # even a hash collision would resolve identically in both)
+        "line_dedup": """
+            WITH lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       generate_subscripts(ls, 1) AS line_no
+                FROM (SELECT doc_id,
+                             CASE WHEN coalesce(text, '') = ''
+                                  THEN []::VARCHAR[]
+                                  ELSE string_split_regex(
+                                      text, '\\r\\n|\\r|\\n') END AS ls
+                      FROM documents)),
+            ranked AS (
+                SELECT doc_id, line_no, row_number() OVER (
+                           PARTITION BY (md5_number_lower(line)
+                                         % 2305843009213693952)
+                           ORDER BY doc_id, line_no) AS rn
+                FROM lines WHERE line <> ''),
+            kept AS (
+                SELECT l.doc_id, l.line_no, l.line
+                FROM lines l LEFT JOIN ranked r USING (doc_id, line_no)
+                WHERE l.line = '' OR r.rn = 1),
+            agg AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY line_no) AS ct,
+                           count(*) AS nk
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS nl FROM lines GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.ct, '') AS clean_text,
+                   coalesce(a.nk, 0)::BIGINT AS n_lines_kept,
+                   (coalesce(t.nl, 0) - coalesce(a.nk, 0))::BIGINT
+                       AS n_lines_removed
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN tot t USING (doc_id)
+        """,
         "events_asof": """
             WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
                        FROM events WHERE event_type = 'purchase'),

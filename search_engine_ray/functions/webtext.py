@@ -31,6 +31,7 @@ import re
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -648,3 +649,98 @@ def redact(ds, deny_terms: tuple = ("javascript",),
     """Streaming redaction over a documents-shaped table."""
     return ds.map_batches(RedactBatch(deny_terms),
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-GLOBAL exact line dedup (C4-style "one occurrence per distinct
+# line across the whole corpus"; Raffel et al., arXiv:1910.10683 dedupe
+# three-sentence spans corpus-wide — the same plan at line granularity).
+
+
+class LineHashExplode:
+    """docs -> one (doc_id, line_no, line_hash) row per NON-EMPTY line
+    (1-indexed line_no = generate_subscripts; 61-bit md5 hash = the
+    repo-wide md5_number_lower convention). Empty lines are structure,
+    not content — they never dedup. No line TEXT leaves this stage: the
+    winner shuffle moves 24 bytes/line, not the corpus."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_no, out_h = [], [], []
+        for d, t in zip(ids, texts):
+            if not t:
+                continue
+            for i, ln in enumerate(_LINE_SPLIT.split(t), start=1):
+                if ln:
+                    out_doc.append(d)
+                    out_no.append(i)
+                    out_h.append(_md5_low61(ln))
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "line_no": pa.array(out_no, pa.int64()),
+            "line_hash": pa.array(out_h, pa.int64()),
+        })
+
+
+def _line_removals(g: pd.DataFrame) -> pd.DataFrame:
+    """One line-hash bucket: every occurrence except the first
+    (min doc_id, then min line_no) is a removal."""
+    g = g.sort_values(["line_hash", "doc_id", "line_no"], kind="mergesort")
+    out = g.loc[g.duplicated("line_hash", keep="first"),
+                ["doc_id", "line_no"]].copy()
+    out["text"] = ""
+    return out
+
+
+def line_dedup(ds, num_buckets: int = 64):
+    """Corpus-global exact line dedup: each distinct non-empty line
+    survives only at its FIRST occurrence (lowest doc_id, then lowest
+    line_no — including repeats within one doc); emits (doc_id,
+    clean_text, n_lines_kept, n_lines_removed).
+
+    Scale shape: two exchanges. (1) hash triplets shuffle on the
+    line-hash bucket — winners by sorted-dedup inside each bucket,
+    removal pairs out; (2) removals UNION the docs themselves (tagged
+    ``line_no = -1``) shuffle on the doc bucket, so each doc meets its
+    removal set exactly once and is re-split/reassembled there. Line
+    text never enters exchange (1); exchange (2) moves the corpus once —
+    the minimum for a transform that rewrites every document.
+    """
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    hashes = ds.map_batches(LineHashExplode(), batch_format="pyarrow")
+    removals = bucketed_group_agg(hashes, ["line_hash"], _line_removals,
+                                  num_buckets)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.column("text")
+        if pa.types.is_null(t.type):  # all-None block (schema inference)
+            t = t.cast(pa.string())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "line_no": pa.array([-1] * len(batch), pa.int64()),
+            "text": pc.coalesce(t, ""),
+        })
+
+    both = removals.union(ds.map_batches(tag_docs, batch_format="pyarrow"))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["line_no"] == -1]
+        rem = g[g["line_no"] >= 0]
+        rem_map = {d: set(v.tolist()) for d, v in
+                   rem.groupby("doc_id")["line_no"]}
+        rows = []
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            lines = _LINE_SPLIT.split(t) if t else []
+            drop = rem_map.get(d, ())
+            kept = [ln for i, ln in enumerate(lines, start=1)
+                    if i not in drop]
+            rows.append((d, "\n".join(kept), len(kept),
+                         len(lines) - len(kept)))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "clean_text", "n_lines_kept", "n_lines_removed"])
+
+    return bucketed_group_agg(both, ["doc_id"], reassemble, num_buckets)

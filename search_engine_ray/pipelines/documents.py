@@ -411,6 +411,13 @@ def line_clean_docs(sf_dir: str):
                       require_punct=False, blocklist=("spark",))
 
 
+def line_dedup_docs(sf_dir: str):
+    """Corpus-global exact line dedup (first occurrence survives)."""
+    from search_engine_ray.functions.webtext import line_dedup
+
+    return line_dedup(load_documents(sf_dir))
+
+
 def redact_docs(sf_dir: str):
     """PII / deny-list redaction. The synthetic corpus carries no emails
     or IPs (those patterns still execute and must count 0 in BOTH

@@ -72,6 +72,7 @@ SQL_BACKED = [
     "line_clean",  # C4-style line cleaning transform (late r3)
     "events_asof",  # backward as-of join (r3 session 4)
     "redact",  # PII / deny-list scrub (r3 session 4)
+    "line_dedup",  # corpus-global exact line dedup (r3 session 4)
 ]
 
 

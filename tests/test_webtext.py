@@ -324,3 +324,25 @@ def test_redact_patterns_and_sequential_counts(ray_session):
     assert out[3]["n_email"] == 1 and out[3]["n_ip"] == 1
     assert "x@y" in out[3]["redacted_text"]
     assert out[4]["redacted_text"] == ""
+
+
+def test_line_dedup_global_first_occurrence_wins(ray_session):
+    """Cross-doc and within-doc duplicate lines collapse to the single
+    first occurrence (min doc_id, then min line_no); empty lines are
+    structure and always survive; null text -> empty output."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import line_dedup
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "alpha\n\nbeta\nalpha"},
+        {"doc_id": 2, "text": "beta\ngamma"},
+        {"doc_id": 3, "text": None},
+    ])
+    out = {r["doc_id"]: r for r in line_dedup(docs).take_all()}
+    assert out[1]["clean_text"] == "alpha\n\nbeta"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (3, 1)
+    assert out[2]["clean_text"] == "gamma"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_removed"]) == (1, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_removed"]) == (0, 0)
