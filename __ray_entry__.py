@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_clean": d.line_clean_docs,
         "redact": d.redact_docs,
         "line_dedup": d.line_dedup_docs,
+        "tfidf_topk": d.tfidf_topk_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -845,6 +846,25 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY 1, 2
         """,
         "redact": _redact_sql(),
+        # smoothed sklearn idf; rank by UNROUNDED score then term (same
+        # few-flop double expression both engines — the bm25 convention)
+        "tfidf_topk": f"""
+            {_TOKS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                   GROUP BY term),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term,
+                          tf.tf * (ln((1 + n.n) / (1 + df.df)) + 1) AS s
+                   FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term, round(s, 6) AS tfidf, rank
+            FROM (SELECT doc_id, term, s,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY s DESC, term) AS rank
+                  FROM sc)
+            WHERE rank <= 3
+        """,
         # global line dedup: winner = row_number over the 61-bit line-hash
         # partition (same md5_number_lower convention as the engine, so
         # even a hash collision would resolve identically in both)

@@ -744,3 +744,70 @@ def line_dedup(ds, num_buckets: int = 64):
             "doc_id", "clean_text", "n_lines_kept", "n_lines_removed"])
 
     return bucketed_group_agg(both, ["doc_id"], reassemble, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+
+
+class DocTermTFBatch:
+    """(doc_id, text) -> one (doc_id, term, tf) row per distinct term of
+    each doc — the map-side combine, so the term shuffle moves per-doc
+    DISTINCT terms, not the token stream."""
+
+    def __init__(self):
+        self._re = token_regex()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc: list = []
+        out_term: list = []
+        out_tf: list = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            cnt = Counter(self._re.findall(t) if t else ())
+            out_doc.extend([d] * len(cnt))
+            out_term.extend(cnt.keys())
+            out_tf.extend(cnt.values())
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+        })
+
+
+def tfidf_topk(ds, k: int = 3, num_buckets: int = 64):
+    """Top-``k`` TF-IDF keywords per document (smoothed sklearn-style
+    idf: ``tf * (ln((1+N)/(1+df)) + 1)``); emits (doc_id, term, tfidf,
+    rank), rank 1..k by score desc then term asc.
+
+    Scale shape: two exchanges over the per-doc DISTINCT (doc, term, tf)
+    rows — (1) term-bucket shuffle where df is a group-local ``transform
+    ('size')`` (each term's rows are co-located, so no separate df join
+    materializes), (2) doc-bucket shuffle for the per-doc top-k. N docs
+    comes from parquet metadata (``ds.count()`` — footer-only)."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    n_docs = ds.count()
+    tf = ds.map_batches(DocTermTFBatch(), batch_format="pyarrow",
+                        batch_size=1024)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("term")["term"].transform("size").to_numpy()
+        idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+        return g.assign(s=g["tf"].to_numpy() * idf)[["doc_id", "term", "s"]]
+
+    scored = bucketed_group_agg(tf, ["term"], score_bucket, num_buckets)
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "s", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.assign(rank=(g.groupby("doc_id").cumcount() + 1))
+        g = g[g["rank"] <= k]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "term": g["term"].to_numpy(),
+            "tfidf": np.array([round_half_away(v) for v in g["s"]]),
+            "rank": g["rank"].to_numpy().astype(np.int64),
+        })
+
+    return bucketed_group_agg(scored, ["doc_id"], topk_bucket, num_buckets)

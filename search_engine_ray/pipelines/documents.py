@@ -411,6 +411,13 @@ def line_clean_docs(sf_dir: str):
                       require_punct=False, blocklist=("spark",))
 
 
+def tfidf_topk_docs(sf_dir: str):
+    """Top-3 TF-IDF keywords per doc (smoothed idf, sklearn formula)."""
+    from search_engine_ray.functions.webtext import tfidf_topk
+
+    return tfidf_topk(load_documents(sf_dir), k=3)
+
+
 def line_dedup_docs(sf_dir: str):
     """Corpus-global exact line dedup (first occurrence survives)."""
     from search_engine_ray.functions.webtext import line_dedup

@@ -73,6 +73,7 @@ SQL_BACKED = [
     "events_asof",  # backward as-of join (r3 session 4)
     "redact",  # PII / deny-list scrub (r3 session 4)
     "line_dedup",  # corpus-global exact line dedup (r3 session 4)
+    "tfidf_topk",  # per-doc tf-idf keywords (r3 session 4)
 ]
 
 

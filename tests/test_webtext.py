@@ -346,3 +346,31 @@ def test_line_dedup_global_first_occurrence_wins(ray_session):
     assert (out[2]["n_lines_kept"], out[2]["n_lines_removed"]) == (1, 1)
     assert out[3]["clean_text"] == ""
     assert (out[3]["n_lines_kept"], out[3]["n_lines_removed"]) == (0, 0)
+
+
+def test_tfidf_topk_handcrafted(ray_session):
+    """Hand-computed smoothed tf-idf; equal-score tie breaks term-asc."""
+    import math
+
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import tfidf_topk
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "apple apple banana"},
+        {"doc_id": 2, "text": "banana cherry"},
+        {"doc_id": 3, "text": "cherry cherry cherry"},
+    ])
+    out = tfidf_topk(docs, k=3).to_pandas().sort_values(
+        ["doc_id", "rank"]).reset_index(drop=True)
+    idf1 = math.log(4 / 2) + 1   # df=1
+    idf2 = math.log(4 / 3) + 1   # df=2
+    want = [
+        (1, "apple", 2 * idf1, 1), (1, "banana", idf2, 2),
+        (2, "banana", idf2, 1), (2, "cherry", idf2, 2),  # tie -> term asc
+        (3, "cherry", 3 * idf2, 1),
+    ]
+    assert len(out) == len(want)
+    for row, (d, term, s, r) in zip(out.itertuples(index=False), want):
+        assert (row.doc_id, row.term, row.rank) == (d, term, r)
+        assert abs(row.tfidf - round(s, 6)) < 2e-6
