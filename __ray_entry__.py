@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": d.redact_docs,
         "line_dedup": d.line_dedup_docs,
         "tfidf_topk": d.tfidf_topk_docs,
+        "length_quantiles": d.length_quantiles_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -864,6 +865,29 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY s DESC, term) AS rank
                   FROM sc)
             WHERE rank <= 3
+        """,
+        # exact "disc" quantiles: value at 1-indexed ceil(q*n) of the
+        # ascending sort, positions in INTEGER arithmetic (see
+        # functions/webtext.length_quantiles)
+        "length_quantiles": """
+            WITH ranked AS (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents)
+            SELECT source, max(n)::BIGINT AS n_docs,
+                   max(CASE WHEN rn = (25 * n + 99) // 100
+                            THEN n_chars END)::BIGINT AS p25,
+                   max(CASE WHEN rn = (50 * n + 99) // 100
+                            THEN n_chars END)::BIGINT AS p50,
+                   max(CASE WHEN rn = (75 * n + 99) // 100
+                            THEN n_chars END)::BIGINT AS p75,
+                   max(CASE WHEN rn = (90 * n + 99) // 100
+                            THEN n_chars END)::BIGINT AS p90,
+                   max(CASE WHEN rn = (99 * n + 99) // 100
+                            THEN n_chars END)::BIGINT AS p99
+            FROM ranked GROUP BY source
         """,
         # global line dedup: winner = row_number over the 61-bit line-hash
         # partition (same md5_number_lower convention as the engine, so

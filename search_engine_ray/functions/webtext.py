@@ -811,3 +811,48 @@ def tfidf_topk(ds, k: int = 3, num_buckets: int = 64):
         })
 
     return bucketed_group_agg(scored, ["doc_id"], topk_bucket, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles over a bounded-domain metric
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def length_quantiles(ds, num_buckets: int = 64):
+    """EXACT per-source quantiles of ``n_chars`` (p25/p50/p75/p90/p99,
+    "disc" semantics: the value at 1-indexed position ceil(q*n) of the
+    ascending sort). Quantile positions use INTEGER arithmetic
+    ``(p*n + 99) // 100`` — ``ceil(0.9 * n)`` in doubles can land an
+    ulp above an integer and skew the position by one.
+
+    Scale shape: the shuffle carries (source, n_chars, count) HISTOGRAM
+    rows — map-side combined per batch, volume bounded by the value
+    domain (~1e6 distinct lengths at 100 TB), never by row count; the
+    exact quantile then reads off the merged cumsum. For unbounded /
+    continuous metrics the documented evolution is fixed-width binning
+    or a mergeable sketch (t-digest) at the same plan shape."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "n_chars"], as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    hist = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+
+    def q_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for s, sub in g.groupby("source"):
+            sub = (sub.groupby("n_chars", as_index=False)["c"].sum()
+                   .sort_values("n_chars"))
+            vals = sub["n_chars"].to_numpy()
+            cum = np.cumsum(sub["c"].to_numpy())
+            n = int(cum[-1])
+            qs = [int(vals[np.searchsorted(cum, (p * n + 99) // 100)])
+                  for p in QUANTILE_PCTS]
+            rows.append([s, n, *qs])
+        return pd.DataFrame(rows, columns=[
+            "source", "n_docs",
+            *[f"p{p}" for p in QUANTILE_PCTS]])
+
+    return bucketed_group_agg(hist, ["source"], q_bucket, num_buckets)

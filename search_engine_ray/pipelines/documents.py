@@ -411,6 +411,15 @@ def line_clean_docs(sf_dir: str):
                       require_punct=False, blocklist=("spark",))
 
 
+def length_quantiles_docs(sf_dir: str):
+    """Exact per-source n_chars quantiles (histogram-merge plan)."""
+    from search_engine_ray.functions.webtext import length_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "n_chars"])
+    return length_quantiles(ds)
+
+
 def tfidf_topk_docs(sf_dir: str):
     """Top-3 TF-IDF keywords per doc (smoothed idf, sklearn formula)."""
     from search_engine_ray.functions.webtext import tfidf_topk

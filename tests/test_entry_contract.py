@@ -74,6 +74,7 @@ SQL_BACKED = [
     "redact",  # PII / deny-list scrub (r3 session 4)
     "line_dedup",  # corpus-global exact line dedup (r3 session 4)
     "tfidf_topk",  # per-doc tf-idf keywords (r3 session 4)
+    "length_quantiles",  # exact histogram-merge quantiles (r3 session 4)
 ]
 
 

@@ -374,3 +374,33 @@ def test_tfidf_topk_handcrafted(ray_session):
     for row, (d, term, s, r) in zip(out.itertuples(index=False), want):
         assert (row.doc_id, row.term, row.rank) == (d, term, r)
         assert abs(row.tfidf - round(s, 6)) < 2e-6
+
+
+def test_length_quantiles_vs_numpy_sort(ray_session):
+    """Random per-source lengths: the histogram-merge quantiles equal the
+    value at 1-indexed position ceil(q*n) of a literal sort."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import (
+        QUANTILE_PCTS,
+        length_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    items = []
+    want = {}
+    for s, n in [("a", 997), ("b", 100), ("c", 1)]:
+        lens = rng.integers(0, 50, size=n)  # small domain -> heavy ties
+        items += [{"source": s, "n_chars": int(x)} for x in lens]
+        srt = np.sort(lens)
+        want[s] = (n, [int(srt[math.ceil(p / 100 * n) - 1])
+                       for p in QUANTILE_PCTS])
+    out = length_quantiles(rd.from_items(items)).to_pandas()
+    assert len(out) == 3
+    for row in out.itertuples(index=False):
+        n, qs = want[row.source]
+        assert row.n_docs == n
+        assert [row.p25, row.p50, row.p75, row.p90, row.p99] == qs
