@@ -479,6 +479,12 @@ SELECT doc_id, n_email, n_ip, n_denied, t AS redacted_text FROM r3
 """
 
 
+def _orders_by_nation(sf_dir: str):
+    from search_engine_ray.pipelines.relational import orders_by_nation
+
+    return orders_by_nation(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
     documents table and run the fixed BM25 query set."""
@@ -530,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": d.line_dedup_docs,
         "tfidf_topk": d.tfidf_topk_docs,
         "length_quantiles": d.length_quantiles_docs,
+        "orders_by_nation": _orders_by_nation,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -865,6 +872,17 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY s DESC, term) AS rank
                   FROM sc)
             WHERE rank <= 3
+        """,
+        # distributed hash join demo; money summed as exact integer cents
+        "orders_by_nation": """
+            SELECT n_name, r_name, count(*)::BIGINT AS n_orders,
+                   sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                       AS sum_cents
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY 1, 2
         """,
         # exact "disc" quantiles: value at 1-indexed ceil(q*n) of the
         # ascending sort, positions in INTEGER arithmetic (see

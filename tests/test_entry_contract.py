@@ -75,6 +75,7 @@ SQL_BACKED = [
     "line_dedup",  # corpus-global exact line dedup (r3 session 4)
     "tfidf_topk",  # per-doc tf-idf keywords (r3 session 4)
     "length_quantiles",  # exact histogram-merge quantiles (r3 session 4)
+    "orders_by_nation",  # distributed hash + broadcast joins (r3 s4)
 ]
 
 

@@ -1,0 +1,63 @@
+"""Distributed join primitives vs literal pandas merges."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from search_engine_ray.functions.join import broadcast_join, bucketed_hash_join
+
+
+def _mk(rng, n, key_lo, key_hi, key, val):
+    return pd.DataFrame({
+        key: rng.integers(key_lo, key_hi, size=n).astype("int64"),
+        val: rng.integers(0, 1000, size=n).astype("int64"),
+    })
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_bucketed_hash_join_vs_pandas(ray_session, how):
+    """Random many-to-many keys (some left-only, some right-only): the
+    one-exchange bucketed join equals a literal pandas merge."""
+    rng = np.random.default_rng(17)
+    lhs = _mk(rng, 800, 0, 120, "lk", "lv")     # keys 0..119
+    rhs = _mk(rng, 500, 60, 180, "rk", "rv")    # keys 60..179
+    got = (bucketed_hash_join(rd.from_pandas(lhs), rd.from_pandas(rhs),
+                              left_on="lk", right_on="rk", how=how,
+                              num_buckets=16)
+           .to_pandas())
+    want = lhs.merge(rhs, left_on="lk", right_on="rk", how=how)
+    cols = ["lk", "lv", "rk", "rv"]
+    assert sorted(got.columns) == sorted(want.columns)
+
+    def canon(df):
+        df = df[cols].copy()
+        for c in cols:  # left-join nulls float both frames identically
+            df[c] = df[c].astype("float64")
+        return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_bucketed_hash_join_rejects_column_collision(ray_session):
+    a = rd.from_items([{"k": 1, "v": 2}])
+    b = rd.from_items([{"k2": 1, "v": 3}])
+    with pytest.raises(ValueError, match="collision"):
+        bucketed_hash_join(a, b, left_on="k", right_on="k2")
+
+
+def test_broadcast_join_vs_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    big = _mk(rng, 1000, 0, 30, "k", "v")
+    dim = pd.DataFrame({"dk": np.arange(0, 25, dtype="int64"),
+                        "name": [f"n{i}" for i in range(25)]})
+    got = (broadcast_join(rd.from_pandas(big), dim,
+                          left_on="k", right_on="dk")
+           .to_pandas()
+           .sort_values(["k", "v"], kind="mergesort")
+           .reset_index(drop=True))
+    want = (big.merge(dim, left_on="k", right_on="dk")
+            .sort_values(["k", "v"], kind="mergesort")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
