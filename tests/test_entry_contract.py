@@ -23,7 +23,8 @@ def entrymod(ray_session):
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "orders", "customer",
+              "nation", "region", "lineitem", "supplier", "part"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF}/{t}.parquet')"
