@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": d.tfidf_topk_docs,
         "length_quantiles": d.length_quantiles_docs,
         "orders_by_nation": _orders_by_nation,
+        "chunk_windows": d.chunk_docs_windows,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -872,6 +873,27 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY s DESC, term) AS rank
                   FROM sc)
             WHERE rank <= 3
+        """,
+        # overlapping-window chunking: chunk i = tokens
+        # [i*stride, i*stride+mx); chunk count 1 + ceil((n-mx)/stride);
+        # DuckDB list slices are 1-based inclusive
+        "chunk_windows": f"""
+            WITH toksl AS (
+                SELECT doc_id, regexp_extract_all(text, '{TOK}') AS ts
+                FROM documents),
+            par AS (SELECT doc_id, ts, len(ts) AS n FROM toksl
+                    WHERE len(ts) > 0),
+            c AS (SELECT doc_id, ts, n,
+                         unnest(range(0, CASE WHEN n <= 32 THEN 1
+                             ELSE 1 + (n - 32 + 23) // 24 END)) AS cid
+                  FROM par)
+            SELECT doc_id, cid::BIGINT AS chunk_id,
+                   (least(cid * 24 + 32, n) - cid * 24)::BIGINT
+                       AS n_tokens_chunk,
+                   array_to_string(
+                       ts[cid * 24 + 1 : least(cid * 24 + 32, n)], ' ')
+                       AS chunk_text
+            FROM c
         """,
         # distributed hash join demo; money summed as exact integer cents
         "orders_by_nation": """

@@ -856,3 +856,58 @@ def length_quantiles(ds, num_buckets: int = 64):
             *[f"p{p}" for p in QUANTILE_PCTS]])
 
     return bucketed_group_agg(hist, ["source"], q_bucket, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+
+
+class ChunkBatch:
+    """Split each doc's token stream into fixed-size overlapping chunks
+    (the context-window prep step of a training pipeline): chunk i
+    covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the final chunk is the first one
+    whose end reaches the doc's last token (no fully-redundant tail
+    chunk); zero-token docs emit no chunks. Pure map — no shuffle; at
+    100 TB the chunk stream feeds ``write_parquet`` partitioned by the
+    input shard."""
+
+    def __init__(self, max_tokens: int = 32, overlap: int = 8):
+        assert 0 <= overlap < max_tokens
+        self._re = token_regex()
+        self._mx = max_tokens
+        self._stride = max_tokens - overlap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc: list = []
+        out_cid: list = []
+        out_n: list = []
+        out_text: list = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = self._re.findall(t) if t else []
+            n = len(toks)
+            s, cid = 0, 0
+            while n:
+                e = min(s + self._mx, n)
+                out_doc.append(d)
+                out_cid.append(cid)
+                out_n.append(e - s)
+                out_text.append(" ".join(toks[s:e]))
+                if e >= n:
+                    break
+                s += self._stride
+                cid += 1
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "chunk_id": pa.array(out_cid, pa.int64()),
+            "n_tokens_chunk": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        })
+
+
+def chunk_docs(ds, max_tokens: int = 32, overlap: int = 8,
+               batch_size: int = 1024):
+    """Streaming overlapping-window chunking over a documents table."""
+    return ds.map_batches(ChunkBatch(max_tokens, overlap),
+                          batch_format="pyarrow", batch_size=batch_size)

@@ -411,6 +411,13 @@ def line_clean_docs(sf_dir: str):
                       require_punct=False, blocklist=("spark",))
 
 
+def chunk_docs_windows(sf_dir: str):
+    """Overlapping context-window chunks (max 32 tokens, overlap 8)."""
+    from search_engine_ray.functions.webtext import chunk_docs
+
+    return chunk_docs(load_documents(sf_dir), max_tokens=32, overlap=8)
+
+
 def length_quantiles_docs(sf_dir: str):
     """Exact per-source n_chars quantiles (histogram-merge plan)."""
     from search_engine_ray.functions.webtext import length_quantiles

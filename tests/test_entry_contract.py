@@ -77,6 +77,7 @@ SQL_BACKED = [
     "tfidf_topk",  # per-doc tf-idf keywords (r3 session 4)
     "length_quantiles",  # exact histogram-merge quantiles (r3 session 4)
     "orders_by_nation",  # distributed hash + broadcast joins (r3 s4)
+    "chunk_windows",  # overlapping context-window chunking (r3 s4)
 ]
 
 

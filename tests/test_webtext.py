@@ -404,3 +404,43 @@ def test_length_quantiles_vs_numpy_sort(ray_session):
         n, qs = want[row.source]
         assert row.n_docs == n
         assert [row.p25, row.p50, row.p75, row.p90, row.p99] == qs
+
+
+def test_chunk_docs_window_invariants(ray_session):
+    """Chunk reconstruction invariants on random docs: stride spacing,
+    full coverage (concatenation of de-overlapped chunks == token
+    stream), no fully-redundant tail chunk, zero-token docs vanish."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import chunk_docs
+
+    rng = np.random.default_rng(5)
+    docs = [{"doc_id": i,
+             "text": " ".join(f"w{rng.integers(0, 9)}"
+                              for _ in range(int(n)))}
+            for i, n in enumerate(rng.integers(0, 120, size=40))]
+    docs.append({"doc_id": 99, "text": ""})
+    mx, ov = 32, 8
+    stride = mx - ov
+    out = chunk_docs(rd.from_items(docs), mx, ov).to_pandas()
+    assert 99 not in set(out["doc_id"])
+    for d in docs:
+        toks = d["text"].split()
+        sub = out[out["doc_id"] == d["doc_id"]].sort_values("chunk_id")
+        if not toks:
+            assert len(sub) == 0
+            continue
+        n = len(toks)
+        want_nc = 1 if n <= mx else 1 + -(-(n - mx) // stride)
+        assert len(sub) == want_nc
+        rebuilt = []
+        for cid, ctext, cn in zip(sub["chunk_id"], sub["chunk_text"],
+                                  sub["n_tokens_chunk"]):
+            ctoks = ctext.split()
+            assert len(ctoks) == cn
+            assert ctoks == toks[cid * stride: cid * stride + mx][:cn]
+            rebuilt.extend(ctoks[ov:] if cid else ctoks)
+        # chunks start on the stride grid, so dropping each non-first
+        # chunk's ``ov`` overlap tokens rebuilds the exact stream
+        assert rebuilt == toks
