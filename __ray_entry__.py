@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": ev.events_sessions,
         "events_sliding": ev.events_sliding,
         "events_asof": ev.events_asof_join,
+        "events_top_users": ev.events_top_users,
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -873,6 +874,18 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY s DESC, term) AS rank
                   FROM sc)
             WHERE rank <= 3
+        """,
+        # grouped top-k: rank on the ROUNDED sum (cross-engine-stable)
+        "events_top_users": """
+            WITH s AS (SELECT event_type, user_id,
+                              count(*)::BIGINT AS n_events,
+                              round(sum(value), 6) AS sum_value
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, user_id, n_events, sum_value, rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY sum_value DESC, user_id) AS rank
+                  FROM s)
+            WHERE rank <= 2
         """,
         # overlapping-window chunking: chunk i = tokens
         # [i*stride, i*stride+mx); chunk count 1 + ceil((n-mx)/stride);

@@ -237,3 +237,29 @@ def events_hourly_user(sf_dir: str):
                          columns=["ts", "user_id", "value"])
     ds = ds.map_batches(_add_hour, batch_format="pandas")
     return bucketed_group_agg(ds, ["user_id", "hour_epoch"], _hourly_agg)
+
+
+def events_top_users(sf_dir: str, k: int = 2):
+    """Grouped top-k: the ``k`` highest-spend users per event_type
+    (rank by 6-dp-rounded sum desc, then user asc — ranking on the
+    rounded sum keeps the order cross-engine-stable).
+
+    Scale shape: ONE coarse shuffle on event_type; per-group sums and
+    the top-k head are vectorized pandas inside the bucket. With a
+    group-count ~ key-domain (5 types) the per-bucket result is tiny;
+    for high-cardinality grouping keys the same plan applies with a
+    map-side partial sum first (see functions/webtext.tfidf_topk)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["event_type", "user_id"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        s["sum_value"] = s["sum_value"].round(6)
+        s = s.sort_values(["event_type", "sum_value", "user_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        s["rank"] = (s.groupby("event_type").cumcount() + 1).astype("int64")
+        s["n_events"] = s["n_events"].astype("int64")
+        return s[s["rank"] <= k]
+
+    return bucketed_group_agg(ds, ["event_type"], topk)

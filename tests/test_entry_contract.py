@@ -78,6 +78,7 @@ SQL_BACKED = [
     "length_quantiles",  # exact histogram-merge quantiles (r3 session 4)
     "orders_by_nation",  # distributed hash + broadcast joins (r3 s4)
     "chunk_windows",  # overlapping context-window chunking (r3 s4)
+    "events_top_users",  # grouped top-k / argmax-per-group (r3 s4)
 ]
 
 
