@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": d.length_quantiles_docs,
         "orders_by_nation": _orders_by_nation,
         "chunk_windows": d.chunk_docs_windows,
+        "corpus_shuffle": d.corpus_shuffle_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
@@ -874,6 +875,19 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY s DESC, term) AS rank
                   FROM sc)
             WHERE rank <= 3
+        """,
+        # deterministic shuffle: dense within-shard rank of the 61-bit
+        # per-doc hash (same md5_number_lower convention as sampling)
+        "corpus_shuffle": """
+            WITH k AS (SELECT doc_id,
+                              (md5_number_lower(doc_id::VARCHAR
+                                                || ':shuf:13')
+                               % 2305843009213693952)::BIGINT AS skey
+                       FROM documents)
+            SELECT doc_id, (skey % 8)::BIGINT AS shard_id,
+                   (row_number() OVER (PARTITION BY skey % 8
+                        ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+            FROM k
         """,
         # grouped top-k: rank on the ROUNDED sum (cross-engine-stable)
         "events_top_users": """

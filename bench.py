@@ -249,6 +249,10 @@ def run_bench() -> dict:
     timed("ngram_jaccard_pairs", d.ngram_jaccard_pairs)
     timed("ann_topk", e.ann_bruteforce_topk)
     timed("events_hourly", ev.events_hourly_user)
+    timed("line_dedup", d.line_dedup_docs)          # 2-exchange transform
+    timed("orders_by_nation", __import__(
+        "search_engine_ray.pipelines.relational",
+        fromlist=["orders_by_nation"]).orders_by_nation)  # hash join
 
     ray.shutdown()
     total = round(sum(queries.values()), 3)

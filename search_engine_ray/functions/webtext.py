@@ -911,3 +911,72 @@ def chunk_docs(ds, max_tokens: int = 32, overlap: int = 8,
     """Streaming overlapping-window chunking over a documents table."""
     return ds.map_batches(ChunkBatch(max_tokens, overlap),
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (training-order mixing)
+
+def corpus_shuffle(ds, n_shards: int = 8, n_ranges: int = 64,
+                   seed: int = 13, batch_size: int = 2048):
+    """Deterministic global shuffle for training-order mixing: every doc
+    gets a pseudorandom 61-bit key (md5 of ``doc_id:shuf:seed`` — a
+    pure per-row function, so the order reproduces across cluster
+    sizes, retries and resumes, like ``stratified_sample``); shard =
+    key mod ``n_shards``; ``pos`` = DENSE rank of the key within the
+    shard (ties by doc_id).
+
+    Scale shape — rank as a distributed PREFIX SCAN (the
+    ``sequence_pack`` plan): keys also map to ``n_ranges`` contiguous
+    key ranges; one pass counts (shard, range) cells (driver gets a
+    bounded n_shards x n_ranges table and prefix-sums offsets); one
+    bucketed pass sorts each cell locally and adds its offset. No
+    global sort exchange; the materialized intermediate is 24-byte
+    projected rows, never text."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    mod = 1 << 61
+    range_div = -(-mod // n_ranges)  # ceil: range_id in [0, n_ranges)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = np.fromiter(
+            (_md5_low61(f"{d}:shuf:{seed}") for d in ids),
+            dtype=np.int64, count=len(ids))
+        srid = (keys % n_shards) * n_ranges + keys // range_div
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "skey": pa.array(keys),
+            "srid": pa.array(srid.astype(np.int64)),
+        })
+
+    rows = ds.map_batches(key_rows, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
+    counts = rows.groupby("srid").count().to_pandas()
+    counts = counts.sort_values("srid")  # shard-major, then key-range
+    srids = counts["srid"].to_numpy(dtype=np.int64)
+    c = counts["count()"].to_numpy(dtype=np.int64)
+    # offsets restart at every shard boundary (srid // n_ranges)
+    cum = np.concatenate(([0], np.cumsum(c)[:-1]))
+    shard_of = srids // n_ranges
+    first_in_shard = np.concatenate(
+        ([True], shard_of[1:] != shard_of[:-1]))
+    shard_base = np.maximum.accumulate(np.where(first_in_shard, cum, 0))
+    offsets = dict(zip(srids.tolist(), (cum - shard_base).tolist()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for srid, gg in g.groupby("srid", sort=False):
+            gg = gg.sort_values(["skey", "doc_id"], kind="mergesort")
+            pos = offsets[int(srid)] + np.arange(len(gg), dtype=np.int64)
+            parts.append(pd.DataFrame({
+                "doc_id": gg["doc_id"].to_numpy(),
+                "shard_id": np.full(len(gg), int(srid) // n_ranges,
+                                    dtype=np.int64),
+                "pos": pos,
+            }))
+        return pd.concat(parts) if parts else pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "shard_id": pd.Series(dtype="int64"),
+            "pos": pd.Series(dtype="int64")})
+
+    return bucketed_group_agg(rows, ["srid"], per_bucket)

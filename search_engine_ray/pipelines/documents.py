@@ -411,6 +411,13 @@ def line_clean_docs(sf_dir: str):
                       require_punct=False, blocklist=("spark",))
 
 
+def corpus_shuffle_docs(sf_dir: str):
+    """Deterministic training-order shuffle (8 shards, dense rank)."""
+    from search_engine_ray.functions.webtext import corpus_shuffle
+
+    return corpus_shuffle(load_documents(sf_dir), n_shards=8)
+
+
 def chunk_docs_windows(sf_dir: str):
     """Overlapping context-window chunks (max 32 tokens, overlap 8)."""
     from search_engine_ray.functions.webtext import chunk_docs

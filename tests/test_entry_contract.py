@@ -79,6 +79,7 @@ SQL_BACKED = [
     "orders_by_nation",  # distributed hash + broadcast joins (r3 s4)
     "chunk_windows",  # overlapping context-window chunking (r3 s4)
     "events_top_users",  # grouped top-k / argmax-per-group (r3 s4)
+    "corpus_shuffle",  # deterministic training-order shuffle (r3 s4)
 ]
 
 

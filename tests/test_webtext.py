@@ -444,3 +444,31 @@ def test_chunk_docs_window_invariants(ray_session):
         # chunks start on the stride grid, so dropping each non-first
         # chunk's ``ov`` overlap tokens rebuilds the exact stream
         assert rebuilt == toks
+
+
+def test_corpus_shuffle_dense_rank_and_determinism(ray_session):
+    """pos is a dense 0..n_s-1 rank per shard, equals the brute-force
+    sort of the per-doc hashes, and reproduces exactly across runs
+    (pure per-row hash keys — cluster-size/retry independent)."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import _md5_low61, corpus_shuffle
+
+    docs = [{"doc_id": i, "text": "x"} for i in range(777)]
+    out = corpus_shuffle(rd.from_items(docs), n_shards=4,
+                         n_ranges=8).to_pandas()
+    out2 = corpus_shuffle(rd.from_items(docs), n_shards=4,
+                          n_ranges=3).to_pandas()  # range count is
+    # an internal partitioning knob — results must not depend on it
+    key = {i: _md5_low61(f"{i}:shuf:13") for i in range(777)}
+    assert len(out) == 777
+    for s, sub in out.groupby("shard_id"):
+        sub = sub.sort_values("pos")
+        assert sub["pos"].tolist() == list(range(len(sub)))
+        want = sorted(sub["doc_id"], key=lambda d: (key[d], d))
+        assert sub["doc_id"].tolist() == want
+        assert all(key[d] % 4 == s for d in sub["doc_id"])
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
