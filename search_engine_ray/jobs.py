@@ -177,6 +177,12 @@ def cmd_dedup(args) -> int:
             from search_engine_ray.functions.dedup import simhash_near_dups
 
             res = simhash_near_dups(ds, max_hamming=args.max_hamming)
+        elif args.method == "line":
+            # line-LEVEL dedup is a rewrite, not a pair list: writes the
+            # deduplicated corpus (doc_id, clean_text, counts)
+            from search_engine_ray.functions.webtext import line_dedup
+
+            res = line_dedup(ds)
         else:  # ngram
             from search_engine_ray.functions.dedup import (
                 ngram_jaccard_near_dups)
@@ -338,7 +344,7 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--out", required=True)
     dd.add_argument("--method", default="exact",
                     choices=["exact", "minhash", "simhash", "ngram",
-                             "embedding"])
+                             "embedding", "line"])
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.add_argument("--max-hamming", type=int, default=3)
     dd.add_argument("--exact", action="store_true",

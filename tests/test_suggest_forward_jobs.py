@@ -154,6 +154,32 @@ def test_jobs_cli_dedup(ray_session, tmp_path):
             & (got["jaccard"] == 1.0)).any()
 
 
+def test_jobs_cli_dedup_line_method(ray_session, tmp_path):
+    """--method line writes the REWRITTEN corpus: duplicate lines
+    survive only at their first (doc_id, line_no) occurrence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["keep me\nshared line",
+                                    "shared line\nmine only"],
+                                   pa.string())})
+    dpath = tmp_path / "docs.parquet"
+    pq.write_table(t, str(dpath))
+    out_dir = str(tmp_path / "linededup")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "dedup",
+         "--input", str(dpath), "--out", out_dir, "--method", "line"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 2
+    got = (pq.read_table(out_dir).to_pandas()
+           .set_index("doc_id")["clean_text"])
+    assert got[1] == "keep me\nshared line"
+    assert got[2] == "mine only"
+
+
 def test_replica_pool_phrase_and_suggest(built_index):
     """serve surface parity: phrase + suggestion search through the
     replica pool equal LocalSearcher's answers."""
