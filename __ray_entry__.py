@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": d.doc_token_stats,          # M1 tokenizer
         "bpe_token_counts": d.bpe_token_counts,        # LM token budgeting
         "term_df_top100": d.term_df_top100,            # I1 build aggregate
+        "bigram_top100": d.bigram_top100,              # n-gram corpus stats
         "exact_search_batch": d.exact_search_batchterm,  # I2 EXACT_MATCH
         "prefix_search_cu": d.prefix_search_cu,        # I3 START_WITH
         "vocab_total": d.vocab_and_total,              # I8 size()
@@ -594,6 +595,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT term) AS vocab_size,
                    count(*) AS total_tokens
             FROM toks
+        """,
+        "bigram_top100": f"""
+            WITH toksl AS (SELECT regexp_extract_all(text, '{TOK}') AS ts
+                           FROM documents),
+            g2 AS (SELECT unnest(list_transform(range(1, len(ts)),
+                       i -> array_to_string(ts[i:i+1], ' '))) AS gram
+                   FROM toksl WHERE len(ts) >= 2)
+            SELECT gram, count(*)::BIGINT AS c FROM g2
+            GROUP BY gram ORDER BY c DESC, gram LIMIT 100
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS doc_id

@@ -96,6 +96,45 @@ def term_df_top100(sf_dir: str):
                      "df": pa.array(merged["df"].astype("int64"))})
 
 
+def bigram_top100(sf_dir: str):
+    """Top-100 token bigrams by corpus frequency (ties: gram asc) —
+    the n-gram statistics pass of a corpus-analysis pipeline.
+
+    Same plan as term_df_top100: map-side Counter partials (the gram
+    key is 'tok1 tok2' — tokens never contain spaces) -> coarse-bucket
+    sum -> per-bucket top-100 -> <=100 x B driver merge. The shuffle
+    carries per-batch DISTINCT gram partials, never the token stream."""
+    import pandas as pd
+    from collections import Counter
+
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        re_ = token_regex()
+        cnt: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = re_.findall(t) if t else []
+            cnt.update(" ".join(p) for p in zip(toks, toks[1:]))
+        return pa.table({
+            "gram": pa.array(list(cnt.keys()), pa.string()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    partials = load_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=1024)
+
+    def per_bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("gram", as_index=False)["c"].sum()
+        return s.sort_values(["c", "gram"], ascending=[False, True],
+                             kind="mergesort").head(100)
+
+    tops = bucketed_group_agg(partials, ["gram"], per_bucket_top).to_pandas()
+    merged = tops.sort_values(["c", "gram"], ascending=[False, True],
+                              kind="mergesort").head(100)
+    return pa.table({"gram": pa.array(merged["gram"], pa.string()),
+                     "c": pa.array(merged["c"].astype("int64"))})
+
+
 def _index_doc_ids(searcher, ordinals: np.ndarray) -> list[int]:
     """Engine ordinals -> ORIGINAL documents.doc_id (parsed from the
     doc:// url resolved via the row-group docmap)."""

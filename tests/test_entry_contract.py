@@ -80,6 +80,7 @@ SQL_BACKED = [
     "chunk_windows",  # overlapping context-window chunking (r3 s4)
     "events_top_users",  # grouped top-k / argmax-per-group (r3 s4)
     "corpus_shuffle",  # deterministic training-order shuffle (r3 s4)
+    "bigram_top100",  # corpus n-gram frequency top-k (r3 s4)
 ]
 
 
