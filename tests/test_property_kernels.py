@@ -1,0 +1,77 @@
+"""Hypothesis property tests for the session-4 per-bucket kernels.
+
+These target the KERNEL functions (pure pandas/numpy, no Ray session),
+so hypothesis can run hundreds of examples cheaply; the distributed
+plumbing around them is covered by the randomized Ray tests in
+test_entry_contract / test_join."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_ray.functions.webtext import _line_removals
+from search_engine_ray.pipelines.events import _asof_bucket
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 6),      # line_hash (tiny domain -> dups)
+              st.integers(0, 4),      # doc_id
+              st.integers(1, 5)),     # line_no
+    min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows_strategy)
+def test_line_removals_keeps_exactly_first_occurrence(rows):
+    # physical invariant: a (doc_id, line_no) slot holds ONE line, hence
+    # one hash — keep the first generated hash per slot
+    slot = {}
+    for h, d, ln in rows:
+        slot.setdefault((d, ln), h)
+    g = pd.DataFrame(
+        [(h, d, ln) for (d, ln), h in slot.items()],
+        columns=["line_hash", "doc_id", "line_no"])
+    if g.empty:
+        g = pd.DataFrame({"line_hash": pd.Series(dtype="int64"),
+                          "doc_id": pd.Series(dtype="int64"),
+                          "line_no": pd.Series(dtype="int64")})
+    out = _line_removals(g[["line_hash", "doc_id", "line_no"]].copy())
+    removed = set(zip(out["doc_id"], out["line_no"]))
+    for h, grp in g.groupby("line_hash"):
+        occ = sorted(zip(grp["doc_id"], grp["line_no"]))
+        assert occ[0] not in removed          # winner survives
+        assert all(o in removed for o in occ[1:])
+    assert len(out) == len(g) - g["line_hash"].nunique()
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3),              # user_id
+              st.integers(0, 20),             # ts (coarse -> ties)
+              st.sampled_from(["l", "r"])),   # side
+    min_size=0, max_size=50)
+
+
+@settings(max_examples=200, deadline=None)
+@given(events_strategy)
+def test_asof_bucket_matches_quadratic_scan(events):
+    g = pd.DataFrame({
+        "event_id": np.arange(len(events), dtype="int64"),
+        "user_id": np.array([e[0] for e in events], dtype="int64"),
+        "ts_us": np.array([e[1] for e in events], dtype="int64"),
+        "event_type": [e[2] for e in events],
+    })
+    out = _asof_bucket(g, "l", "r")
+    want = {}
+    for e in g.itertuples(index=False):
+        if e.event_type != "l":
+            continue
+        cand = [(r.ts_us, r.event_id) for r in g.itertuples(index=False)
+                if r.event_type == "r" and r.user_id == e.user_id
+                and r.ts_us <= e.ts_us]
+        if cand:
+            ct, cid = max(cand)
+            want[e.event_id] = (ct, cid, e.ts_us - ct)
+    assert set(out["event_id"]) == set(want)
+    for r in out.itertuples(index=False):
+        assert want[r.event_id] == (r.match_ts_us, r.match_event_id,
+                                    r.lag_us)
