@@ -278,6 +278,86 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """THE training-data pipeline as one submittable job, composed from
+    the streaming primitives: (1) composite corpus filter (holdout /
+    short / quality / repetition / contamination) keeps survivors only,
+    (2) corpus-GLOBAL line dedup rewrites their text, (3) the deduped
+    corpus checkpoints to ``<out>/_stage_dedup/`` parquet (it feeds TWO
+    consumers — re-reading a stage file beats re-running the pipeline,
+    and a failed run resumes from it), (4) deterministic corpus shuffle
+    assigns (shard_id, pos), joined back by the bucketed hash join, and
+    (5) the final corpus writes parquet PARTITIONED BY shard_id with a
+    dense within-shard training order."""
+    import os
+    import shutil
+
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    from search_engine_ray.functions.join import bucketed_hash_join
+    from search_engine_ray.functions.webtext import (
+        CorpusFilterBatch,
+        corpus_shuffle,
+        eval_shingle_set,
+        line_dedup,
+    )
+
+    sig_ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    ev_ref = ray.put(eval_shingle_set(sig_ds))
+
+    class _KeepOnly:
+        def __init__(self):
+            self._f = CorpusFilterBatch(ev_ref)
+
+        def __call__(self, batch):
+            keep = self._f(batch).column("keep")
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(keep, 1))
+
+    kept = rd.read_parquet(args.input, columns=["doc_id", "text"]) \
+        .map_batches(_KeepOnly, batch_format="pyarrow", batch_size=1024,
+                     concurrency=(1, 8))
+
+    stage = os.path.join(args.out, "_stage_dedup")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    line_dedup(kept).write_parquet(stage)
+
+    import pyarrow.dataset as pds
+
+    if pds.dataset(stage, format="parquet").count_rows() == 0:
+        # the filter kept nothing — report instead of crashing on a
+        # schemaless empty stage file
+        print(json.dumps({"out": args.out, "n_shards": 0, "rows": 0,
+                          "per_shard": {}, "dense_positions": True}))
+        return 0
+
+    deduped = rd.read_parquet(stage)
+    pos = corpus_shuffle(rd.read_parquet(
+        stage, columns=["doc_id"]), n_shards=args.n_shards).map_batches(
+        lambda df: df.rename(columns={"doc_id": "pos_doc_id"}),
+        batch_format="pandas")
+    final = bucketed_hash_join(deduped, pos,
+                               left_on="doc_id", right_on="pos_doc_id") \
+        .map_batches(lambda df: df.drop(columns=["pos_doc_id"]),
+                     batch_format="pandas")
+    final.write_parquet(args.out, partition_cols=["shard_id"])
+
+    rep = duckdb.sql(
+        f"SELECT shard_id, count(*) AS n, max(pos) + 1 AS dense_n "
+        f"FROM read_parquet('{args.out}/shard_id=*/*.parquet', "
+        f"hive_partitioning=1) GROUP BY 1 ORDER BY 1").fetchall()
+    shards = {int(s): int(n) for s, n, dn in rep}
+    dense = all(int(n) == int(dn) for _, n, dn in rep)
+    print(json.dumps({"out": args.out, "n_shards": len(shards),
+                      "rows": sum(shards.values()),
+                      "per_shard": shards, "dense_positions": dense}))
+    return 0
+
+
 def cmd_invalidate(args) -> int:
     from search_engine_ray.build import invalidate_index
 
@@ -381,6 +461,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--eval-rem", type=int, default=7)
     cu.add_argument("--ngram", type=int, default=8)
     cu.set_defaults(fn=cmd_curate)
+
+    pr = sub.add_parser("prepare")
+    pr.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text)")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--n-shards", type=int, default=8)
+    pr.set_defaults(fn=cmd_prepare)
 
     i = sub.add_parser("invalidate")
     i.add_argument("--index", required=True)

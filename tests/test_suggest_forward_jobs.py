@@ -197,3 +197,47 @@ def test_replica_pool_phrase_and_suggest(built_index):
         assert got2.equals(want2)
     finally:
         pool.shutdown()
+
+
+def test_jobs_cli_prepare_end_to_end(ray_session, tmp_path):
+    """prepare = filter -> global line dedup -> shuffle -> sharded write:
+    output holds exactly the corpus_filter survivors, duplicate lines
+    collapse to one corpus-wide occurrence, every shard's positions are
+    dense 0..n-1, and the training order is the deterministic hash
+    order."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    filler = ("the data of table and value for index in row stream it "
+              "is that a to batch sort key scan merge part hash fast")
+    shared = "shared line that appears in every document of this corpus"
+    texts = [f"{filler} doc{i}\n{shared}" for i in range(12)]
+    # eval-slot doc (id % 10 == 7) must be textually DISJOINT, else every
+    # training doc sharing its 8-grams flags contaminated (by design)
+    texts[7] = "held out benchmark prompt with its own answer words only"
+    texts += ["tiny", "also tiny"]            # -> too_short, dropped
+    t = pa.table({"doc_id": pa.array(range(14), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, str(src))
+    out = tmp_path / "prepared"
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "prepare",
+         "--input", str(src), "--out", str(out), "--n-shards", "4"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["dense_positions"] is True
+    got = (pds.dataset(f"{out}", format="parquet", partitioning="hive")
+           .to_table().to_pandas())
+    got = got[[c for c in got.columns]]
+    # survivors: the 12 filler docs minus the eval holdout (doc 7)
+    assert sorted(got["doc_id"]) == [i for i in range(12) if i != 7]
+    assert rep["rows"] == len(got)
+    # the shared line survives in exactly ONE output doc
+    n_shared = sum(shared in t for t in got["clean_text"])
+    assert n_shared == 1
+    # dense positions per shard
+    for s, sub in got.groupby("shard_id"):
+        assert sorted(sub["pos"]) == list(range(len(sub)))
