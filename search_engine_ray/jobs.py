@@ -284,8 +284,9 @@ def cmd_prepare(args) -> int:
     short / quality / repetition / contamination) keeps survivors only,
     (2) corpus-GLOBAL line dedup rewrites their text, (3) the deduped
     corpus checkpoints to ``<out>/_stage_dedup/`` parquet (it feeds TWO
-    consumers — re-reading a stage file beats re-running the pipeline,
-    and a failed run resumes from it), (4) deterministic corpus shuffle
+    consumers — re-reading a stage file beats re-running the pipeline —
+    and commits marker-last, so a rerun resumes from a COMPLETE stage
+    and rebuilds a partial one; ``--no-resume`` forces rebuild), (4) deterministic corpus shuffle
     assigns (shard_id, pos), joined back by the bucketed hash join, and
     (5) the final corpus writes parquet PARTITIONED BY shard_id with a
     dense within-shard training order."""
@@ -322,9 +323,19 @@ def cmd_prepare(args) -> int:
                      concurrency=(1, 8))
 
     stage = os.path.join(args.out, "_stage_dedup")
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage, exist_ok=True)
-    line_dedup(kept).write_parquet(stage)
+    # marker lives BESIDE the stage dir — parquet readers scan every
+    # file inside it
+    done_marker = stage + ".done"
+    if os.path.exists(done_marker) and not args.no_resume:
+        print(json.dumps({"resumed_stage": stage}), flush=True)
+    else:
+        shutil.rmtree(stage, ignore_errors=True)
+        if os.path.exists(done_marker):
+            os.unlink(done_marker)
+        os.makedirs(stage, exist_ok=True)
+        line_dedup(kept).write_parquet(stage)
+        with open(done_marker, "w") as f:  # marker-last = atomic commit
+            f.write("ok")
 
     import pyarrow.dataset as pds
 
@@ -344,6 +355,11 @@ def cmd_prepare(args) -> int:
                                left_on="doc_id", right_on="pos_doc_id") \
         .map_batches(lambda df: df.drop(columns=["pos_doc_id"]),
                      batch_format="pandas")
+    # the final write is not file-idempotent (parquet sinks append new
+    # files) — clear previous shard partitions so a rerun replaces them
+    for name in os.listdir(args.out):
+        if name.startswith("shard_id="):
+            shutil.rmtree(os.path.join(args.out, name))
     final.write_parquet(args.out, partition_cols=["shard_id"])
 
     rep = duckdb.sql(
@@ -467,6 +483,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="documents parquet (doc_id, text)")
     pr.add_argument("--out", required=True)
     pr.add_argument("--n-shards", type=int, default=8)
+    pr.add_argument("--no-resume", action="store_true",
+                    help="rebuild the _stage_dedup checkpoint even if "
+                         "complete")
     pr.set_defaults(fn=cmd_prepare)
 
     i = sub.add_parser("invalidate")

@@ -241,3 +241,15 @@ def test_jobs_cli_prepare_end_to_end(ray_session, tmp_path):
     # dense positions per shard
     for s, sub in got.groupby("shard_id"):
         assert sorted(sub["pos"]) == list(range(len(sub)))
+    # rerun resumes from the completed dedup stage and REPLACES the
+    # shard partitions (no row duplication)
+    r2 = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "prepare",
+         "--input", str(src), "--out", str(out), "--n-shards", "4"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    lines = r2.stdout.strip().splitlines()
+    assert any("resumed_stage" in ln for ln in lines)
+    rep2 = json.loads(lines[-1])
+    assert rep2["rows"] == rep["rows"] and rep2["per_shard"] == \
+        rep["per_shard"]
