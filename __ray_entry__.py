@@ -485,6 +485,12 @@ def _orders_by_nation(sf_dir: str):
     return orders_by_nation(sf_dir)
 
 
+def _revenue_by_brand(sf_dir: str):
+    from search_engine_ray.pipelines.relational import revenue_by_brand
+
+    return revenue_by_brand(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
     documents table and run the fixed BM25 query set."""
@@ -539,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": d.tfidf_topk_docs,
         "length_quantiles": d.length_quantiles_docs,
         "orders_by_nation": _orders_by_nation,
+        "revenue_by_brand": _revenue_by_brand,
         "chunk_windows": d.chunk_docs_windows,
         "corpus_shuffle": d.corpus_shuffle_docs,
         "ann_lsh_topk": e.ann_lsh_topk,
@@ -941,6 +948,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
+            GROUP BY 1, 2
+        """,
+        "revenue_by_brand": """
+            SELECT p_brand, l_returnflag, count(*)::BIGINT AS n_items,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100)
+                       ::BIGINT)::BIGINT AS revenue_cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
             GROUP BY 1, 2
         """,
         # exact "disc" quantiles: value at 1-indexed ceil(q*n) of the

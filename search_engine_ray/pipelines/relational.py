@@ -51,7 +51,7 @@ def orders_by_nation(sf_dir: str):
 
     def to_cents(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["n_name", "r_name"]].assign(
-            cents=np.round(df["o_totalprice"].to_numpy() * 100.0)
+            cents=np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5)
             .astype(np.int64))
         return df
 
@@ -64,3 +64,41 @@ def orders_by_nation(sf_dir: str):
         return out
 
     return bucketed_group_agg(rows, ["n_name", "r_name"], rollup)
+
+
+def revenue_by_brand(sf_dir: str):
+    """Per (brand, returnflag): lineitem count + exact discounted
+    revenue in cents — the hash join at REAL volume (lineitem is the
+    6x-orders fact table; part is 7.5x smaller but grows with scale, so
+    it takes the hash-join path, not a broadcast).
+
+    revenue cents = round(l_extendedprice * (1 - l_discount) * 100):
+    the same double expression per row in both engines, then an exact
+    BIGINT sum — immune to summation order."""
+    lineitem = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand"])
+    joined = bucketed_hash_join(lineitem, part,
+                                left_on="l_partkey", right_on="p_partkey")
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        # half-AWAY rounding (floor(x+0.5), all prices positive):
+        # numpy's half-even diverges from SQL round() on the exact
+        # dyadic .5 products a 0.25/0.5 discount produces
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1.0 - df["l_discount"].to_numpy())
+                         * 100.0 + 0.5).astype(np.int64)
+        return df[["p_brand", "l_returnflag"]].assign(cents=cents)
+
+    rows = joined.map_batches(to_cents, batch_format="pandas")
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["p_brand", "l_returnflag"], as_index=False).agg(
+            n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    return bucketed_group_agg(rows, ["p_brand", "l_returnflag"], rollup)

@@ -81,6 +81,7 @@ SQL_BACKED = [
     "events_top_users",  # grouped top-k / argmax-per-group (r3 s4)
     "corpus_shuffle",  # deterministic training-order shuffle (r3 s4)
     "bigram_top100",  # corpus n-gram frequency top-k (r3 s4)
+    "revenue_by_brand",  # fact-table hash join at volume (r3 s4)
 ]
 
 
