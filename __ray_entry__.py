@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": ev.events_sliding,
         "events_asof": ev.events_asof_join,
         "events_top_users": ev.events_top_users,
+        "events_props_stats": ev.events_props_stats,
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -892,6 +893,17 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY s DESC, term) AS rank
                   FROM sc)
             WHERE rank <= 3
+        """,
+        # regex fast-path JSON extraction vs a REAL JSON parser
+        "events_props_stats": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+                   max(k)::BIGINT AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT)
+                             AS k
+                  FROM events)
+            GROUP BY 1
         """,
         # deterministic shuffle: dense within-shard rank of the 61-bit
         # per-doc hash (same md5_number_lower convention as sampling)

@@ -263,3 +263,41 @@ def events_top_users(sf_dir: str, k: int = 2):
         return s[s["rank"] <= k]
 
     return bucketed_group_agg(ds, ["event_type"], topk)
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the ``props`` JSON column and aggregate per event_type.
+
+    Extraction is the vectorized REGEX fast path (Arrow
+    ``extract_regex`` C++ kernel — valid for FLAT known-field JSON like
+    this stream's ``{"k": N}``; nested/escaped JSON would take a
+    json.loads actor pool instead). The DuckDB oracle uses a REAL JSON
+    parser (``json_extract_string``), so the cross-engine hash check
+    proves the fast path semantically equals full parsing on this data.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def extract(batch):
+        m = pc.extract_regex(batch.column("props"),
+                             r'"k"\s*:\s*(?P<v>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "k": k})
+
+    rows = ds.map_batches(extract, batch_format="pyarrow")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+        for c in ("n_events", "sum_k", "min_k", "max_k"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_agg(rows, ["event_type"], agg)

@@ -82,6 +82,7 @@ SQL_BACKED = [
     "corpus_shuffle",  # deterministic training-order shuffle (r3 s4)
     "bigram_top100",  # corpus n-gram frequency top-k (r3 s4)
     "revenue_by_brand",  # fact-table hash join at volume (r3 s4)
+    "events_props_stats",  # JSON-field extraction + rollup (r3 s4)
 ]
 
 
