@@ -472,3 +472,22 @@ def test_corpus_shuffle_dense_rank_and_determinism(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_line_dedup_no_duplicates_is_identity(ray_session):
+    """A corpus with zero duplicate lines must pass through unchanged
+    (exercises the empty-removals side of the union: every line-hash
+    bucket emits an empty frame)."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import line_dedup
+
+    docs = [{"doc_id": i, "text": f"unique line {i}\nsecond {i}"}
+            for i in range(50)]
+    out = {r["doc_id"]: r for r in
+           line_dedup(rd.from_items(docs)).take_all()}
+    assert len(out) == 50
+    for d in docs:
+        r = out[d["doc_id"]]
+        assert r["clean_text"] == d["text"]
+        assert r["n_lines_removed"] == 0 and r["n_lines_kept"] == 2
