@@ -552,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": e.ann_lsh_topk,
         "ann_ivf_topk": e.ann_ivf_topk,
         "embedding_near_dups": e.embedding_near_dups,
+        "quantize_int8": e.quantize_int8,
         "media_features": d.media_features_demo,
     }
 
@@ -1060,6 +1061,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
                   >= 0.4
+        """,
+        # symmetric per-vector int8 quantization; the scale factor
+        # 127/amax is computed ONCE then multiplied (parenthesized the
+        # same way in both engines — a/b*c and a*(c/b) differ in ulps)
+        "quantize_int8": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            m AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS amax
+                  FROM e)
+            SELECT vec_id,
+                   round(CASE WHEN amax > 0 THEN amax / 127.0
+                              ELSE 0.0 END, 6) AS scale,
+                   array_to_string(list_transform(v, x ->
+                       CASE WHEN amax > 0
+                            THEN round(x * (127.0 / amax), 0)::BIGINT
+                            ELSE 0 END), ',') AS q_csv
+            FROM m
         """,
         "ann_topk": """
             WITH q AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1

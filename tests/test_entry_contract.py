@@ -83,6 +83,7 @@ SQL_BACKED = [
     "bigram_top100",  # corpus n-gram frequency top-k (r3 s4)
     "revenue_by_brand",  # fact-table hash join at volume (r3 s4)
     "events_props_stats",  # JSON-field extraction + rollup (r3 s4)
+    "quantize_int8",  # per-vector symmetric int8 quantization (r3 s4)
 ]
 
 
@@ -300,3 +301,37 @@ def test_sessionization_semantics(ray_session, tmp_path):
     assert list(u1["n_events"]) == [3, 1]
     assert list(u1["duration_us"]) == [58 * MIN, 0]
     assert list(out[out.user_id == 2]["n_events"]) == [1]
+
+
+def test_quantize_int8_reconstruction_bound(ray_session, tmp_path):
+    """Dequantized int8 vectors reconstruct within half a quantization
+    step; the max-|e| component hits exactly +-127; zero vectors get
+    scale 0 and all-zero codes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.embeddings import quantize_int8
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs[7] = 0.0
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 40, pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = quantize_int8(str(tmp_path)).to_pandas().set_index("vec_id")
+    for i in range(40):
+        q = np.array([int(x) for x in out.loc[i, "q_csv"].split(",")])
+        scale = out.loc[i, "scale"]
+        assert len(q) == 16 and np.abs(q).max() <= 127
+        if i == 7:
+            assert scale == 0.0 and not q.any()
+            continue
+        err = np.abs(q * scale - vecs[i].astype(np.float64))
+        # scale is rounded at 6dp -> allow that on top of the half-step
+        assert err.max() <= scale / 2 + 1e-4
+        assert np.abs(q).max() == 127
