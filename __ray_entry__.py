@@ -134,6 +134,29 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def _quality_buckets_sql(n_buckets=3) -> str:
+    """CCNet bucketing in SQL: the SAME surprisal CTEs as
+    _surprisal_sql, then ntile(n) per source ordered by the 6-dp-rounded
+    score (ties doc_id) — identical rank inputs in both engines."""
+    return f"""
+{_TOKS_CTE},
+freq AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+stats AS (SELECT (SELECT count(*)::DOUBLE FROM toks) AS t,
+                 (SELECT count(DISTINCT term)::DOUBLE FROM toks) AS v),
+per AS (SELECT toks.doc_id,
+               avg(ln(stats.t + stats.v) - ln(freq.c + 1)) AS nll
+        FROM toks JOIN freq USING (term) CROSS JOIN stats
+        GROUP BY toks.doc_id),
+scored AS (SELECT d.doc_id, d.source,
+                  round(coalesce(per.nll, 0.0), 6) AS mean_nll
+           FROM documents d LEFT JOIN per USING (doc_id))
+SELECT doc_id, source,
+       ntile({n_buckets}) OVER (PARTITION BY source
+           ORDER BY mean_nll, doc_id)::BIGINT AS bucket
+FROM scored
+"""
+
+
 def _shingle_sh_cte(k: int) -> str:
     """toksl/shingle_strs/sh CTE body for k-gram 61-bit shingle hashes —
     the md5_number_lower convention shared with _minhash_sql and
@@ -536,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": d.repetition_scores,
         "source_stats": d.source_stats_agg,
         "unigram_surprisal": d.unigram_surprisal_scores,
+        "quality_buckets": d.quality_buckets_docs,
         "decontaminate": d.decontaminate_docs,
         "corpus_filter": d.corpus_filter_docs,
         "stratified_sample": d.stratified_sample_docs,
@@ -820,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "unigram_surprisal": _surprisal_sql(),
+        "quality_buckets": _quality_buckets_sql(),
         "decontaminate": _decontam_sql(),
         "corpus_filter": _corpus_filter_sql(),
         "stratified_sample": """

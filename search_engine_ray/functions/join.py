@@ -44,7 +44,12 @@ def broadcast_join(ds, small: pd.DataFrame, left_on: str, right_on: str,
 
 def _arrow_fields(ds) -> list[tuple[str, pa.DataType]]:
     s = ds.schema()
-    return list(zip(s.names, s.types))
+    if all(isinstance(t, pa.DataType) for t in s.types):
+        return list(zip(s.names, s.types))
+    # schema inference can fall back to Python types (e.g. behind an
+    # actor-pool stage) — materialize ONE block to get Arrow types
+    tbl = ds.limit(1).take_batch(1, batch_format="pyarrow")
+    return [(f.name, f.type) for f in tbl.schema]
 
 
 def bucketed_hash_join(left, right, left_on: str, right_on: str,

@@ -415,6 +415,55 @@ def unigram_surprisal_scores(sf_dir: str):
     return unigram_surprisal(load_documents(sf_dir))
 
 
+def quality_buckets_docs(sf_dir: str, n_buckets: int = 3):
+    """CCNet-style head/middle/tail quality bucketing: per SOURCE,
+    rank docs by the unigram-LM score (6-dp mean_nll asc, doc_id
+    tie-break) and split into ``n_buckets`` SQL-ntile groups — bucket 1
+    = the most-probable (head) slice CCNet keeps preferentially.
+
+    Composition: the surprisal stage (broadcast LM) ⨝ the (doc, source)
+    projection via the bucketed hash join, then ONE source-bucket
+    exchange for the rank. Rank on the ROUNDED score so the order is
+    cross-engine-stable (the 6-dp values are hash-proven identical)."""
+    import pandas as pd
+
+    from search_engine_ray.functions.join import bucketed_hash_join
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    scores = unigram_surprisal_scores(sf_dir)
+    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"]).map_batches(
+        lambda df: df.rename(columns={"doc_id": "src_doc_id"}),
+        batch_format="pandas")
+    joined = bucketed_hash_join(scores, src,
+                                left_on="doc_id", right_on="src_doc_id")
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for s, gg in g.groupby("source", sort=False):
+            gg = gg.sort_values(["mean_nll", "doc_id"], kind="mergesort")
+            n = len(gg)
+            q, r = divmod(n, n_buckets)
+            i = np.arange(n)
+            # SQL ntile: first r buckets get q+1 rows
+            b = np.where(i < r * (q + 1), i // max(q + 1, 1),
+                         r + (i - r * (q + 1)) // max(q, 1)) + 1
+            parts.append(pd.DataFrame({
+                "doc_id": gg["doc_id"].to_numpy(),
+                "source": s,
+                "bucket": b.astype("int64")}))
+        return pd.concat(parts) if parts else pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "source": pd.Series(dtype="str"),
+            "bucket": pd.Series(dtype="int64")})
+
+    return bucketed_group_agg(
+        joined.map_batches(
+            lambda df: df[["doc_id", "source", "mean_nll"]],
+            batch_format="pandas"),
+        ["source"], ntile)
+
+
 def decontaminate_docs(sf_dir: str):
     """8-gram overlap of training docs vs the held-out eval slice."""
     from search_engine_ray.functions.webtext import decontaminate

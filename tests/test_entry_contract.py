@@ -84,6 +84,7 @@ SQL_BACKED = [
     "revenue_by_brand",  # fact-table hash join at volume (r3 s4)
     "events_props_stats",  # JSON-field extraction + rollup (r3 s4)
     "quantize_int8",  # per-vector symmetric int8 quantization (r3 s4)
+    "quality_buckets",  # CCNet head/middle/tail ntile bucketing (r3 s4)
 ]
 
 

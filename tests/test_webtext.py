@@ -491,3 +491,43 @@ def test_line_dedup_no_duplicates_is_identity(ray_session):
         r = out[d["doc_id"]]
         assert r["clean_text"] == d["text"]
         assert r["n_lines_removed"] == 0 and r["n_lines_kept"] == 2
+
+
+def test_quality_buckets_ntile_semantics(ray_session, tmp_path):
+    """Per-source ntile: bucket sizes differ by at most one, the first
+    (n mod k) buckets are the larger ones (SQL ntile), and lower
+    mean_nll (more probable text) always lands in a lower-or-equal
+    bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.documents import quality_buckets_docs
+
+    # 7 docs in source a (7 = 3*2+1 -> sizes 3,2,2), 2 docs in source b
+    rows = []
+    for i in range(7):
+        rows.append((i, "word " * (i + 1) + f"uniq{i}", "a"))
+    rows += [(100, "xx yy", "b"), (101, "zz " * 30, "b")]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = quality_buckets_docs(str(tmp_path)).to_pandas()
+    a = out[out["source"] == "a"]
+    sizes = a["bucket"].value_counts().sort_index().tolist()
+    assert sizes == [3, 2, 2]
+    b = out[out["source"] == "b"]
+    assert sorted(b["bucket"]) == [1, 2]  # n < k -> one row per bucket
+    # monotonicity vs the surprisal ordering
+    from search_engine_ray.pipelines.documents import (
+        unigram_surprisal_scores,
+    )
+    nll = (unigram_surprisal_scores(str(tmp_path)).to_pandas()
+           .set_index("doc_id")["mean_nll"])
+    a = a.assign(nll=[nll[d] for d in a["doc_id"]]).sort_values(
+        ["nll", "doc_id"])
+    assert list(a["bucket"]) == sorted(a["bucket"])
