@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": d.minhash_pairs,        # SQL-checked since r3
         "simhash_pairs": d.simhash_pairs,        # SQL-checked since r3
         "ngram_jaccard_pairs": d.ngram_jaccard_pairs,  # exact; brute-force oracle
+        "near_dup_clusters": d.near_dup_clusters_docs,
         "embedding_near_dups_exact": e.embedding_near_dups_exact,
         # --- webtext curation family (functions/webtext.py, new in r3) ---
         "repetition_scores": d.repetition_scores,
@@ -1072,6 +1073,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        # connected components over the verified pair graph: recursive
+        # min-reachable-id closure (UNION dedups -> terminates)
+        "near_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_ngram_jaccard_sql()}),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach(n, m) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT e.a, r.m FROM edges e JOIN reach r ON r.n = e.b)
+            SELECT n AS doc_id, min(m)::BIGINT AS cluster_rep
+            FROM reach GROUP BY n
+        """,
         # exact all-pairs cosine: DOUBLE[] cast is load-bearing —
         # list_cosine_similarity on FLOAT[] computes in float32 and the
         # 6-dp rounding would diverge from the engine's float64 matmul

@@ -26,6 +26,7 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from search_engine_ray.functions.textstats import round_half_away, token_regex
 
@@ -698,3 +699,146 @@ def simhash_near_dups(ds, max_hamming: int = 3, batch_size: int = 2048):
     pairs = bucketed_group_agg(
         sigs, ["chunk_id", "chunk_val"], _simhash_bucket_pairs)
     return bucketed_distinct(pairs, ["doc_a", "doc_b", "hamming"])
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (pairs -> connected components)
+
+# Pair sets up to this size resolve on the driver (vectorized union-find
+# over int64 arrays, ~16 B/pair); beyond it the distributed min-label
+# propagation path runs (Kiveris et al., "Connected Components in
+# MapReduce and Beyond" — alternating small-star/large-star is the
+# published scale-out; plain propagation converges in O(diameter)
+# rounds, and near-dup clusters are shallow).
+CLUSTER_DRIVER_PAIR_BUDGET = 5_000_000
+
+
+def _unionfind_labels(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    """Vectorized-ish union-find with path compression; returns
+    node -> min-node-of-component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by MIN id keeps the representative deterministic
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def near_dup_clusters(pairs, num_buckets: int = 64,
+                      driver_budget: int = CLUSTER_DRIVER_PAIR_BUDGET,
+                      max_rounds: int = 50):
+    """Resolve a near-dup PAIR dataset (doc_a < doc_b) into duplicate
+    clusters: (doc_id, cluster_rep) for every doc that appears in any
+    pair, rep = the MINIMUM doc_id reachable through the pair graph —
+    the doc a dedup keep-one-per-cluster pass retains.
+
+    Tiered like the MinHash verify: the pair set is the DEDUP OUTPUT
+    (orders of magnitude smaller than the corpus), so up to
+    ``driver_budget`` pairs a driver union-find resolves it exactly;
+    larger graphs take distributed min-label propagation (each round =
+    one coarse exchange; rounds ~ component diameter, which is small
+    for near-dup cliques). Both paths produce identical labels."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= driver_budget:
+        t = pairs.to_pandas()
+        labels = _unionfind_labels(t["doc_a"].to_numpy(np.int64),
+                                   t["doc_b"].to_numpy(np.int64))
+        items = sorted(labels.items())
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([k for k, _ in items], pa.int64()),
+            "cluster_rep": pa.array([v for _, v in items], pa.int64()),
+        }))
+
+    logger.info("near_dup_clusters: %d pairs > driver budget %d -> "
+             "distributed label propagation", n_pairs, driver_budget)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        return pa.table({
+            "node": pa.concat_arrays([pc.cast(c, pa.int64()).combine_chunks()
+                                      for c in (a, b)]),
+            "nbr": pa.concat_arrays([pc.cast(c, pa.int64()).combine_chunks()
+                                     for c in (b, a)]),
+        })
+
+    edges = pairs.map_batches(both_dirs,
+                              batch_format="pyarrow").materialize()
+    # labels start as identity over the nodes present
+    labels = bucketed_group_agg(
+        edges, ["node"],
+        lambda g: g.groupby("node", as_index=False).agg(
+            label=("node", "min")),
+        num_buckets).materialize()
+
+    for _ in range(max_rounds):
+        # propagate: every node takes min(own label, neighbors' labels).
+        # neighbor labels arrive by keying the edge on nbr (one exchange
+        # co-locating edges with the nbr's label row via tagged union).
+        lab_rows = labels.map_batches(
+            lambda df: df.rename(columns={"node": "key"}).assign(src=-1),
+            batch_format="pandas")
+        edge_rows = edges.map_batches(
+            lambda df: df.rename(columns={"nbr": "key"})[
+                ["key", "node"]].assign(label=-1, src=0)[
+                ["key", "label", "src", "node"]],
+            batch_format="pandas")
+        lab_rows = lab_rows.map_batches(
+            lambda df: df.assign(node=df["key"])[
+                ["key", "label", "src", "node"]],
+            batch_format="pandas")
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            for k, gg in g.groupby("key", sort=False):
+                lab = gg.loc[gg["src"] == -1, "label"]
+                if lab.empty:
+                    continue
+                lv = int(lab.min())
+                tgt = gg.loc[gg["src"] == 0, "node"]
+                out = pd.DataFrame({"node": np.concatenate(
+                    ([k], tgt.to_numpy(np.int64)))})
+                out["label"] = lv
+                parts.append(out)
+            return pd.concat(parts) if parts else pd.DataFrame({
+                "node": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int64")})
+
+        msgs = bucketed_group_agg(lab_rows.union(edge_rows), ["key"],
+                                  send, num_buckets)
+        new_labels = bucketed_group_agg(
+            msgs, ["node"],
+            lambda g: g.groupby("node", as_index=False).agg(
+                label=("label", "min")),
+            num_buckets).materialize()
+        # converged when no label decreased (sum of labels is a strictly
+        # decreasing monovariant while any change remains)
+        old_sum = labels.map_batches(
+            lambda df: pd.DataFrame({"s": [df["label"].sum()]}),
+            batch_format="pandas").sum("s")
+        new_sum = new_labels.map_batches(
+            lambda df: pd.DataFrame({"s": [df["label"].sum()]}),
+            batch_format="pandas").sum("s")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id",
+                                      "label": "cluster_rep"}),
+        batch_format="pandas")

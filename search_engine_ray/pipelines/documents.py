@@ -499,6 +499,14 @@ def line_clean_docs(sf_dir: str):
                       require_punct=False, blocklist=("spark",))
 
 
+def near_dup_clusters_docs(sf_dir: str):
+    """Duplicate-cluster representatives over the EXACT n-gram-Jaccard
+    pair graph (keep-one-per-cluster resolution)."""
+    from search_engine_ray.functions.dedup import near_dup_clusters
+
+    return near_dup_clusters(ngram_jaccard_pairs(sf_dir))
+
+
 def corpus_shuffle_docs(sf_dir: str):
     """Deterministic training-order shuffle (8 shards, dense rank)."""
     from search_engine_ray.functions.webtext import corpus_shuffle

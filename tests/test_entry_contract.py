@@ -85,6 +85,7 @@ SQL_BACKED = [
     "events_props_stats",  # JSON-field extraction + rollup (r3 s4)
     "quantize_int8",  # per-vector symmetric int8 quantization (r3 s4)
     "quality_buckets",  # CCNet head/middle/tail ntile bucketing (r3 s4)
+    "near_dup_clusters",  # pair graph -> cluster representatives (r3 s4)
 ]
 
 

@@ -453,3 +453,40 @@ def test_textstats_quality_and_langid(ray_session):
     assert lang.loc[lang.doc_id == 1, "lang_pred"].iloc[0] == "en"
     assert lang.loc[lang.doc_id == 2, "lang_pred"].iloc[0] == "de"
     assert lang.loc[lang.doc_id == 3, "lang_pred"].iloc[0] == "und"
+
+
+def test_near_dup_clusters_driver_vs_distributed(ray_session):
+    """Random pair graphs: the driver union-find and the distributed
+    min-label propagation produce IDENTICAL (doc_id, cluster_rep)
+    labelings, and both equal a brute-force transitive closure."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import near_dup_clusters
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        n_nodes, n_edges = 60, 45
+        a = rng.integers(0, n_nodes, size=n_edges)
+        b = rng.integers(0, n_nodes, size=n_edges)
+        keep = a != b
+        lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        pairs_df = pd.DataFrame({"doc_a": lo, "doc_b": hi,
+                                 "jaccard": 1.0}).drop_duplicates(
+            ["doc_a", "doc_b"])
+        # brute force components
+        comp = {int(x): {int(x)} for x in np.concatenate([lo, hi])}
+        for x, y in zip(lo.tolist(), hi.tolist()):
+            merged = comp[x] | comp[y]
+            for m in merged:
+                comp[m] = merged
+        want = {n: min(c) for n, c in comp.items()}
+
+        got_d = (near_dup_clusters(rd.from_pandas(pairs_df))
+                 .to_pandas().set_index("doc_id")["cluster_rep"])
+        assert dict(got_d) == want
+        got_p = (near_dup_clusters(rd.from_pandas(pairs_df),
+                                   driver_budget=0, num_buckets=8)
+                 .to_pandas().set_index("doc_id")["cluster_rep"])
+        assert dict(got_p) == want
