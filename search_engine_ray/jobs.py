@@ -188,6 +188,37 @@ def cmd_dedup(args) -> int:
                 ngram_jaccard_near_dups)
 
             res = ngram_jaccard_near_dups(ds, threshold=args.threshold)
+    if getattr(args, "resolve", False) and args.method in (
+            "minhash", "simhash", "ngram"):
+        # pairs -> connected components -> keep-one-per-cluster corpus:
+        # clusters.parquet (doc_id, cluster_rep) + kept.parquet (docs
+        # minus non-representative cluster members)
+        from search_engine_ray.functions.dedup import near_dup_clusters
+
+        clusters = near_dup_clusters(res).materialize()
+        clusters.write_parquet(os.path.join(args.out, "clusters"))
+        drop = {int(d) for d, r in zip(
+            clusters.to_pandas()["doc_id"],
+            clusters.to_pandas()["cluster_rep"]) if d != r}
+        # the drop set is cluster-members-minus-reps (bounded by the
+        # dup rate); broadcast it and stream the kept corpus
+        import ray as _ray
+
+        drop_ref = _ray.put(drop)
+
+        def keep_batch(df):
+            dd = _ray.get(drop_ref)
+            return df[~df["doc_id"].isin(dd)]
+
+        kept = ds.map_batches(keep_batch, batch_format="pandas")
+        kept.write_parquet(os.path.join(args.out, "kept"))
+        n_kept = sum(f.count_rows() for f in pds.dataset(
+            os.path.join(args.out, "kept"),
+            format="parquet").get_fragments())
+        print(json.dumps({"method": args.method, "out": args.out,
+                          "resolved": True, "n_dropped": len(drop),
+                          "rows": n_kept}))
+        return 0
     os.makedirs(args.out, exist_ok=True)
     res.write_parquet(args.out)
     n = sum(f.count_rows() for f in
@@ -446,6 +477,10 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--exact", action="store_true",
                     help="embedding method: exact blocked all-pairs "
                          "(quadratic anchor) instead of LSH")
+    dd.add_argument("--resolve", action="store_true",
+                    help="pair methods: resolve pairs into clusters and "
+                         "write clusters/ + the keep-one-per-cluster "
+                         "kept/ corpus")
     dd.set_defaults(fn=cmd_dedup)
 
     ab = sub.add_parser("ann-build")

@@ -253,3 +253,34 @@ def test_jobs_cli_prepare_end_to_end(ray_session, tmp_path):
     rep2 = json.loads(lines[-1])
     assert rep2["rows"] == rep["rows"] and rep2["per_shard"] == \
         rep["per_shard"]
+
+
+def test_jobs_cli_dedup_resolve(ray_session, tmp_path):
+    """--resolve turns the pair graph into clusters and writes the
+    keep-one-per-cluster corpus: doc 0 == doc 8 (jaccard 1.0), so the
+    kept corpus drops exactly doc 8 (min-id representative wins)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # mutually DISSIMILAR docs (disjoint vocabularies) + one exact copy
+    texts = [" ".join(f"w{i}t{j}" for j in range(9)) for i in range(8)]
+    texts.append(texts[0])
+    t = pa.table({"doc_id": pa.array(range(9), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    dpath = tmp_path / "docs.parquet"
+    pq.write_table(t, str(dpath))
+    out_dir = str(tmp_path / "resolved")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "dedup",
+         "--input", str(dpath), "--out", out_dir,
+         "--method", "ngram", "--threshold", "0.5", "--resolve"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["resolved"] is True and m["n_dropped"] == 1
+    assert m["rows"] == 8
+    kept = pq.read_table(out_dir + "/kept").to_pandas()
+    assert sorted(kept["doc_id"]) == list(range(8))
+    cl = (pq.read_table(out_dir + "/clusters").to_pandas()
+          .set_index("doc_id")["cluster_rep"])
+    assert cl[0] == 0 and cl[8] == 0
