@@ -58,7 +58,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
 
 
 SQL_BACKED = [
-    "doc_token_stats", "term_df_top100", "exact_search_batch",
+    "doc_token_stats", "bpe_token_counts", "term_df_top100",
+    "exact_search_batch",
     "prefix_search_cu", "vocab_total", "dedup_exact", "bm25_topk",
     "events_hourly", "events_sessions", "ann_topk", "phrase_search",
     "quality_scores", "langid", "fingerprints",
@@ -87,6 +88,13 @@ SQL_BACKED = [
     "quality_buckets",  # CCNet head/middle/tail ntile bucketing (r3 s4)
     "near_dup_clusters",  # pair graph -> cluster representatives (r3 s4)
 ]
+
+
+def test_sql_backed_list_covers_every_oracle(entrymod):
+    """Drift guard: every oracle_sql() entry must be in SQL_BACKED (a
+    new oracle that skips the parametrized hash check would otherwise
+    pass silently)."""
+    assert set(entrymod.oracle_sql()) == set(SQL_BACKED)
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
