@@ -545,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": ev.events_asof_join,
         "events_top_users": ev.events_top_users,
         "events_props_stats": ev.events_props_stats,
+        "events_latest": ev.events_latest,
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -920,6 +921,15 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY s DESC, term) AS rank
                   FROM sc)
             WHERE rank <= 3
+        """,
+        # CDC compaction: latest row per key (max ts, tie max event_id)
+        "events_latest": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                   round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
         """,
         # regex fast-path JSON extraction vs a REAL JSON parser
         "events_props_stats": """

@@ -301,3 +301,37 @@ def events_props_stats(sf_dir: str):
         return out
 
     return bucketed_group_agg(rows, ["event_type"], agg)
+
+
+def events_latest(sf_dir: str):
+    """CDC-style stream compaction: the LATEST event per user (max ts,
+    ties to the highest event_id) — the 'current state per key' view a
+    changelog consumer maintains. One coarse exchange on the user
+    bucket; per-bucket vectorized idxmax."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def to_us(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+        })
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        out = g.groupby("user_id", as_index=False).last()
+        out["value"] = out["value"].round(6)
+        return out[["user_id", "event_id", "ts_us", "event_type",
+                    "value"]]
+
+    return bucketed_group_agg(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        ["user_id"], latest)

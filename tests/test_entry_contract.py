@@ -87,6 +87,7 @@ SQL_BACKED = [
     "quantize_int8",  # per-vector symmetric int8 quantization (r3 s4)
     "quality_buckets",  # CCNet head/middle/tail ntile bucketing (r3 s4)
     "near_dup_clusters",  # pair graph -> cluster representatives (r3 s4)
+    "events_latest",  # CDC latest-per-key compaction (r3 s4)
 ]
 
 
