@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top100": d.bigram_top100,              # n-gram corpus stats
         "exact_search_batch": d.exact_search_batchterm,  # I2 EXACT_MATCH
         "prefix_search_cu": d.prefix_search_cu,        # I3 START_WITH
+        "contains_search_at": d.contains_search_at,    # infix vocab scan
         "vocab_total": d.vocab_and_total,              # I8 size()
         "bm25_topk": d.bm25_topk_docs,                 # Q1-Q3 via the engine
         # --- training-data pipeline extensions ---------------------------
@@ -624,6 +625,11 @@ def oracle_sql() -> dict[str, str]:
             {_TOKS_CTE}
             SELECT doc_id, count(DISTINCT term) AS n_terms
             FROM toks WHERE term LIKE 'cu%' GROUP BY doc_id
+        """,
+        "contains_search_at": f"""
+            {_TOKS_CTE}
+            SELECT doc_id, count(DISTINCT term) AS n_terms
+            FROM toks WHERE term LIKE '%at%' GROUP BY doc_id
         """,
         "vocab_total": f"""
             {_TOKS_CTE}

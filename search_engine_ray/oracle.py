@@ -125,6 +125,9 @@ class OracleIndex:
                 if not t.startswith(p):
                     break
                 terms.append(t)
+        elif search_type == "contains":
+            p = queries[0]
+            terms = [t for t in self._sorted_terms if p in t]
         else:
             raise ValueError(f"unknown search_type {search_type!r}")
         return sorted(set(terms))

@@ -179,6 +179,25 @@ def prefix_search_cu(sf_dir: str):
          "n_terms": pa.array(counts.astype(np.int64))})
 
 
+def contains_search_at(sf_dir: str, infix: str = "at"):
+    """(doc_id, n matching distinct terms) for terms CONTAINING 'at' —
+    index-served infix search (vocabulary scan + one decode per
+    matching term; the same result shape as prefix_search_cu)."""
+    from search_engine_ray.search import LocalSearcher
+
+    s = LocalSearcher(ensure_documents_index(sf_dir))
+    terms = s.expand([infix], "contains")
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_terms": pa.array([], pa.int64())})
+    ords = np.concatenate(
+        [s._decode(t, s._posting_for(t))["docids"] for t in terms])
+    uniq, counts = np.unique(ords, return_counts=True)
+    return pa.table(
+        {"doc_id": pa.array(_index_doc_ids(s, uniq), pa.int64()),
+         "n_terms": pa.array(counts.astype(np.int64))})
+
+
 def vocab_and_total(sf_dir: str):
     """One-row global stats: vocabulary size + total token count — read
     from the index artifacts (reference I8 tree.size()): vocab from bucket

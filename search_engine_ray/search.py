@@ -1,4 +1,4 @@
-"""Query engine over index artifacts: exact/prefix/or/and/phrase BM25 top-k.
+"""Query engine over index artifacts: exact/prefix/contains/or/and/phrase BM25 top-k.
 
 Mirrors the reference's search surface (ref: engine/src/main/java/org/search/
 engine/search/SimpleSearchManager.java:50-85, model/SearchType.java:3-5):
@@ -235,6 +235,15 @@ class LocalSearcher:
             for b in range(self.num_buckets):  # fan out to ALL buckets
                 bk = self.bucket(b)
                 terms.extend(bk.terms[i] for i in bk.prefix_range(p))
+        elif search_type == "contains":
+            # infix match: linear scan of each bucket's vocabulary —
+            # vocab is corpus-sublinear (Heaps' law), so this is cheap
+            # relative to any posting decode; the documented evolution
+            # for huge vocabs is a trigram index OVER the vocabulary
+            p = queries[0]
+            terms = []
+            for b in range(self.num_buckets):
+                terms.extend(t for t in self.bucket(b).terms if p in t)
         else:
             raise ValueError(f"unknown search_type {search_type!r}")
         return sorted(set(terms))

@@ -171,6 +171,13 @@ class TermStatsSidecar:
                 out.add(ts[i])
         return sorted(out)
 
+    def expand_contains(self, infix: str) -> list[str]:
+        out: set[str] = set()
+        for b in range(self.num_buckets):
+            ts, _ = self.bucket(b)
+            out.update(t for t in ts if infix in t)
+        return sorted(out)
+
 
 def build_term_stats(root: str, num_doc_shards: int,
                      num_buckets: int) -> None:
@@ -324,6 +331,15 @@ class ShardedSearcher:
             terms = set()
             for sh in self.shards:
                 terms.update(sh.expand(queries, "prefix"))
+            return sorted(terms)
+        if search_type == "contains":
+            # infix has no sorted-order shortcut: scan the sidecar's (or
+            # every shard's) vocabulary once — vocab-sized, not corpus-sized
+            if self._has_sidecar:
+                return self._sidecar.expand_contains(queries[0])
+            terms = set()
+            for sh in self.shards:
+                terms.update(sh.expand(queries, "contains"))
             return sorted(terms)
         if search_type == "exact":
             terms = set(queries[:1])

@@ -34,6 +34,8 @@ def _query_set(oracle):
     ]
     queries += [([p], "prefix") for p in
                 ["ma", "mil", "bako", "sent", "sentinel00", "zz"]]
+    queries += [([i], "contains") for i in
+                ["il", "a", "ako", "entinel", "qqq_absent"]]
     queries += [(["zzz_none"], "exact"), (["totally absent"], "exact")]
     return queries
 

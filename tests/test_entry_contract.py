@@ -88,6 +88,7 @@ SQL_BACKED = [
     "quality_buckets",  # CCNet head/middle/tail ntile bucketing (r3 s4)
     "near_dup_clusters",  # pair graph -> cluster representatives (r3 s4)
     "events_latest",  # CDC latest-per-key compaction (r3 s4)
+    "contains_search_at",  # infix search via vocabulary scan (r3 s4)
 ]
 
 
