@@ -547,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": ev.events_top_users,
         "events_props_stats": ev.events_props_stats,
         "events_latest": ev.events_latest,
+        "events_profile": ev.events_profile,
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -927,6 +928,39 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY s DESC, term) AS rank
                   FROM sc)
             WHERE rank <= 3
+        """,
+        # per-column profile: numeric min/max as 6-dp doubles (ts as
+        # epoch-us), string min/max lexicographic, EXACT distinct counts
+        "events_profile": """
+            SELECT 'event_id' AS column, count(*)::BIGINT AS n,
+                   (count(*) - count(event_id))::BIGINT AS n_null,
+                   count(DISTINCT event_id)::BIGINT AS n_distinct,
+                   round(min(event_id), 6)::DOUBLE AS min_num,
+                   round(max(event_id), 6)::DOUBLE AS max_num,
+                   NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+            FROM events
+            UNION ALL SELECT 'event_type', count(*),
+                   count(*) - count(event_type),
+                   count(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE,
+                   min(event_type), max(event_type) FROM events
+            UNION ALL SELECT 'props', count(*), count(*) - count(props),
+                   count(DISTINCT props), NULL::DOUBLE, NULL::DOUBLE,
+                   min(props), max(props) FROM events
+            UNION ALL SELECT 'ts', count(*), count(*) - count(ts),
+                   count(DISTINCT ts),
+                   round(min(epoch_us(ts)), 6)::DOUBLE,
+                   round(max(epoch_us(ts)), 6)::DOUBLE,
+                   NULL::VARCHAR, NULL::VARCHAR FROM events
+            UNION ALL SELECT 'user_id', count(*),
+                   count(*) - count(user_id), count(DISTINCT user_id),
+                   round(min(user_id), 6)::DOUBLE,
+                   round(max(user_id), 6)::DOUBLE,
+                   NULL::VARCHAR, NULL::VARCHAR FROM events
+            UNION ALL SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT value),
+                   round(min(value), 6)::DOUBLE,
+                   round(max(value), 6)::DOUBLE,
+                   NULL::VARCHAR, NULL::VARCHAR FROM events
         """,
         # CDC compaction: latest row per key (max ts, tie max event_id)
         "events_latest": """

@@ -1,0 +1,102 @@
+"""Dataset profiling: per-column statistics over any Arrow-schema table
+(the schema-audit pass run before pointing a 100 TB pipeline at new
+data).
+
+Emits one row per column: row/null counts, EXACT distinct count, and
+min/max (numeric columns as 6-dp doubles — timestamps as epoch-us —
+string columns lexicographic).
+
+Scale shape: counts and min/max are MERGEABLE per-batch partials (one
+tiny column-count-sized aggregate); the exact distinct count is the only
+shuffle — (column, value-key) rows deduplicated with the coarse-bucket
+pattern, volume = table cells, the price of exactness (the documented
+approximate evolution is a per-column HLL sketch merged in the partial
+pass, zero shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from search_engine_ray.functions.textstats import round_half_away
+from search_engine_ray.stages.agg import bucketed_group_agg
+
+_NUM_KINDS = "iuf"
+
+
+def _col_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for c in batch.columns:
+        col = batch[c]
+        if np.issubdtype(col.dtype, np.datetime64):
+            col = col.astype("datetime64[us]").astype("int64")
+        nn = int(col.isna().sum())
+        vals = col.dropna()
+        if col.dtype.kind in _NUM_KINDS:
+            mn = float(vals.min()) if len(vals) else np.nan
+            mx = float(vals.max()) if len(vals) else np.nan
+            ms, xs = None, None
+        else:
+            mn, mx = np.nan, np.nan
+            ms = str(vals.min()) if len(vals) else None
+            xs = str(vals.max()) if len(vals) else None
+        rows.append((c, len(col), nn, mn, mx, ms, xs))
+    return pd.DataFrame(rows, columns=[
+        "column", "n", "n_null", "min_num", "max_num",
+        "min_str", "max_str"])
+
+
+def _distinct_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    frames = []
+    for c in batch.columns:
+        col = batch[c]
+        if np.issubdtype(col.dtype, np.datetime64):
+            col = col.astype("datetime64[us]").astype("int64")
+        u = col.dropna().astype(str).unique()
+        frames.append(pd.DataFrame({"column": c, "v": u}))
+    return pd.concat(frames) if frames else pd.DataFrame(
+        {"column": pd.Series(dtype="str"), "v": pd.Series(dtype="str")})
+
+
+def profile_table(ds, num_buckets: int = 64):
+    """Profile every column of ``ds``; returns one row per column."""
+    parts = ds.map_batches(_col_frame, batch_format="pandas",
+                           batch_size=4096)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for c, gg in g.groupby("column"):
+            mn = gg["min_num"].dropna()
+            mx = gg["max_num"].dropna()
+            ms = gg["min_str"].dropna()
+            xs = gg["max_str"].dropna()
+            out.append((
+                c, int(gg["n"].sum()), int(gg["n_null"].sum()),
+                round_half_away(float(mn.min())) if len(mn) else np.nan,
+                round_half_away(float(mx.max())) if len(mx) else np.nan,
+                ms.min() if len(ms) else None,
+                xs.max() if len(xs) else None))
+        return pd.DataFrame(out, columns=[
+            "column", "n", "n_null", "min_num", "max_num",
+            "min_str", "max_str"])
+
+    merged = bucketed_group_agg(parts, ["column"], merge,
+                                num_buckets).to_pandas()
+
+    uniq = ds.map_batches(_distinct_rows, batch_format="pandas",
+                          batch_size=4096)
+    counts = bucketed_group_agg(
+        uniq, ["column", "v"],
+        lambda g: g.drop_duplicates(["column", "v"])
+        .groupby("column", as_index=False).agg(nd=("v", "size")),
+        num_buckets).to_pandas()
+    counts = counts.groupby("column", as_index=False)["nd"].sum()
+
+    out = merged.merge(counts, on="column", how="left")
+    out["n_distinct"] = out["nd"].fillna(0).astype("int64")
+    out = out.drop(columns=["nd"]).sort_values("column") \
+        .reset_index(drop=True)
+    return out[["column", "n", "n_null", "n_distinct",
+                "min_num", "max_num", "min_str", "max_str"]]

@@ -303,6 +303,14 @@ def events_props_stats(sf_dir: str):
     return bucketed_group_agg(rows, ["event_type"], agg)
 
 
+def events_profile(sf_dir: str):
+    """Per-column profile of the events table (functions/profile.py)."""
+    from search_engine_ray.functions.profile import profile_table
+
+    return profile_table(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
 def events_latest(sf_dir: str):
     """CDC-style stream compaction: the LATEST event per user (max ts,
     ties to the highest event_id) — the 'current state per key' view a

@@ -89,6 +89,7 @@ SQL_BACKED = [
     "near_dup_clusters",  # pair graph -> cluster representatives (r3 s4)
     "events_latest",  # CDC latest-per-key compaction (r3 s4)
     "contains_search_at",  # infix search via vocabulary scan (r3 s4)
+    "events_profile",  # per-column dataset profiling (r3 s4)
 ]
 
 

@@ -490,3 +490,28 @@ def test_near_dup_clusters_driver_vs_distributed(ray_session):
                                    driver_budget=0, num_buckets=8)
                  .to_pandas().set_index("doc_id")["cluster_rep"])
         assert dict(got_p) == want
+
+
+def test_profile_table_with_nulls(ray_session):
+    """Profiler semantics on a table WITH nulls: null-aware counts,
+    exact distinct (nulls excluded), numeric vs string min/max lanes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.functions.profile import profile_table
+
+    t = pa.table({
+        "a": pa.array([1, 2, 2, None, 5], pa.int64()),
+        "s": pa.array(["b", None, "a", "a", "c"], pa.string()),
+        "f": pa.array([0.5, 0.5, None, None, -1.25], pa.float64()),
+    })
+    out = profile_table(rd.from_arrow(t)).set_index("column")
+    assert (out.loc["a", "n"], out.loc["a", "n_null"],
+            out.loc["a", "n_distinct"]) == (5, 1, 3)
+    assert (out.loc["a", "min_num"], out.loc["a", "max_num"]) == (1.0, 5.0)
+    assert out.loc["s", "n_distinct"] == 3
+    assert (out.loc["s", "min_str"], out.loc["s", "max_str"]) == ("a", "c")
+    assert np.isnan(out.loc["s", "min_num"])
+    assert (out.loc["f", "n_null"], out.loc["f", "n_distinct"]) == (2, 2)
+    assert (out.loc["f", "min_num"], out.loc["f", "max_num"]) == (-1.25, 0.5)
