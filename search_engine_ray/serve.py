@@ -151,6 +151,12 @@ class _BucketShard:
             terms.extend(bk.terms[i] for i in bk.prefix_range(prefix))
         return terms
 
+    def expand_contains(self, infix: str) -> list[str]:
+        terms = []
+        for b in self.buckets:
+            terms.extend(t for t in self._s.bucket(b).terms if infix in t)
+        return terms
+
 
 @ray.remote
 class _DocShardReplica:
@@ -224,6 +230,8 @@ class DocShardServer:
     def _expand(self, queries: list[str], search_type: str) -> list[str]:
         if search_type == "prefix":
             return self._sidecar.expand_prefix(queries[0])
+        if search_type == "contains":
+            return self._sidecar.expand_contains(queries[0])
         terms = set(queries[:1]) if search_type == "exact" else set(queries)
         present = {t for t in terms if self._sidecar.df(t) > 0}
         if search_type == "and" and present != terms:
@@ -321,6 +329,10 @@ class BucketShardServer:
         elif search_type == "prefix":
             terms = sorted(set().union(*ray.get([
                 s.expand_prefix.remote(queries[0]) for s in self._shards
+            ])))
+        elif search_type == "contains":
+            terms = sorted(set().union(*ray.get([
+                s.expand_contains.remote(queries[0]) for s in self._shards
             ])))
         else:
             raise ValueError(f"unknown search_type {search_type!r}")

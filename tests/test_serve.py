@@ -20,6 +20,7 @@ def served(ray_session, built_index):
 QUERIES = [
     (["mila"], "exact"), (["mam"], "prefix"), (["bako", "kota"], "or"),
     (["zzz_none"], "exact"), (["sentinel00"], "prefix"),
+    (["il"], "contains"),
     (["mila", "mama"], "and"), (["mila", "zzz_missing"], "and"),
 ]
 

@@ -24,6 +24,7 @@ QUERIES = [
     (["mila"], "exact"), (["mam"], "prefix"), (["bako", "kota"], "or"),
     (["mila", "mama"], "and"), (["zzz_none"], "exact"),
     (["sentinel00"], "prefix"), (["mil"], "prefix"),
+    (["il"], "contains"), (["qqq_absent"], "contains"),
 ]
 
 
