@@ -515,3 +515,31 @@ def test_profile_table_with_nulls(ray_session):
     assert np.isnan(out.loc["s", "min_num"])
     assert (out.loc["f", "n_null"], out.loc["f", "n_distinct"]) == (2, 2)
     assert (out.loc["f", "min_num"], out.loc["f", "max_num"]) == (-1.25, 0.5)
+
+
+def test_hll_approx_distinct_accuracy_and_merge(ray_session):
+    """HLL estimate within 5% (3 sigma at p=12) of truth across
+    cardinalities, and the sketch is a true mergeable max (union of
+    two halves == elementwise max of their sketches)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.functions.profile import (
+        _hll_estimate,
+        _hll_registers,
+        approx_distinct,
+    )
+
+    rng = np.random.default_rng(41)
+    for true_n in (500, 50_000):
+        vals = rng.integers(0, 10**15, size=true_n)
+        ds = rd.from_pandas(pd.DataFrame({"x": np.repeat(vals, 2)}))
+        est = approx_distinct(ds, "x")
+        assert abs(est / len(set(vals.tolist())) - 1) < 0.05, (true_n, est)
+    a = pd.Series(rng.integers(0, 10**12, size=3000))
+    b = pd.Series(rng.integers(0, 10**12, size=3000))
+    ra, rb = _hll_registers(a), _hll_registers(b)
+    rall = _hll_registers(pd.concat([a, b]))
+    assert (np.maximum(ra, rb) == rall).all()
+    assert abs(_hll_estimate(rall) / len(set(a) | set(b)) - 1) < 0.05
