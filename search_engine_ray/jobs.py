@@ -405,6 +405,35 @@ def cmd_prepare(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-column dataset profile (functions/profile.py) as a job:
+    prints one JSON line per column + an optional HLL approx-distinct
+    comparison column."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.profile import (
+        approx_distinct,
+        profile_table,
+    )
+
+    ds = rd.read_parquet(args.input)
+    out = profile_table(ds)
+    if args.approx:
+        out["n_distinct_hll"] = [
+            int(round(approx_distinct(rd.read_parquet(args.input), c)))
+            for c in out["column"]]
+    for row in out.to_dict("records"):
+        print(json.dumps({k: (None if pd_isna(v) else v)
+                          for k, v in row.items()}))
+    return 0
+
+
+def pd_isna(v) -> bool:
+    import pandas as pd
+
+    return not isinstance(v, (str, bytes)) and pd.isna(v)
+
+
 def cmd_invalidate(args) -> int:
     from search_engine_ray.build import invalidate_index
 
@@ -522,6 +551,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="rebuild the _stage_dedup checkpoint even if "
                          "complete")
     pr.set_defaults(fn=cmd_prepare)
+
+    pf = sub.add_parser("profile")
+    pf.add_argument("--input", required=True, help="any parquet path")
+    pf.add_argument("--approx", action="store_true",
+                    help="also report the HLL approx distinct count")
+    pf.set_defaults(fn=cmd_profile)
 
     i = sub.add_parser("invalidate")
     i.add_argument("--index", required=True)

@@ -284,3 +284,25 @@ def test_jobs_cli_dedup_resolve(ray_session, tmp_path):
     cl = (pq.read_table(out_dir + "/clusters").to_pandas()
           .set_index("doc_id")["cluster_rep"])
     assert cl[0] == 0 and cl[8] == 0
+
+
+def test_jobs_cli_profile(ray_session, tmp_path):
+    """profile job prints one JSON line per column with null-aware
+    stats and the HLL comparison column under --approx."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"a": pa.array([1, 2, 2, None], pa.int64()),
+                  "s": pa.array(["x", "y", None, "x"], pa.string())})
+    p = tmp_path / "t.parquet"
+    pq.write_table(t, str(p))
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "profile",
+         "--input", str(p), "--approx"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = {json.loads(ln)["column"]: json.loads(ln)
+            for ln in r.stdout.strip().splitlines()[-2:]}
+    assert rows["a"]["n_null"] == 1 and rows["a"]["n_distinct"] == 2
+    assert rows["a"]["n_distinct_hll"] == 2
+    assert rows["s"]["min_str"] == "x" and rows["s"]["max_num"] is None
