@@ -538,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contains_search_at": d.contains_search_at,    # infix vocab scan
         "vocab_total": d.vocab_and_total,              # I8 size()
         "bm25_topk": d.bm25_topk_docs,                 # Q1-Q3 via the engine
+        "fuzzy_search": d.fuzzy_search_docs,           # M10 generalized:
+        # Levenshtein-<=1 vocab expansion, BM25-ranked (fuzzy.py)
         # --- training-data pipeline extensions ---------------------------
         "dedup_exact": d.dedup_exact_docs,
         "events_hourly": ev.events_hourly_user,
@@ -692,6 +694,42 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY s.score DESC, s.doc_id) AS rn
                   FROM scores s JOIN qn ON qn.query = s.query
                   WHERE qn.conj = 0 OR s.nmatch = qn.nt)
+            WHERE rn <= 10
+        """,
+        "fuzzy_search": f"""
+            {_TOKS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                             (SELECT count(*)::DOUBLE FROM toks)
+                             / (SELECT count(*)::DOUBLE FROM documents)
+                             AS avgdl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            fq(query, word) AS (VALUES
+                ('fuzzy:sow', 'sow'),
+                ('fuzzy:batc', 'batc'),
+                ('fuzzy:strean|windoe', 'strean'),
+                ('fuzzy:strean|windoe', 'windoe'),
+                ('fuzzy:query', 'query'),
+                ('fuzzy:qqqnohit', 'qqqnohit')),
+            q AS (SELECT DISTINCT fq.query, df.term
+                  FROM fq JOIN df ON levenshtein(df.term, fq.word) <= 1),
+            scores AS (
+                SELECT q.query, tf.doc_id,
+                       sum({idf} * {bm25_partial}) AS score
+                FROM q
+                JOIN tf ON tf.term = q.term
+                JOIN df ON df.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+                GROUP BY q.query, tf.doc_id)
+            SELECT query, doc_id, round(score, 6) AS score
+            FROM (SELECT s.query, s.doc_id, s.score, row_number() OVER
+                      (PARTITION BY s.query
+                       ORDER BY s.score DESC, s.doc_id) AS rn
+                  FROM scores s)
             WHERE rn <= 10
         """,
         "quality_scores": f"""

@@ -331,6 +331,47 @@ def bm25_topk_docs(sf_dir: str, k: int = BM25_K):
     )
 
 
+FUZZY_QUERIES: list[tuple[str, list[str]]] = [
+    ("fuzzy:sow", ["sow"]),                      # -> {row, slow}
+    ("fuzzy:batc", ["batc"]),                    # deletion -> {batch}
+    ("fuzzy:strean|windoe", ["strean", "windoe"]),  # multi-word union
+    ("fuzzy:query", ["query"]),                  # distance-0 self hit
+    ("fuzzy:qqqnohit", ["qqqnohit"]),            # empty expansion
+]
+
+
+def fuzzy_search_docs(sf_dir: str, k: int = BM25_K):
+    """Fuzzy (Levenshtein-<=1) search for a fixed probe set -> (query,
+    doc_id, score): each probe word expands against the index vocabulary
+    (fuzzy.py kernel) and the union is BM25-ranked like an ``or`` query.
+    Oracle: DuckDB ``levenshtein(term, word) <= 1`` over the corpus
+    vocabulary feeding the bm25_topk scoring CTE. Tie handling mirrors
+    bm25_topk_docs (over-fetch, re-break on the ORIGINAL doc_id)."""
+    from search_engine_ray.search import LocalSearcher
+
+    index_root = ensure_documents_index(sf_dir)
+    s = LocalSearcher(index_root)
+    out_q, out_d, out_s = [], [], []
+    for label, words in FUZZY_QUERIES:
+        res = s.search(words, "fuzzy", k=k + 50)
+        rows = sorted(
+            (-sc, int(u[6:]))
+            for u, sc in zip(res.column("url").to_pylist(),
+                             res.column("score").to_pylist())
+        )[:k]
+        for neg_sc, d in rows:
+            out_q.append(label)
+            out_d.append(d)
+            out_s.append(round(-neg_sc, 6))
+    return pa.table(
+        {
+            "query": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 # --- rows-only pipelines (no SQL oracle) ----------------------------------
 
 

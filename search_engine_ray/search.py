@@ -87,13 +87,24 @@ class _Bucket:
     copies the full postings payload — queries touch a handful of terms,
     and decoded results land in the searcher's LRU anyway."""
 
-    __slots__ = ("terms", "df", "max_partial", "_t")
+    __slots__ = ("terms", "df", "max_partial", "_t", "_edit1")
 
     def __init__(self, table: pa.Table):
         self.terms: list[str] = table.column("term").to_pylist()
         self.df = table.column("df").to_numpy()
         self.max_partial = table.column("max_partial").to_numpy()
         self._t = table.combine_chunks()
+        self._edit1 = None
+
+    def edit1(self):
+        """Lazy per-bucket Edit1Vocab (fuzzy.py) — built on the first
+        fuzzy query against this bucket, cached for the searcher's life
+        (ST3 once-per-worker state)."""
+        if self._edit1 is None:
+            from search_engine_ray.fuzzy import Edit1Vocab
+
+            self._edit1 = Edit1Vocab(self.terms)
+        return self._edit1
 
     def find(self, term: str) -> int | None:
         i = bisect_left(self.terms, term)
@@ -244,6 +255,15 @@ class LocalSearcher:
             terms = []
             for b in range(self.num_buckets):
                 terms.extend(t for t in self.bucket(b).terms if p in t)
+        elif search_type == "fuzzy":
+            # Levenshtein-<=1 union over every query word (fuzzy.py):
+            # hash partitioning destroys edit-neighborhood locality the
+            # same way it does prefix order, so fuzzy fans out to ALL
+            # buckets; each probe is one vectorized matrix compare per
+            # (bucket, query-length-group).
+            terms = []
+            for b in range(self.num_buckets):
+                terms.extend(self.bucket(b).edit1().match_all(queries))
         else:
             raise ValueError(f"unknown search_type {search_type!r}")
         return sorted(set(terms))

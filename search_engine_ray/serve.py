@@ -157,6 +157,12 @@ class _BucketShard:
             terms.extend(t for t in self._s.bucket(b).terms if infix in t)
         return terms
 
+    def expand_fuzzy(self, words: list[str]) -> list[str]:
+        terms = []
+        for b in self.buckets:
+            terms.extend(self._s.bucket(b).edit1().match_all(words))
+        return terms
+
 
 @ray.remote
 class _DocShardReplica:
@@ -232,6 +238,8 @@ class DocShardServer:
             return self._sidecar.expand_prefix(queries[0])
         if search_type == "contains":
             return self._sidecar.expand_contains(queries[0])
+        if search_type == "fuzzy":
+            return self._sidecar.expand_fuzzy(list(queries))
         terms = set(queries[:1]) if search_type == "exact" else set(queries)
         present = {t for t in terms if self._sidecar.df(t) > 0}
         if search_type == "and" and present != terms:
@@ -333,6 +341,10 @@ class BucketShardServer:
         elif search_type == "contains":
             terms = sorted(set().union(*ray.get([
                 s.expand_contains.remote(queries[0]) for s in self._shards
+            ])))
+        elif search_type == "fuzzy":
+            terms = sorted(set().union(*ray.get([
+                s.expand_fuzzy.remote(list(queries)) for s in self._shards
             ])))
         else:
             raise ValueError(f"unknown search_type {search_type!r}")

@@ -178,6 +178,22 @@ class TermStatsSidecar:
             out.update(t for t in ts if infix in t)
         return sorted(out)
 
+    def expand_fuzzy(self, words: list[str]) -> list[str]:
+        """Levenshtein-<=1 expansion against the GLOBAL vocabulary — one
+        cached Edit1Vocab per sidecar bucket (fuzzy.py), so repeated
+        fuzzy queries pay only the vectorized matrix compares."""
+        if not hasattr(self, "_edit1"):
+            self._edit1 = {}
+        out: set[str] = set()
+        for b in range(self.num_buckets):
+            ev = self._edit1.get(b)
+            if ev is None:
+                from search_engine_ray.fuzzy import Edit1Vocab
+
+                ev = self._edit1[b] = Edit1Vocab(self.bucket(b)[0])
+            out.update(ev.match_all(words))
+        return sorted(out)
+
 
 def build_term_stats(root: str, num_doc_shards: int,
                      num_buckets: int) -> None:
@@ -340,6 +356,13 @@ class ShardedSearcher:
             terms = set()
             for sh in self.shards:
                 terms.update(sh.expand(queries, "contains"))
+            return sorted(terms)
+        if search_type == "fuzzy":
+            if self._has_sidecar:
+                return self._sidecar.expand_fuzzy(list(queries))
+            terms = set()
+            for sh in self.shards:
+                terms.update(sh.expand(queries, "fuzzy"))
             return sorted(terms)
         if search_type == "exact":
             terms = set(queries[:1])

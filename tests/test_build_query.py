@@ -36,6 +36,9 @@ def _query_set(oracle):
                 ["ma", "mil", "bako", "sent", "sentinel00", "zz"]]
     queries += [([i], "contains") for i in
                 ["il", "a", "ako", "entinel", "qqq_absent"]]
+    queries += [([w], "fuzzy") for w in
+                ["mila", "milo", "mil", "sentinel00", "bako", "qqq_absent"]]
+    queries += [(heads[:1] + ["milo", "bako"], "fuzzy")]  # multi-word union
     queries += [(["zzz_none"], "exact"), (["totally absent"], "exact")]
     return queries
 

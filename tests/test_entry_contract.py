@@ -90,6 +90,7 @@ SQL_BACKED = [
     "events_latest",  # CDC latest-per-key compaction (r3 s4)
     "contains_search_at",  # infix search via vocabulary scan (r3 s4)
     "events_profile",  # per-column dataset profiling (r3 s4)
+    "fuzzy_search",  # Levenshtein-<=1 vocab expansion, BM25-ranked (r3 s5)
 ]
 
 

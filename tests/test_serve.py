@@ -21,6 +21,7 @@ QUERIES = [
     (["mila"], "exact"), (["mam"], "prefix"), (["bako", "kota"], "or"),
     (["zzz_none"], "exact"), (["sentinel00"], "prefix"),
     (["il"], "contains"),
+    (["milo"], "fuzzy"), (["milo", "bako"], "fuzzy"),
     (["mila", "mama"], "and"), (["mila", "zzz_missing"], "and"),
 ]
 

@@ -25,6 +25,8 @@ QUERIES = [
     (["mila", "mama"], "and"), (["zzz_none"], "exact"),
     (["sentinel00"], "prefix"), (["mil"], "prefix"),
     (["il"], "contains"), (["qqq_absent"], "contains"),
+    (["milo"], "fuzzy"), (["milo", "bako"], "fuzzy"),
+    (["qqq_absent"], "fuzzy"),
 ]
 
 

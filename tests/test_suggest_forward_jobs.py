@@ -125,6 +125,12 @@ def test_jobs_cli_build_and_query(ray_session, tmp_path):
     assert len(sug_rows) >= 2  # expansion ORs in same-length neighbours
     pre_rows = q("--terms", "mil", "--type", "prefix")
     assert len(pre_rows) >= 2
+    # fuzzy reaches the CLI: 'milo' is one substitution from 'mila'
+    fuz_rows = q("--terms", "milo", "--type", "fuzzy")
+    assert {r["url"] for r in fuz_rows} >= {
+        "https://example.org/parity/00000002",
+        "https://example.org/parity/00000003",
+    }
 
 
 def test_jobs_cli_dedup(ray_session, tmp_path):
