@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": d.simhash_pairs,        # SQL-checked since r3
         "ngram_jaccard_pairs": d.ngram_jaccard_pairs,  # exact; brute-force oracle
         "near_dup_clusters": d.near_dup_clusters_docs,
+        "dup_spans": d.dup_spans_docs,  # substring-level exact dedup
         "embedding_near_dups_exact": e.embedding_near_dups_exact,
         # --- webtext curation family (functions/webtext.py, new in r3) ---
         "repetition_scores": d.repetition_scores,
@@ -1106,6 +1107,37 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = (99 * n + 99) // 100
                             THEN n_chars END)::BIGINT AS p99
             FROM ranked GROUP BY source
+        """,
+        # substring-level exact dedup: 25-token window fingerprints
+        # (md5_number_lower & 61-bit mask — identical collision behavior
+        # to the engine), duplicated = hash in >= 2 DISTINCT docs,
+        # islands merged where start <= prev_start + window
+        "dup_spans": f"""
+            WITH toksl AS (SELECT doc_id,
+                                  regexp_extract_all(text, '{TOK}') AS ts
+                           FROM documents),
+            win AS (SELECT doc_id, i::BIGINT AS i,
+                           (md5_number_lower(
+                                array_to_string(ts[i:i+24], ' '))
+                            % 2305843009213693952)::BIGINT AS h
+                    FROM toksl, unnest(range(1, len(ts)-25+2)) AS t(i)
+                    WHERE len(ts) >= 25),
+            dup AS (SELECT h FROM win
+                    GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, i FROM win JOIN dup USING (h)),
+            isl AS (SELECT doc_id, i,
+                        CASE WHEN lag(i) OVER w IS NULL
+                                  OR i > lag(i) OVER w + 25
+                             THEN 1 ELSE 0 END AS brk
+                    FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+            grp AS (SELECT doc_id, i,
+                           sum(brk) OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS g
+                    FROM isl)
+            SELECT doc_id, min(i) AS span_start,
+                   (max(i) + 25 - 1)::BIGINT AS span_end,
+                   (max(i) - min(i) + 25)::BIGINT AS span_len
+            FROM grp GROUP BY doc_id, g
         """,
         # global line dedup: winner = row_number over the 61-bit line-hash
         # partition (same md5_number_lower convention as the engine, so

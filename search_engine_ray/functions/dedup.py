@@ -842,3 +842,105 @@ def near_dup_clusters(pairs, num_buckets: int = 64,
         lambda df: df.rename(columns={"node": "doc_id",
                                       "label": "cluster_rep"}),
         batch_format="pandas")
+
+
+# --- windowed exact substring dedup (duplicated-span flagging) -------------
+
+
+class WindowHashBatch:
+    """(h, doc_id, start) for EVERY ``window``-token window of each doc —
+    the emit stage of substring-level exact dedup (the distributed
+    analogue of suffix-array substring dedup a la Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": fixed-
+    width window fingerprints instead of suffix arrays, which is the
+    standard shuffle-friendly formulation).
+
+    Window hash = md5 of the space-joined token window, low 8 bytes
+    little-endian masked to 61 bits — the corpus-wide
+    ``md5_number_lower`` convention (SQL-oracle-checkable). Adjacent
+    windows share window-1 tokens, so the documented scale evolution is
+    a rolling polynomial hash with an exact second pass; md5 keeps the
+    engine bit-reproducible in DuckDB. ``start`` is the 1-based token
+    position (matches SQL ``range(1, len(ts)-w+2)``)."""
+
+    def __init__(self, window: int, num_buckets: int):
+        self._re = token_regex()
+        self._w = window
+        self._nb = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = self._w
+        ids: list[int] = []
+        hs: list[int] = []
+        starts: list[int] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = self._re.findall(text) if text else []
+            n = len(toks) - w + 1
+            if n <= 0:
+                continue
+            ids.extend([doc_id] * n)
+            starts.extend(range(1, n + 1))
+            hs.extend(
+                int.from_bytes(
+                    hashlib.md5(" ".join(toks[i:i + w]).encode())
+                    .digest()[8:], "little") & _MERSENNE
+                for i in range(n))
+        h_arr = np.asarray(hs, dtype=np.int64)
+        return pa.table({
+            "h": pa.array(h_arr, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "start": pa.array(starts, pa.int64()),
+            "hbucket": pa.array(h_arr % np.int64(self._nb), pa.int64()),
+        })
+
+
+def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
+                    batch_size: int = 1024):
+    """Flag maximal duplicated token spans: every run of tokens covered
+    by ``window``-token windows whose exact content appears in >= 2
+    DISTINCT documents -> (doc_id, span_start, span_end, span_len),
+    1-based inclusive token positions.
+
+    Two coarse-bucket exchanges, both corpus-shaped (never all-pairs):
+    1. shuffle window fingerprints on ``h % num_buckets``; inside each
+       bucket keep windows whose hash has >= 2 distinct doc_ids (the
+       within-doc-repeat case is deliberately NOT flagged — same rule as
+       the SQL oracle's ``count(DISTINCT doc_id) >= 2``),
+    2. shuffle survivors on ``doc_id % num_buckets``; inside each bucket
+       merge overlapping-or-adjacent windows per doc into maximal spans
+       (vectorized islands: break where start > prev_start + window).
+
+    Downstream policy (cut vs keep-one-occurrence) is a separate map —
+    this operator is the corpus-wide report it needs."""
+    hashed = ds.map_batches(WindowHashBatch(window, num_buckets),
+                            batch_format="pyarrow", batch_size=batch_size)
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["doc_id"].transform("nunique")
+        out = g.loc[nd >= 2, ["doc_id", "start"]].copy()
+        out["dbucket"] = (out["doc_id"].to_numpy() % np.int64(num_buckets))
+        return out
+
+    hits = hashed.groupby("hbucket").map_groups(survivors,
+                                                batch_format="pandas")
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "start"])
+        d = g["doc_id"].to_numpy()
+        s = g["start"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (d[1:] != d[:-1]) | (s[1:] > s[:-1] + window)
+        first = np.flatnonzero(brk)
+        last = np.concatenate((first[1:] - 1,
+                               [len(g) - 1])) if len(g) else first
+        return pd.DataFrame({
+            "doc_id": d[first],
+            "span_start": s[first],
+            "span_end": s[last] + window - 1,
+            "span_len": s[last] - s[first] + window,
+        })
+
+    return hits.groupby("dbucket").map_groups(islands,
+                                              batch_format="pandas")

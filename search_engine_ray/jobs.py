@@ -177,6 +177,12 @@ def cmd_dedup(args) -> int:
             from search_engine_ray.functions.dedup import simhash_near_dups
 
             res = simhash_near_dups(ds, max_hamming=args.max_hamming)
+        elif args.method == "spans":
+            # substring-level exact dedup REPORT: maximal duplicated
+            # window-token spans (doc_id, span_start, span_end, span_len)
+            from search_engine_ray.functions.dedup import duplicate_spans
+
+            res = duplicate_spans(ds, window=args.window)
         elif args.method == "line":
             # line-LEVEL dedup is a rewrite, not a pair list: writes the
             # deduplicated corpus (doc_id, clean_text, counts)
@@ -500,8 +506,11 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--out", required=True)
     dd.add_argument("--method", default="exact",
                     choices=["exact", "minhash", "simhash", "ngram",
-                             "embedding", "line"])
+                             "embedding", "line", "spans"])
     dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--window", type=int, default=50,
+                    help="spans method: duplicated-substring window "
+                         "length in tokens")
     dd.add_argument("--max-hamming", type=int, default=3)
     dd.add_argument("--exact", action="store_true",
                     help="embedding method: exact blocked all-pairs "

@@ -567,6 +567,17 @@ def near_dup_clusters_docs(sf_dir: str):
     return near_dup_clusters(ngram_jaccard_pairs(sf_dir))
 
 
+DUP_SPAN_WINDOW = 25
+
+
+def dup_spans_docs(sf_dir: str):
+    """Maximal duplicated 25-token spans across the corpus (substring-
+    level exact dedup report, functions/dedup.duplicate_spans)."""
+    from search_engine_ray.functions.dedup import duplicate_spans
+
+    return duplicate_spans(load_documents(sf_dir), window=DUP_SPAN_WINDOW)
+
+
 def corpus_shuffle_docs(sf_dir: str):
     """Deterministic training-order shuffle (8 shards, dense rank)."""
     from search_engine_ray.functions.webtext import corpus_shuffle

@@ -91,6 +91,7 @@ SQL_BACKED = [
     "contains_search_at",  # infix search via vocabulary scan (r3 s4)
     "events_profile",  # per-column dataset profiling (r3 s4)
     "fuzzy_search",  # Levenshtein-<=1 vocab expansion, BM25-ranked (r3 s5)
+    "dup_spans",  # substring-level exact dedup (window fingerprints, r3 s5)
 ]
 
 

@@ -543,3 +543,109 @@ def test_hll_approx_distinct_accuracy_and_merge(ray_session):
     rall = _hll_registers(pd.concat([a, b]))
     assert (np.maximum(ra, rb) == rall).all()
     assert abs(_hll_estimate(rall) / len(set(a) | set(b)) - 1) < 0.05
+
+
+# --- substring-level exact dedup (duplicate_spans) -------------------------
+
+
+def _brute_spans(texts: dict[int, str], window: int):
+    """Literal reference: all windows, dup = text in >=2 distinct docs,
+    merge overlapping/adjacent per doc."""
+    import re
+
+    from search_engine_ray.functions.textstats import token_regex
+
+    tok = token_regex()
+    wins: dict[str, set[int]] = {}
+    per_doc: dict[int, list[int]] = {}
+    for d, t in texts.items():
+        toks = tok.findall(t or "")
+        for i in range(len(toks) - window + 1):
+            wins.setdefault(" ".join(toks[i:i + window]), set()).add(d)
+    for d, t in texts.items():
+        toks = tok.findall(t or "")
+        per_doc[d] = [i + 1 for i in range(len(toks) - window + 1)
+                      if len(wins[" ".join(toks[i:i + window])]) >= 2]
+    out = []
+    for d, starts in sorted(per_doc.items()):
+        run: list[int] = []
+        for s in starts:
+            if run and s > run[-1] + window:
+                out.append((d, run[0], run[-1] + window - 1,
+                            run[-1] - run[0] + window))
+                run = []
+            run.append(s)
+        if run:
+            out.append((d, run[0], run[-1] + window - 1,
+                        run[-1] - run[0] + window))
+    return sorted(out)
+
+
+def _spans_rows(ds):
+    df = ds.to_pandas()
+    return sorted(map(tuple, df[["doc_id", "span_start", "span_end",
+                                 "span_len"]].itertuples(index=False)))
+
+
+def test_duplicate_spans_planted(ray_session):
+    """Two docs share an exact 8-token run embedded in unique filler;
+    a third doc is unique; a fourth is too short to window."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = {
+        0: "u00 u01 u02 " + shared + " u03 u04 u05",   # tokens 4..11
+        1: "v00 " + shared + " v01 v02 v03 v04 v05",   # tokens 2..9
+        2: "w00 w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13",
+        3: "x00 x01",                                   # shorter than window
+    }
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[k] for k in sorted(texts)])})
+    got = _spans_rows(duplicate_spans(rd.from_arrow(t), window=8,
+                                      num_buckets=4))
+    assert got == [(0, 4, 11, 8), (1, 2, 9, 8)]
+    assert got == _brute_spans(texts, 8)
+
+
+def test_duplicate_spans_merge_and_within_doc_rule(ray_session):
+    """Overlapping dup windows merge into ONE maximal span; a repeat
+    WITHIN a single doc (no second doc) is not flagged."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import duplicate_spans
+
+    run = " ".join(f"s{i:02d}" for i in range(12))  # 12 shared tokens
+    texts = {
+        7: "a0 a1 " + run + " a2",       # windows at 3..8 all dup -> merge
+        8: run + " b0 b1 b2 b3",
+        9: "c0 c1 c2 c0 c1 c2 c0 c1 c2 c0 c1 c2",  # self-repeat only
+    }
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[k] for k in sorted(texts)])})
+    got = _spans_rows(duplicate_spans(rd.from_arrow(t), window=7,
+                                      num_buckets=4))
+    # doc 7: dup windows start 3..8 (1-based), merged span tokens 3..14
+    # doc 8: dup windows start 1..6, merged span tokens 1..12
+    assert got == [(7, 3, 14, 12), (8, 1, 12, 12)]
+    assert got == _brute_spans(texts, 7)
+
+
+def test_duplicate_spans_randomized_vs_brute(ray_session):
+    """Randomized corpus from a tiny vocab (forces cross-doc window
+    collisions) must match the literal brute-force reference."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import duplicate_spans
+
+    rng = np.random.default_rng(42)
+    vocab = [f"t{i}" for i in range(6)]
+    texts = {d: " ".join(vocab[i] for i in rng.integers(0, 6, size=int(n)))
+             for d, n in enumerate(rng.integers(0, 30, size=25))}
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[k] for k in sorted(texts)])})
+    for w in (3, 5):
+        got = _spans_rows(duplicate_spans(rd.from_arrow(t), window=w,
+                                          num_buckets=8))
+        assert got == _brute_spans(texts, w), w

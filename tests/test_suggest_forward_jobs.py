@@ -312,3 +312,30 @@ def test_jobs_cli_profile(ray_session, tmp_path):
     assert rows["a"]["n_null"] == 1 and rows["a"]["n_distinct"] == 2
     assert rows["a"]["n_distinct_hll"] == 2
     assert rows["s"]["min_str"] == "x" and rows["s"]["max_num"] is None
+
+
+def test_jobs_cli_dedup_spans_method(ray_session, tmp_path):
+    """--method spans writes the duplicated-substring span report."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a0 a1 " + shared,
+                                    shared + " b0",
+                                    "c0 c1 c2 c3 c4 c5 c6"], pa.string())})
+    dpath = tmp_path / "docs.parquet"
+    pq.write_table(t, str(dpath))
+    out_dir = str(tmp_path / "spans")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "dedup",
+         "--input", str(dpath), "--out", out_dir, "--method", "spans",
+         "--window", "6"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows"] == 2
+    got = sorted(map(tuple, pq.read_table(out_dir).to_pandas()[
+        ["doc_id", "span_start", "span_end", "span_len"]]
+        .itertuples(index=False)))
+    assert got == [(1, 3, 8, 6), (2, 1, 6, 6)]
