@@ -155,3 +155,98 @@ def approx_distinct(ds, column: str, p: int = HLL_P) -> float:
     for r in parts:
         merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.int8))
     return _hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Count-Min Sketch + local candidates) — the mergeable
+# zero-shuffle companion to the HLL sketch: approximate top-k most
+# frequent values of a column (Cormode & Muthukrishnan, CMS; the
+# candidate union makes it a distributed Misra-Gries-style top-k).
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+_CMS_MOD = (1 << 61) - 1
+
+
+def _cms_params(depth: int, seed: int = 23):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _CMS_MOD, size=depth).astype(np.int64)
+    b = rng.integers(0, _CMS_MOD, size=depth).astype(np.int64)
+    return a, b
+
+
+def _cms_rows(h: np.ndarray, a: np.ndarray, b: np.ndarray,
+              width: int) -> np.ndarray:
+    """(depth, n) bucket indices from one 64-bit base hash per value —
+    pairwise-independent row hashes h_i(x) = (a_i*h + b_i) mod p mod w.
+    int64 wrap-around multiply is deterministic and well-mixed here
+    (the base hash is already uniform 64-bit)."""
+    hv = h.view(np.int64) if h.dtype != np.int64 else h
+    return ((a[:, None] * hv[None, :] + b[:, None]) % _CMS_MOD) % width
+
+
+def _cms_batch(col: pd.Series, a: np.ndarray, b: np.ndarray,
+               width: int, n_cand: int):
+    """One batch's (depth x width) CMS counts + its local top candidates
+    (value, local_count) — both mergeable (elementwise +, union)."""
+    vals = col.dropna().astype(str)
+    depth = len(a)
+    cms = np.zeros((depth, width), dtype=np.int64)
+    if not len(vals):
+        return cms, pd.Series(dtype="int64")
+    vc = vals.value_counts()  # local exact counts, vocab-sized
+    uh = pd.util.hash_pandas_object(vc.index.to_series().reset_index(
+        drop=True), index=False).to_numpy()
+    rows = _cms_rows(uh, a, b, width)
+    cnts = vc.to_numpy()
+    for d in range(depth):
+        np.add.at(cms[d], rows[d], cnts)
+    return cms, vc.head(n_cand)
+
+
+def heavy_hitters(ds, column: str, k: int = 20, width: int = CMS_WIDTH,
+                  depth: int = CMS_DEPTH, candidates_per_batch: int = 128,
+                  batch_size: int = 8192) -> pd.DataFrame:
+    """Approximate top-k most frequent values with NO shuffle: each batch
+    emits a (depth x width) CMS partial (mergeable by +) and its local
+    top candidates (union-mergeable); the driver folds the sketches,
+    re-estimates every candidate from the MERGED sketch (min over depth
+    rows — a one-sided overestimate), and returns the top k.
+
+    Guarantees: est_count >= true count always (CMS never undercounts);
+    a true heavy hitter is missed only if it falls outside the local
+    top-``candidates_per_batch`` of EVERY batch — impossible once its
+    global share exceeds batches' local tail mass (the usual union-of-
+    local-top-k argument). The exact twin for validation is the
+    coarse-bucket groupby count (see tests); at 100 TB the fold nests
+    in a tree exactly like approx_distinct's."""
+    a, b = _cms_params(depth)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        cms, cand = _cms_batch(df[column], a, b, width,
+                               candidates_per_batch)
+        return pd.DataFrame({
+            "cms": [cms.tobytes()],
+            "cand_v": [list(cand.index)],
+            "cand_n": [cand.to_numpy(dtype=np.int64)],
+        })
+
+    parts = ds.map_batches(sketch, batch_format="pandas",
+                           batch_size=batch_size).take_all()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    cand: set[str] = set()
+    for r in parts:
+        merged += np.frombuffer(r["cms"], dtype=np.int64).reshape(
+            depth, width)
+        cand.update(r["cand_v"])
+    if not cand:
+        return pd.DataFrame({"value": pd.Series(dtype="str"),
+                             "est_count": pd.Series(dtype="int64")})
+    cl = sorted(cand)
+    uh = pd.util.hash_pandas_object(pd.Series(cl), index=False).to_numpy()
+    rows = _cms_rows(uh, a, b, width)
+    est = merged[np.arange(depth)[:, None], rows].min(axis=0)
+    out = pd.DataFrame({"value": cl, "est_count": est})
+    return (out.sort_values(["est_count", "value"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))

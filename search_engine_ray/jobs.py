@@ -423,6 +423,14 @@ def cmd_profile(args) -> int:
     )
 
     ds = rd.read_parquet(args.input)
+    if args.heavy_hitters:
+        from search_engine_ray.functions.profile import heavy_hitters
+
+        hh = heavy_hitters(ds, args.heavy_hitters, k=args.k)
+        for row in hh.to_dict("records"):
+            print(json.dumps({"value": row["value"],
+                              "est_count": int(row["est_count"])}))
+        return 0
     out = profile_table(ds)
     if args.approx:
         out["n_distinct_hll"] = [
@@ -565,6 +573,10 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--input", required=True, help="any parquet path")
     pf.add_argument("--approx", action="store_true",
                     help="also report the HLL approx distinct count")
+    pf.add_argument("--heavy-hitters", default=None, metavar="COLUMN",
+                    help="report the approximate top-k most frequent "
+                         "values of COLUMN (Count-Min Sketch)")
+    pf.add_argument("-k", type=int, default=20)
     pf.set_defaults(fn=cmd_profile)
 
     i = sub.add_parser("invalidate")

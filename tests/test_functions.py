@@ -649,3 +649,59 @@ def test_duplicate_spans_randomized_vs_brute(ray_session):
         got = _spans_rows(duplicate_spans(rd.from_arrow(t), window=w,
                                           num_buckets=8))
         assert got == _brute_spans(texts, w), w
+
+
+def test_cms_heavy_hitters_exact_anchor_and_bounds(ray_session):
+    """CMS top-k on a zipf-skewed column: the returned set and order
+    match the exact value_counts top-k at ample width; every estimate
+    is >= the true count (CMS never undercounts) and the sketch is a
+    true mergeable sum (two halves + == whole)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.functions.profile import (
+        _cms_batch,
+        _cms_params,
+        heavy_hitters,
+    )
+
+    rng = np.random.default_rng(17)
+    # zipf-ish: value i appears ~ 3000 / (i + 1) times, plus noise tail
+    vals = np.concatenate(
+        [np.full(3000 // (i + 1), f"v{i:02d}") for i in range(40)]
+        + [np.char.add("noise", rng.integers(0, 5000, 4000).astype(str))])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"x": vals})
+    ds = rd.from_pandas(df).repartition(8)
+    got = heavy_hitters(ds, "x", k=10)
+    truth = df["x"].value_counts()
+    want = truth.head(10)
+    assert list(got["value"]) == list(want.index)
+    full_truth = truth.to_dict()
+    for v, e in zip(got["value"], got["est_count"]):
+        assert e >= full_truth[v], (v, e)
+    # tight width => still one-sided even under heavy collision
+    tight = heavy_hitters(ds, "x", k=10, width=32, depth=2)
+    for v, e in zip(tight["value"], tight["est_count"]):
+        assert e >= full_truth[v]
+    # merge property: sum of half-sketches == whole-corpus sketch
+    a, b = _cms_params(3)
+    half = len(df) // 2
+    c1, _ = _cms_batch(df["x"][:half], a, b, 64, 8)
+    c2, _ = _cms_batch(df["x"][half:], a, b, 64, 8)
+    call, _ = _cms_batch(df["x"], a, b, 64, 8)
+    assert (c1 + c2 == call).all()
+
+
+def test_cms_heavy_hitters_empty_and_nulls(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.functions.profile import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"x": pd.array(
+        [None, None, "only", "only"], dtype="string")}))
+    got = heavy_hitters(ds, "x", k=5)
+    assert list(got["value"]) == ["only"]
+    assert int(got["est_count"][0]) == 2

@@ -312,6 +312,15 @@ def test_jobs_cli_profile(ray_session, tmp_path):
     assert rows["a"]["n_null"] == 1 and rows["a"]["n_distinct"] == 2
     assert rows["a"]["n_distinct_hll"] == 2
     assert rows["s"]["min_str"] == "x" and rows["s"]["max_num"] is None
+    # CMS heavy-hitters mode: exact on this tiny input
+    r2 = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "profile",
+         "--input", str(p), "--heavy-hitters", "s", "-k", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    hh = [json.loads(ln) for ln in r2.stdout.strip().splitlines()[-2:]]
+    assert hh == [{"value": "x", "est_count": 2},
+                  {"value": "y", "est_count": 1}]
 
 
 def test_jobs_cli_dedup_spans_method(ray_session, tmp_path):
