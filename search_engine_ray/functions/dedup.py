@@ -944,3 +944,101 @@ def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
 
     return hits.groupby("dbucket").map_groups(islands,
                                               batch_format="pandas")
+
+
+def cut_duplicate_spans(ds, window: int = 50, num_buckets: int = 64,
+                        batch_size: int = 1024):
+    """Rewrite the corpus with duplicated substrings removed, keeping ONE
+    occurrence globally (the Lee et al. 2021 cut policy, distributed):
+
+    * keeper election per duplicated window hash: the (min doc_id, min
+      start) occurrence survives (deterministic, shuffle-free to decide
+      inside the hash bucket),
+    * a token is cut iff it is covered by >= 1 NON-keeper duplicated
+      window and by NO keeper window of the same doc,
+    * the cut is by exact CHARACTER spans of the removed tokens
+      (token_regex ``finditer`` offsets) — all surviving bytes,
+      separators included, are preserved verbatim.
+
+    Two exchanges: window fingerprints by hash bucket (elect keepers),
+    then flagged windows co-shuffled with the TEXT rows by doc bucket
+    (tagged union — the same single-exchange trick as
+    functions/join.bucketed_hash_join) for the per-doc rewrite.
+    Returns (doc_id, clean_text, n_cut_tokens). Re-running
+    ``duplicate_spans`` on the output finds nothing (pinned by test)."""
+    tok_re = token_regex()
+    hashed = ds.map_batches(WindowHashBatch(window, num_buckets),
+                            batch_format="pyarrow", batch_size=batch_size)
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["doc_id"].transform("nunique")
+        g = g.loc[nd >= 2, ["h", "doc_id", "start"]]
+        if not len(g):
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "start": pd.Series(dtype="int64"),
+                "keeper": pd.Series(dtype="int64"),
+                "text": pd.Series(dtype="str"),
+                "dbucket": pd.Series(dtype="int64")})
+        g = g.sort_values(["h", "doc_id", "start"])
+        first = ~g["h"].duplicated()
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "start": g["start"].to_numpy(),
+            "keeper": first.to_numpy().astype(np.int64),
+            # empty string, NOT None: an all-None block would type the
+            # column null and break the union with the text rows
+            "text": "",
+        })
+        out["dbucket"] = out["doc_id"].to_numpy() % np.int64(num_buckets)
+        return out
+
+    flagged = hashed.groupby("hbucket").map_groups(elect,
+                                                   batch_format="pandas")
+
+    def tag_text(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "start": np.int64(-1),
+            "keeper": np.int64(0),
+            "text": b["text"].astype(object),
+            "dbucket": b["doc_id"].to_numpy() % np.int64(num_buckets),
+        })
+
+    tagged = ds.map_batches(tag_text, batch_format="pandas",
+                            batch_size=batch_size).union(flagged)
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        wins = g[g["start"] >= 0]
+        by_doc = {d: sub for d, sub in wins.groupby("doc_id")}
+        for row in g[g["start"] < 0].itertuples(index=False):
+            text = row.text or ""
+            sub = by_doc.get(row.doc_id)
+            if sub is None or not len(sub):
+                out.append((row.doc_id, text, 0))
+                continue
+            spans = [m.span() for m in tok_re.finditer(text)]
+            n = len(spans)
+            cut = np.zeros(n, dtype=bool)
+            keep = np.zeros(n, dtype=bool)
+            for s, k in zip(sub["start"].to_numpy(),
+                            sub["keeper"].to_numpy()):
+                lo = int(s) - 1  # starts are 1-based token positions
+                (keep if k else cut)[lo:lo + window] = True
+            drop = np.flatnonzero(cut & ~keep)
+            if not len(drop):
+                out.append((row.doc_id, text, 0))
+                continue
+            pieces, prev = [], 0
+            for i in drop:
+                a, b = spans[i]
+                pieces.append(text[prev:a])
+                prev = b
+            pieces.append(text[prev:])
+            out.append((row.doc_id, "".join(pieces), int(len(drop))))
+        return pd.DataFrame(out, columns=["doc_id", "clean_text",
+                                          "n_cut_tokens"])
+
+    return tagged.groupby("dbucket").map_groups(rewrite,
+                                                batch_format="pandas")

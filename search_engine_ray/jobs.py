@@ -178,11 +178,18 @@ def cmd_dedup(args) -> int:
 
             res = simhash_near_dups(ds, max_hamming=args.max_hamming)
         elif args.method == "spans":
-            # substring-level exact dedup REPORT: maximal duplicated
-            # window-token spans (doc_id, span_start, span_end, span_len)
-            from search_engine_ray.functions.dedup import duplicate_spans
+            # substring-level exact dedup: the span REPORT by default
+            # (doc_id, span_start, span_end, span_len); --rewrite cuts
+            # every duplicated occurrence but the global keeper and
+            # writes the cleaned corpus (doc_id, clean_text, n_cut_tokens)
+            from search_engine_ray.functions.dedup import (
+                cut_duplicate_spans,
+                duplicate_spans,
+            )
 
-            res = duplicate_spans(ds, window=args.window)
+            res = (cut_duplicate_spans(ds, window=args.window)
+                   if getattr(args, "rewrite", False)
+                   else duplicate_spans(ds, window=args.window))
         elif args.method == "line":
             # line-LEVEL dedup is a rewrite, not a pair list: writes the
             # deduplicated corpus (doc_id, clean_text, counts)
@@ -519,6 +526,10 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--window", type=int, default=50,
                     help="spans method: duplicated-substring window "
                          "length in tokens")
+    dd.add_argument("--rewrite", action="store_true",
+                    help="spans method: write the span-cut corpus "
+                         "(keep one occurrence globally) instead of "
+                         "the span report")
     dd.add_argument("--max-hamming", type=int, default=3)
     dd.add_argument("--exact", action="store_true",
                     help="embedding method: exact blocked all-pairs "

@@ -705,3 +705,63 @@ def test_cms_heavy_hitters_empty_and_nulls(ray_session):
     got = heavy_hitters(ds, "x", k=5)
     assert list(got["value"]) == ["only"]
     assert int(got["est_count"][0]) == 2
+
+
+def test_cut_duplicate_spans_keep_one_occurrence(ray_session):
+    """The Lee-et-al cut policy: the global (min doc_id, min start)
+    occurrence of a duplicated run survives byte-exact; every other
+    occurrence (cross-doc AND within-doc) is removed; non-duplicated
+    bytes are untouched; a re-scan of the output finds nothing."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i:02d}" for i in range(8))
+    texts = {
+        1: "u1 u2 " + shared + " u3",
+        2: "v1 " + shared + "  v2,v3",          # double space + comma kept
+        3: "w1 " + shared + " w2 " + shared,    # second copy within doc
+        4: "x1 x2 x3",
+    }
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[k] for k in sorted(texts)])})
+    got = (cut_duplicate_spans(rd.from_arrow(t), window=8, num_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got.loc[1, "clean_text"] == texts[1]          # keeper intact
+    assert int(got.loc[1, "n_cut_tokens"]) == 0
+    # 8 cut tokens leave their 7 internal separator spaces behind
+    assert got.loc[2, "clean_text"] == "v1 " + " " * 7 + "  v2,v3"
+    assert int(got.loc[2, "n_cut_tokens"]) == 8
+    assert got.loc[3, "clean_text"].replace(" ", "") == "w1w2"
+    assert int(got.loc[3, "n_cut_tokens"]) == 16
+    assert got.loc[4, "clean_text"] == texts[4]
+    # the rewritten corpus has no duplicated window left
+    t2 = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                   "text": pa.array([got.loc[k, "clean_text"]
+                                     for k in sorted(texts)])})
+    assert duplicate_spans(rd.from_arrow(t2), window=8,
+                           num_buckets=4).count() == 0
+
+
+def test_cut_duplicate_spans_overlap_keeper_wins(ray_session):
+    """Tokens covered by BOTH a keeper window and a non-keeper window
+    (overlapping flagged regions within the keeper doc) survive."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import cut_duplicate_spans
+
+    run = " ".join(f"r{i}" for i in range(10))  # 10-token shared run
+    texts = {5: run, 6: run + " z0"}
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[k] for k in sorted(texts)])})
+    got = (cut_duplicate_spans(rd.from_arrow(t), window=6, num_buckets=4)
+           .to_pandas().set_index("doc_id"))
+    # doc 5 is keeper of every window it contains (min doc_id)
+    assert got.loc[5, "clean_text"] == run
+    # doc 6 loses all 10 run tokens (every one covered by a dup window,
+    # none by a keeper window of doc 6), keeps its unique tail
+    assert got.loc[6, "clean_text"].strip() == "z0"
+    assert int(got.loc[6, "n_cut_tokens"]) == 10

@@ -348,3 +348,29 @@ def test_jobs_cli_dedup_spans_method(ray_session, tmp_path):
         ["doc_id", "span_start", "span_end", "span_len"]]
         .itertuples(index=False)))
     assert got == [(1, 3, 8, 6), (2, 1, 6, 6)]
+
+
+def test_jobs_cli_dedup_spans_rewrite(ray_session, tmp_path):
+    """--method spans --rewrite writes the span-cut corpus: the keeper
+    doc survives byte-exact, the other occurrence is cut."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = " ".join(f"s{i}" for i in range(6))
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a0 " + shared,
+                                    shared + " b0"], pa.string())})
+    dpath = tmp_path / "docs.parquet"
+    pq.write_table(t, str(dpath))
+    out_dir = str(tmp_path / "cut")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "dedup",
+         "--input", str(dpath), "--out", out_dir, "--method", "spans",
+         "--window", "6", "--rewrite"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = (pq.read_table(out_dir).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc[1, "clean_text"] == "a0 " + shared
+    assert got.loc[2, "clean_text"].strip() == "b0"
+    assert int(got.loc[2, "n_cut_tokens"]) == 6
