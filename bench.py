@@ -273,6 +273,7 @@ def run_bench() -> dict:
     timed("ann_topk", e.ann_bruteforce_topk)
     timed("events_hourly", ev.events_hourly_user)
     timed("line_dedup", d.line_dedup_docs)          # 2-exchange transform
+    timed("dup_spans", d.dup_spans_docs)            # substring-level dedup
     timed("orders_by_nation", __import__(
         "search_engine_ray.pipelines.relational",
         fromlist=["orders_by_nation"]).orders_by_nation)  # hash join

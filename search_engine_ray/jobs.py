@@ -487,7 +487,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
     q.add_argument("--highlight", action="store_true",
                    help="emit matched lines + char spans per hit "
-                        "(exact/or/and/prefix; local index only)")
+                        "(exact/or/and/prefix/contains/fuzzy; local "
+                        "index only)")
     q.add_argument("--sharded", action="store_true",
                    help="--index is a doc-sharded root (sharded-build)")
     q.set_defaults(fn=cmd_query)

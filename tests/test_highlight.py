@@ -56,6 +56,18 @@ def test_prefix_highlights_every_expanded_term(searcher):
             assert row["line"][s:e] in terms
 
 
+def test_fuzzy_highlights_every_expanded_term(searcher):
+    """Highlighting composes with the fuzzy expansion: every painted
+    span is one of the Levenshtein-<=1 neighbours of the query word."""
+    terms = searcher.expand(["milo"], "fuzzy")
+    assert "mila" in terms
+    t = search_highlights(searcher, ["milo"], "fuzzy", k=5)
+    assert t.num_rows > 0
+    for row in t.to_pylist():
+        for s, e in zip(row["starts"], row["ends"]):
+            assert row["line"][s:e] in terms
+
+
 def test_no_hits_empty_table(searcher):
     t = search_highlights(searcher, ["zzz_none"], "exact", k=5)
     assert t.num_rows == 0 and t.schema.equals(HIGHLIGHT_SCHEMA)
