@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": d.ngram_jaccard_pairs,  # exact; brute-force oracle
         "near_dup_clusters": d.near_dup_clusters_docs,
         "dup_spans": d.dup_spans_docs,  # substring-level exact dedup
+        "corpus_mix": d.corpus_mix_docs,  # token-budgeted mix assembly
         "embedding_near_dups_exact": e.embedding_near_dups_exact,
         # --- webtext curation family (functions/webtext.py, new in r3) ---
         "repetition_scores": d.repetition_scores,
@@ -1138,6 +1139,27 @@ def oracle_sql() -> dict[str, str]:
                    (max(i) + 25 - 1)::BIGINT AS span_end,
                    (max(i) - min(i) + 25)::BIGINT AS span_len
             FROM grp GROUP BY doc_id, g
+        """,
+        # token-budgeted mix: per-source inclusive running token sum in
+        # deterministic md5-key order, kept while <= floor(weight*budget)
+        "corpus_mix": f"""
+            WITH n AS (SELECT doc_id, source,
+                              len(regexp_extract_all(text, '{TOK}'))
+                                  ::BIGINT AS n_tokens,
+                              (md5_number_lower(doc_id::VARCHAR
+                                                || ':mix:13')
+                               % 2305843009213693952)::BIGINT AS mkey
+                       FROM documents
+                       WHERE source IN ('src0', 'src1', 'src2')),
+            t(source, target) AS (VALUES
+                ('src0', 30000), ('src1', 18000), ('src2', 12000)),
+            c AS (SELECT doc_id, source, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY mkey, doc_id)
+                             ::BIGINT AS cum_tokens
+                  FROM n)
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c JOIN t USING (source) WHERE cum_tokens <= target
         """,
         # global line dedup: winner = row_number over the 61-bit line-hash
         # partition (same md5_number_lower convention as the engine, so

@@ -980,3 +980,94 @@ def corpus_shuffle(ds, n_shards: int = 8, n_ranges: int = 64,
             "pos": pd.Series(dtype="int64")})
 
     return bucketed_group_agg(rows, ["srid"], per_bucket)
+
+
+def corpus_mix(ds, weights: dict[str, float], token_budget: int,
+               seed: int = 13, n_ranges: int = 64,
+               batch_size: int = 2048):
+    """Final training-mix assembly: fill a global token budget from each
+    source in proportion to ``weights`` — per source, docs are taken in
+    deterministic pseudorandom order (md5 of ``doc_id:mix:seed``, a pure
+    per-row key that replays across cluster sizes and resumes) until the
+    source's token target ``floor(weight * token_budget)`` is reached;
+    a doc is kept iff its INCLUSIVE running token sum fits the target
+    (documents are never split). Sources absent from ``weights`` are
+    dropped. Returns (doc_id, source, n_tokens, cum_tokens).
+
+    This is the budgeted complement of ``stratified_sample`` (fixed keep
+    RATES, no global state): mixing recipes are usually expressed as
+    token shares of a target corpus size, which needs the per-source
+    prefix scan. Scale shape is exactly ``sequence_pack``'s two-pass
+    distributed scan, partitioned by (source, key range): pass 1 counts
+    per-cell token totals (bounded sources x n_ranges table on the
+    driver), pass 2 adds each cell's offset and filters — no global
+    sort, intermediates are 32-byte projected rows, never text. SQL
+    oracle: ``sum() OVER (PARTITION BY source ORDER BY key, doc_id)``.
+    """
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    mod = 1 << 61
+    range_div = -(-mod // n_ranges)  # ceil: range_id in [0, n_ranges)
+    targets = {s: int(w * token_budget) for s, w in weights.items()}
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        re_ = token_regex()
+        keep = np.fromiter(
+            (s in targets for s in batch.column("source").to_pylist()),
+            dtype=bool, count=batch.num_rows)
+        batch = batch.filter(pa.array(keep))
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keys = np.fromiter(
+            (_md5_low61(f"{d}:mix:{seed}") for d in ids),
+            dtype=np.int64, count=len(ids))
+        n = np.fromiter(
+            (len(re_.findall(t)) if t else 0 for t in texts),
+            dtype=np.int64, count=len(texts))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tokens": pa.array(n),
+            "mkey": pa.array(keys),
+            "range_id": pa.array((keys // range_div).astype(np.int64)),
+        })
+
+    rows = ds.map_batches(key_rows, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
+    # pass 1: per-(source, range) token totals -> per-cell offsets
+    sums = (rows.groupby(["source", "range_id"]).sum("n_tokens")
+            .to_pandas().sort_values(["source", "range_id"]))
+    offsets: dict[tuple[str, int], int] = {}
+    for src, g in sums.groupby("source", sort=False):
+        tot = g["sum(n_tokens)"].to_numpy(dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(tot)[:-1]))
+        for rid, off in zip(g["range_id"].astype("int64"), offs):
+            offsets[(src, int(rid))] = int(off)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for (src, rid), gg in g.groupby(["source", "range_id"],
+                                        sort=False):
+            base = offsets[(src, int(rid))]
+            target = targets[src]
+            if base >= target:  # the whole cell is past the budget
+                continue
+            gg = gg.sort_values(["mkey", "doc_id"], kind="mergesort")
+            nt = gg["n_tokens"].to_numpy(dtype=np.int64)
+            cum = base + np.cumsum(nt)
+            keep = cum <= target
+            if not keep.any():
+                continue
+            parts.append(pd.DataFrame({
+                "doc_id": gg["doc_id"].to_numpy()[keep],
+                "source": src,
+                "n_tokens": nt[keep],
+                "cum_tokens": cum[keep],
+            }))
+        return pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "source": pd.Series(dtype="str"),
+                          "n_tokens": pd.Series(dtype="int64"),
+                          "cum_tokens": pd.Series(dtype="int64")})
+
+    return bucketed_group_agg(rows, ["source", "range_id"], per_bucket)

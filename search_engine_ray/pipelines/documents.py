@@ -567,6 +567,23 @@ def near_dup_clusters_docs(sf_dir: str):
     return near_dup_clusters(ngram_jaccard_pairs(sf_dir))
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 60_000  # tokens; sf0.01 has ~270k tokens over 20 sources
+
+
+def corpus_mix_docs(sf_dir: str):
+    """Token-budgeted training-mix assembly over the documents table
+    (functions/webtext.corpus_mix): three sources at 50/30/20 shares of
+    a 60k-token budget, deterministic hash-order fill."""
+    import ray.data as rd_
+
+    from search_engine_ray.functions.webtext import corpus_mix
+
+    ds = rd_.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source", "text"])
+    return corpus_mix(ds, MIX_WEIGHTS, MIX_BUDGET)
+
+
 DUP_SPAN_WINDOW = 25
 
 

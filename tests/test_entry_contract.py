@@ -92,6 +92,7 @@ SQL_BACKED = [
     "events_profile",  # per-column dataset profiling (r3 s4)
     "fuzzy_search",  # Levenshtein-<=1 vocab expansion, BM25-ranked (r3 s5)
     "dup_spans",  # substring-level exact dedup (window fingerprints, r3 s5)
+    "corpus_mix",  # token-budgeted training-mix assembly (r3 s5)
 ]
 
 

@@ -531,3 +531,52 @@ def test_quality_buckets_ntile_semantics(ray_session, tmp_path):
     a = a.assign(nll=[nll[d] for d in a["doc_id"]]).sort_values(
         ["nll", "doc_id"])
     assert list(a["bucket"]) == sorted(a["bucket"])
+
+
+def test_corpus_mix_budget_and_order(ray_session):
+    """corpus_mix == a literal pandas reimplementation (hash order,
+    inclusive-cumsum cut per source), drops unlisted sources, and the
+    cut truncates at the first doc that would overflow the target."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import corpus_mix
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for d in range(120):
+        src = f"s{d % 4}"
+        n = int(rng.integers(1, 30))
+        rows.append((d, src, " ".join(f"w{i}" for i in range(n))))
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    weights = {"s0": 0.5, "s1": 0.25, "s2": 0.25}  # s3 dropped
+    budget = 400
+    got = (corpus_mix(rd.from_pandas(df), weights, budget, n_ranges=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def key(d):
+        return int.from_bytes(
+            hashlib.md5(f"{d}:mix:13".encode()).digest()[8:],
+            "little") % (1 << 61)
+
+    want = []
+    df["n"] = df["text"].str.split().str.len()
+    for src, w in weights.items():
+        g = df[df["source"] == src].copy()
+        g["k"] = g["doc_id"].map(key)
+        g = g.sort_values(["k", "doc_id"])
+        cum = g["n"].cumsum()
+        kept = g[cum <= int(w * budget)]
+        for (_, r), c in zip(kept.iterrows(), cum[cum <= int(w * budget)]):
+            want.append((r["doc_id"], src, r["n"], int(c)))
+    want = sorted(want)
+    assert list(map(tuple, got[["doc_id", "source", "n_tokens",
+                                "cum_tokens"]].itertuples(index=False))) \
+        == want
+    assert set(got["source"]) <= set(weights)
+    # per-source totals never exceed their targets
+    tot = got.groupby("source")["n_tokens"].sum()
+    for src, w in weights.items():
+        assert tot.get(src, 0) <= int(w * budget)
