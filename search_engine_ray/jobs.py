@@ -275,6 +275,50 @@ def cmd_ann_query(args) -> int:
     return 0
 
 
+def cmd_mix(args) -> int:
+    """Token-budgeted training-mix assembly as a job
+    (functions/webtext.corpus_mix): writes the selection REPORT
+    (``<out>/report``: doc_id, source, n_tokens, cum_tokens) and the
+    mixed CORPUS (``<out>/corpus``: the selected docs' original rows).
+    The kept-id set is budget-bounded (total tokens <= budget), so the
+    corpus rewrite broadcasts it once and streams the input — the same
+    plan as ``dedup --resolve``; for budgets beyond broadcast size the
+    report + a bucketed hash join (functions/join.py) is the documented
+    path."""
+    import os
+
+    import pyarrow.dataset as pds
+    import ray as _ray
+    import ray.data as rd
+
+    weights = {}
+    for part in args.weights.split(","):
+        k, v = part.split("=")
+        weights[k.strip()] = float(v)
+    from search_engine_ray.functions.webtext import corpus_mix
+
+    ds = rd.read_parquet(args.input, columns=["doc_id", "source", "text"])
+    report = corpus_mix(ds, weights, args.budget).materialize()
+    report.write_parquet(os.path.join(args.out, "report"))
+    kept = set(report.to_pandas()["doc_id"].astype("int64"))
+    kept_ref = _ray.put(kept)
+
+    def keep_batch(df):
+        ids = _ray.get(kept_ref)
+        return df[df["doc_id"].isin(ids)]
+
+    rd.read_parquet(args.input).map_batches(
+        keep_batch, batch_format="pandas").write_parquet(
+        os.path.join(args.out, "corpus"))
+    n = sum(f.count_rows() for f in pds.dataset(
+        os.path.join(args.out, "corpus"),
+        format="parquet").get_fragments())
+    tok = int(report.sum("n_tokens") or 0)
+    print(json.dumps({"out": args.out, "rows": n, "tokens": tok,
+                      "budget": args.budget}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end webtext curation as a submittable job: annotate every
     document with the composite keep/reject decision (functions/webtext.
@@ -570,6 +614,16 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--eval-rem", type=int, default=7)
     cu.add_argument("--ngram", type=int, default=8)
     cu.set_defaults(fn=cmd_curate)
+
+    mx = sub.add_parser("mix")
+    mx.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, source, text)")
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--budget", type=int, required=True,
+                    help="total token budget of the mixed corpus")
+    mx.add_argument("--weights", required=True,
+                    help="source shares, e.g. src0=0.5,src1=0.3,src2=0.2")
+    mx.set_defaults(fn=cmd_mix)
 
     pr = sub.add_parser("prepare")
     pr.add_argument("--input", required=True,

@@ -374,3 +374,36 @@ def test_jobs_cli_dedup_spans_rewrite(ray_session, tmp_path):
     assert got.loc[1, "clean_text"] == "a0 " + shared
     assert got.loc[2, "clean_text"].strip() == "b0"
     assert int(got.loc[2, "n_cut_tokens"]) == 6
+
+
+def test_jobs_cli_mix(ray_session, tmp_path):
+    """mix job writes the selection report + the mixed corpus; per-source
+    token totals respect their targets and unlisted sources are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in range(60):
+        src = f"m{d % 3}"
+        rows.append((d, src, " ".join(f"w{i}" for i in range(5))))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": pa.array([r[1] for r in rows], pa.string()),
+                  "text": pa.array([r[2] for r in rows], pa.string())})
+    dpath = tmp_path / "docs.parquet"
+    pq.write_table(t, str(dpath))
+    out = str(tmp_path / "mixed")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "mix",
+         "--input", str(dpath), "--out", out, "--budget", "100",
+         "--weights", "m0=0.6,m1=0.4"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    rep = pq.read_table(out + "/report").to_pandas()
+    corp = pq.read_table(out + "/corpus").to_pandas()
+    assert set(rep["doc_id"]) == set(corp["doc_id"])
+    assert m["rows"] == len(rep) and m["tokens"] == int(rep["n_tokens"].sum())
+    # 5-token docs: m0 target 60 -> 12 docs, m1 target 40 -> 8 docs
+    by = rep.groupby("source")["n_tokens"].sum().to_dict()
+    assert by == {"m0": 60, "m1": 40}
+    assert "m2" not in set(corp["source"])
