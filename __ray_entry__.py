@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": d.near_dup_clusters_docs,
         "dup_spans": d.dup_spans_docs,  # substring-level exact dedup
         "corpus_mix": d.corpus_mix_docs,  # token-budgeted mix assembly
+        "source_heavy_hitters": d.source_heavy_hitters,  # CMS top-k
         "embedding_near_dups_exact": e.embedding_near_dups_exact,
         # --- webtext curation family (functions/webtext.py, new in r3) ---
         "repetition_scores": d.repetition_scores,
@@ -1139,6 +1140,15 @@ def oracle_sql() -> dict[str, str]:
                    (max(i) + 25 - 1)::BIGINT AS span_end,
                    (max(i) - min(i) + 25)::BIGINT AS span_len
             FROM grp GROUP BY doc_id, g
+        """,
+        # CMS heavy hitters: 20 distinct sources vs a 4x2048 sketch has
+        # no full-depth collision, so the estimates are exact and the
+        # oracle is the literal count(*) top-k (the approximate regime
+        # is covered by the one-sided-bound pytest suite)
+        "source_heavy_hitters": """
+            SELECT source AS value, count(*)::BIGINT AS est_count
+            FROM documents GROUP BY source
+            ORDER BY est_count DESC, value LIMIT 20
         """,
         # token-budgeted mix: per-source inclusive running token sum in
         # deterministic md5-key order, kept while <= floor(weight*budget)

@@ -567,6 +567,24 @@ def near_dup_clusters_docs(sf_dir: str):
     return near_dup_clusters(ngram_jaccard_pairs(sf_dir))
 
 
+def source_heavy_hitters(sf_dir: str, k: int = 20):
+    """Approximate top-k sources by doc count via the Count-Min Sketch
+    (functions/profile.heavy_hitters). With 20 distinct sources against
+    a 4x2048 sketch there is no full-depth collision, so the estimates
+    are EXACT and the SQL oracle is a plain count(*) top-k — the
+    documented regime where the sketch is checkable end-to-end (the
+    approximate regime is pinned by the zipf one-sided-bound tests)."""
+    from search_engine_ray.functions.profile import heavy_hitters
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source"])
+    out = heavy_hitters(ds, "source", k=k)
+    return pa.table({
+        "value": pa.array(out["value"], pa.string()),
+        "est_count": pa.array(out["est_count"].astype("int64"), pa.int64()),
+    })
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 60_000  # tokens; sf0.01 has ~270k tokens over 20 sources
 

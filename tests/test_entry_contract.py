@@ -93,6 +93,7 @@ SQL_BACKED = [
     "fuzzy_search",  # Levenshtein-<=1 vocab expansion, BM25-ranked (r3 s5)
     "dup_spans",  # substring-level exact dedup (window fingerprints, r3 s5)
     "corpus_mix",  # token-budgeted training-mix assembly (r3 s5)
+    "source_heavy_hitters",  # CMS top-k, exact in no-collision regime (s5)
 ]
 
 
