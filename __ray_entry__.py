@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": d.dup_spans_docs,  # substring-level exact dedup
         "corpus_mix": d.corpus_mix_docs,  # token-budgeted mix assembly
         "source_heavy_hitters": d.source_heavy_hitters,  # CMS top-k
+        "cross_near_dups": d.cross_near_dups_docs,  # new-vs-ref dedup
         "embedding_near_dups_exact": e.embedding_near_dups_exact,
         # --- webtext curation family (functions/webtext.py, new in r3) ---
         "repetition_scores": d.repetition_scores,
@@ -1225,6 +1226,17 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        # cross-corpus sweep: the same brute-force exact Jaccard,
+        # restricted to (odd=new) x (even=ref) pairs
+        "cross_near_dups": f"""
+            WITH allp AS ({_ngram_jaccard_sql()})
+            SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END
+                       AS doc_new,
+                   CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END
+                       AS doc_ref,
+                   jaccard
+            FROM allp WHERE (doc_a % 2) <> (doc_b % 2)
+        """,
         # connected components over the verified pair graph: recursive
         # min-reachable-id closure (UNION dedups -> terminates)
         "near_dup_clusters": f"""

@@ -1042,3 +1042,68 @@ def cut_duplicate_spans(ds, window: int = 50, num_buckets: int = 64,
 
     return tagged.groupby("dbucket").map_groups(rewrite,
                                                 batch_format="pandas")
+
+
+def cross_near_dups(ds_new, ds_ref, shingle_k: int = 5,
+                    threshold: float = 0.5, batch_size: int = 2048,
+                    num_buckets: int = 64):
+    """Cross-corpus exact near-dedup: flag every NEW-corpus document
+    whose shingle-set Jaccard vs some REFERENCE-corpus document reaches
+    ``threshold`` — the fresh-crawl-vs-training-set decontamination
+    sweep (the document-level complement of the 8-gram eval
+    decontamination in functions/webtext).
+
+    Composition, all corpus-shaped: run the LOSSLESS prefix-filtering
+    join (``ngram_jaccard_near_dups`` — provably equal to brute force)
+    over the tagged union of both corpora, then two
+    ``bucketed_hash_join``s of the PAIR list (pair-sized, never
+    corpus-sized) against the (doc_id, side) projections to keep only
+    cross-side pairs. Returns (doc_new, doc_ref, jaccard).
+
+    ``doc_id``s must be globally unique across the two corpora (they
+    are blake2b64(url)-derived engine-wide, so this holds by
+    construction for real corpora)."""
+    from search_engine_ray.functions.join import bucketed_hash_join
+
+    def proj(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "_side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int64)),
+            })
+        return f
+
+    tagged = ds_new.map_batches(proj(1), batch_format="pyarrow",
+                                batch_size=batch_size).union(
+        ds_ref.map_batches(proj(0), batch_format="pyarrow",
+                           batch_size=batch_size))
+    sides = tagged.select_columns(["doc_id", "_side"]).materialize()
+    pairs = ngram_jaccard_near_dups(
+        tagged.select_columns(["doc_id", "text"]),
+        shingle_k=shingle_k, threshold=threshold, batch_size=batch_size)
+
+    a_side = sides.map_batches(
+        lambda b: b.rename_columns(["a_id", "side_a"]),
+        batch_format="pyarrow")
+    b_side = sides.map_batches(
+        lambda b: b.rename_columns(["b_id", "side_b"]),
+        batch_format="pyarrow")
+    j1 = bucketed_hash_join(pairs, a_side, "doc_a", "a_id",
+                            num_buckets=num_buckets)
+    j2 = bucketed_hash_join(j1, b_side, "doc_b", "b_id",
+                            num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["side_a"] != df["side_b"]]
+        new_is_a = df["side_a"].to_numpy() == 1
+        return pd.DataFrame({
+            "doc_new": np.where(new_is_a, df["doc_a"], df["doc_b"])
+                .astype(np.int64),
+            "doc_ref": np.where(new_is_a, df["doc_b"], df["doc_a"])
+                .astype(np.int64),
+            "jaccard": df["jaccard"].to_numpy(),
+        })
+
+    return j2.map_batches(finish, batch_format="pandas")

@@ -585,6 +585,26 @@ def source_heavy_hitters(sf_dir: str, k: int = 20):
     })
 
 
+def cross_near_dups_docs(sf_dir: str):
+    """Cross-corpus decontamination sweep: odd doc_ids play the NEW
+    crawl, even doc_ids the REFERENCE training set
+    (functions/dedup.cross_near_dups, exact shingle-set Jaccard >= 0.5);
+    oracle is brute-force cross-pairs SQL."""
+    from search_engine_ray.functions.dedup import cross_near_dups
+
+    ds = load_documents(sf_dir)
+
+    def half(parity: int):
+        def f(batch):
+            ids = batch.column("doc_id").to_numpy()
+            return batch.filter(pa.array(ids % 2 == parity))
+        return f
+
+    new = ds.map_batches(half(1), batch_format="pyarrow")
+    ref = ds.map_batches(half(0), batch_format="pyarrow")
+    return cross_near_dups(new, ref, threshold=0.5)
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 60_000  # tokens; sf0.01 has ~270k tokens over 20 sources
 

@@ -94,6 +94,7 @@ SQL_BACKED = [
     "dup_spans",  # substring-level exact dedup (window fingerprints, r3 s5)
     "corpus_mix",  # token-budgeted training-mix assembly (r3 s5)
     "source_heavy_hitters",  # CMS top-k, exact in no-collision regime (s5)
+    "cross_near_dups",  # new-vs-reference corpus dedup sweep (r3 s5)
 ]
 
 

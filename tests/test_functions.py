@@ -765,3 +765,31 @@ def test_cut_duplicate_spans_overlap_keeper_wins(ray_session):
     # none by a keeper window of doc 6), keeps its unique tail
     assert got.loc[6, "clean_text"].strip() == "z0"
     assert int(got.loc[6, "n_cut_tokens"]) == 10
+
+
+def test_cross_near_dups_sides(ray_session):
+    """Only NEW-vs-REF pairs survive: a same-side duplicate pair is
+    excluded, a cross pair is reported as (doc_new, doc_ref)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import cross_near_dups
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu")
+    uniq = ["red green blue yellow purple orange pink brown black white "
+            "cyan gray",
+            "one two three four five six seven eight nine ten eleven "
+            "twelve"]
+    new = pd.DataFrame({"doc_id": [101, 103, 105],
+                        "text": [base, base + " tail", uniq[0]]})
+    ref = pd.DataFrame({"doc_id": [2, 4],
+                        "text": [base, uniq[1]]})
+    got = (cross_near_dups(rd.from_pandas(new), rd.from_pandas(ref),
+                           threshold=0.5)
+           .to_pandas().sort_values(["doc_new", "doc_ref"]))
+    # 101-103 is a NEW-NEW dup pair -> excluded; 101-2 and 103-2 cross
+    assert list(map(tuple, got[["doc_new", "doc_ref"]]
+                    .itertuples(index=False))) == [(101, 2), (103, 2)]
+    assert (got["jaccard"] >= 0.5).all()
+    assert float(got[got["doc_new"] == 101]["jaccard"].iloc[0]) == 1.0
