@@ -540,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": d.bm25_topk_docs,                 # Q1-Q3 via the engine
         "fuzzy_search": d.fuzzy_search_docs,           # M10 generalized:
         # Levenshtein-<=1 vocab expansion, BM25-ranked (fuzzy.py)
+        "fuzzy2_search": d.fuzzy2_search_docs,         # edit budget 2
+        # (the Lucene fuzzy cap) via the vectorized running-min DP
         # --- training-data pipeline extensions ---------------------------
         "dedup_exact": d.dedup_exact_docs,
         "events_hourly": ev.events_hourly_user,
@@ -720,6 +722,40 @@ def oracle_sql() -> dict[str, str]:
                 ('fuzzy:qqqnohit', 'qqqnohit')),
             q AS (SELECT DISTINCT fq.query, df.term
                   FROM fq JOIN df ON levenshtein(df.term, fq.word) <= 1),
+            scores AS (
+                SELECT q.query, tf.doc_id,
+                       sum({idf} * {bm25_partial}) AS score
+                FROM q
+                JOIN tf ON tf.term = q.term
+                JOIN df ON df.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+                GROUP BY q.query, tf.doc_id)
+            SELECT query, doc_id, round(score, 6) AS score
+            FROM (SELECT s.query, s.doc_id, s.score, row_number() OVER
+                      (PARTITION BY s.query
+                       ORDER BY s.score DESC, s.doc_id) AS rn
+                  FROM scores s)
+            WHERE rn <= 10
+        """,
+        "fuzzy2_search": f"""
+            {_TOKS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                             (SELECT count(*)::DOUBLE FROM toks)
+                             / (SELECT count(*)::DOUBLE FROM documents)
+                             AS avgdl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            fq(query, word) AS (VALUES
+                ('fuzzy2:sow', 'sow'),
+                ('fuzzy2:stre', 'stre'),
+                ('fuzzy2:prt', 'prt'),
+                ('fuzzy2:qqqnohit', 'qqqnohit')),
+            q AS (SELECT DISTINCT fq.query, df.term
+                  FROM fq JOIN df ON levenshtein(df.term, fq.word) <= 2),
             scores AS (
                 SELECT q.query, tf.doc_id,
                        sum({idf} * {bm25_partial}) AS score

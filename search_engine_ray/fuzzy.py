@@ -42,14 +42,14 @@ from typing import Iterable, Sequence
 import numpy as np
 
 
-def levenshtein_leq1(a: str, b: str) -> bool:
-    """Scalar ground truth: full Levenshtein DP, early-out on |len| diff.
+def levenshtein_leq(a: str, b: str, k: int = 1) -> bool:
+    """Scalar ground truth: full Levenshtein DP with a <=k early-out.
 
-    Kept deliberately independent of the vectorized kernel (plain DP row
-    recurrence) so tests comparing the two are meaningful.
+    Kept deliberately independent of the vectorized kernels (plain DP
+    row recurrence) so tests comparing the two are meaningful.
     """
     la, lb = len(a), len(b)
-    if abs(la - lb) > 1:
+    if abs(la - lb) > k:
         return False
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
@@ -57,10 +57,14 @@ def levenshtein_leq1(a: str, b: str) -> bool:
         for j in range(1, lb + 1):
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
                          prev[j - 1] + (a[i - 1] != b[j - 1]))
-        if min(cur) > 1:
+        if min(cur) > k:
             return False
         prev = cur
-    return prev[lb] <= 1
+    return prev[lb] <= k
+
+
+def levenshtein_leq1(a: str, b: str) -> bool:
+    return levenshtein_leq(a, b, 1)
 
 
 def _codes(s: str) -> np.ndarray:
@@ -84,6 +88,32 @@ class Edit1Vocab:
             self._groups[length] = (m, np.asarray(idx, dtype=np.int64))
 
     @staticmethod
+    def _dp_leq(m: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
+        """Vectorized full Levenshtein DP of every row of ``m`` vs ``q``,
+        returning ``lev <= k`` — used for ``max_edits >= 2`` where the
+        cpl+csl shortcut no longer characterizes the distance.
+
+        The column recurrence ``cur[j] = min(prev[j]+1, cur[j-1]+1,
+        prev[j-1]+neq)`` has a left-to-right dependency through
+        ``cur[j-1]``; substituting ``d[j] = cur[j] - j`` turns it into a
+        plain running minimum (``d[j] = min(a[j]-j, d[j-1])``), so each
+        DP column is one ``np.minimum.accumulate`` over the candidate
+        axis-1 — no Python inner loop over candidates."""
+        n, g = m.shape
+        lq = len(q)
+        cols = np.arange(1, lq + 1, dtype=np.int64)
+        prev = np.broadcast_to(np.arange(lq + 1, dtype=np.int64),
+                               (n, lq + 1)).copy()
+        for i in range(1, g + 1):
+            neq = (m[:, i - 1][:, None] != q[None, :]).astype(np.int64)
+            a = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + neq)
+            d = np.minimum.accumulate(
+                np.concatenate((np.full((n, 1), i, dtype=np.int64),
+                                a - cols[None, :]), axis=1), axis=1)
+            prev = d + np.concatenate(([0], cols))[None, :]
+        return prev[:, lq] <= k
+
+    @staticmethod
     def _cpl(m: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
         """Common-prefix length of each row of ``m`` vs ``q``, capped at
         ``k`` — one != broadcast + argmax (int64 throughout; see
@@ -94,39 +124,46 @@ class Edit1Vocab:
         first = ne.argmax(axis=1).astype(np.int64)
         return np.where(ne.any(axis=1), first, k)
 
-    def match(self, word: str) -> list[str]:
-        """All vocabulary terms within Levenshtein distance 1 of ``word``
-        (including ``word`` itself when present)."""
+    def match(self, word: str, max_edits: int = 1) -> list[str]:
+        """All vocabulary terms within Levenshtein distance ``max_edits``
+        of ``word`` (including ``word`` itself when present).
+        ``max_edits=1`` uses the cpl+csl shortcut; larger bounds run the
+        vectorized DP over the |len| <= max_edits length groups (the
+        Lucene fuzzy-query convention caps at 2)."""
         q = _codes(word)
         lq = len(q)
         qr = q[::-1]
         out: list[str] = []
-        for lg in (lq - 1, lq, lq + 1):
+        for lg in range(lq - max_edits, lq + max_edits + 1):
             grp = self._groups.get(lg)
             if grp is None:
                 continue
             m, idx = grp
-            k = min(lg, lq)
-            cpl = self._cpl(m, q, k)
-            csl = self._cpl(m[:, ::-1], qr, k)
-            need = (lq - 1) if lg == lq else k
-            hit = (cpl + csl) >= need
+            if max_edits == 1:
+                k = min(lg, lq)
+                cpl = self._cpl(m, q, k)
+                csl = self._cpl(m[:, ::-1], qr, k)
+                need = (lq - 1) if lg == lq else k
+                hit = (cpl + csl) >= need
+            else:
+                hit = self._dp_leq(m, q, max_edits)
             out.extend(self._terms[i] for i in idx[np.flatnonzero(hit)])
         return out
 
-    def match_all(self, words: Iterable[str]) -> list[str]:
+    def match_all(self, words: Iterable[str],
+                  max_edits: int = 1) -> list[str]:
         """Sorted union of ``match`` over the query words (the fuzzy
         analogue of the reference's OR over the expanded list)."""
         out: set[str] = set()
         for w in words:
-            out.update(self.match(w))
+            out.update(self.match(w, max_edits))
         return sorted(out)
 
 
-def expand_fuzzy_scan(words: Iterable[str], vocab: Iterable[str]
-                      ) -> list[str]:
+def expand_fuzzy_scan(words: Iterable[str], vocab: Iterable[str],
+                      max_edits: int = 1) -> list[str]:
     """One-shot scan expansion (no cached matrices) — the oracle-side and
     small-vocab path: plain DP per (word, term)."""
     ws = list(words)
-    return sorted({t for t in vocab if any(levenshtein_leq1(w, t)
-                                           for w in ws)})
+    return sorted({t for t in vocab
+                   if any(levenshtein_leq(w, t, max_edits) for w in ws)})

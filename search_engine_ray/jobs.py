@@ -526,7 +526,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--terms", nargs="+", required=True)
     q.add_argument("--type", default="exact",
                    choices=["exact", "or", "and", "prefix", "contains",
-                            "fuzzy", "phrase", "suggest"])
+                            "fuzzy", "fuzzy2", "phrase", "suggest"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
     q.add_argument("--highlight", action="store_true",

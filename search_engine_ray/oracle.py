@@ -128,13 +128,15 @@ class OracleIndex:
         elif search_type == "contains":
             p = queries[0]
             terms = [t for t in self._sorted_terms if p in t]
-        elif search_type == "fuzzy":
-            # Levenshtein-<=1 union over the query words — independent
-            # scalar DP (fuzzy.levenshtein_leq1), NOT the engine's
-            # vectorized kernel, so rank-identity tests are meaningful.
+        elif search_type in ("fuzzy", "fuzzy2"):
+            # Levenshtein union over the query words — independent
+            # scalar DP (fuzzy.levenshtein_leq), NOT the engine's
+            # vectorized kernels, so rank-identity tests are meaningful.
             from search_engine_ray.fuzzy import expand_fuzzy_scan
 
-            terms = expand_fuzzy_scan(queries, self._sorted_terms)
+            terms = expand_fuzzy_scan(
+                queries, self._sorted_terms,
+                max_edits=2 if search_type == "fuzzy2" else 1)
         else:
             raise ValueError(f"unknown search_type {search_type!r}")
         return sorted(set(terms))

@@ -340,6 +340,43 @@ FUZZY_QUERIES: list[tuple[str, list[str]]] = [
 ]
 
 
+FUZZY2_QUERIES: list[tuple[str, list[str]]] = [
+    ("fuzzy2:sow", ["sow"]),      # -> {row, slow, sort}
+    ("fuzzy2:stre", ["stre"]),    # -> {sort, stream, the}
+    ("fuzzy2:prt", ["prt"]),      # -> {part, sort}
+    ("fuzzy2:qqqnohit", ["qqqnohit"]),
+]
+
+
+def fuzzy2_search_docs(sf_dir: str, k: int = BM25_K):
+    """Edit-distance-<=2 search (the Lucene fuzzy cap) for a fixed probe
+    set — same surface as fuzzy_search_docs with the DP expansion path;
+    oracle is ``levenshtein(term, word) <= 2``."""
+    from search_engine_ray.search import LocalSearcher
+
+    index_root = ensure_documents_index(sf_dir)
+    s = LocalSearcher(index_root)
+    out_q, out_d, out_s = [], [], []
+    for label, words in FUZZY2_QUERIES:
+        res = s.search(words, "fuzzy2", k=k + 50)
+        rows = sorted(
+            (-sc, int(u[6:]))
+            for u, sc in zip(res.column("url").to_pylist(),
+                             res.column("score").to_pylist())
+        )[:k]
+        for neg_sc, dd in rows:
+            out_q.append(label)
+            out_d.append(dd)
+            out_s.append(round(-neg_sc, 6))
+    return pa.table(
+        {
+            "query": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def fuzzy_search_docs(sf_dir: str, k: int = BM25_K):
     """Fuzzy (Levenshtein-<=1) search for a fixed probe set -> (query,
     doc_id, score): each probe word expands against the index vocabulary

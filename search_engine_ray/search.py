@@ -255,15 +255,17 @@ class LocalSearcher:
             terms = []
             for b in range(self.num_buckets):
                 terms.extend(t for t in self.bucket(b).terms if p in t)
-        elif search_type == "fuzzy":
-            # Levenshtein-<=1 union over every query word (fuzzy.py):
-            # hash partitioning destroys edit-neighborhood locality the
-            # same way it does prefix order, so fuzzy fans out to ALL
-            # buckets; each probe is one vectorized matrix compare per
-            # (bucket, query-length-group).
+        elif search_type in ("fuzzy", "fuzzy2"):
+            # Levenshtein union over every query word (fuzzy.py; edit
+            # budget 1, or 2 for fuzzy2 — the Lucene fuzzy cap): hash
+            # partitioning destroys edit-neighborhood locality the same
+            # way it does prefix order, so fuzzy fans out to ALL
+            # buckets; each probe is one vectorized matrix compare /
+            # scan-free DP per (bucket, query-length-group).
+            me = 2 if search_type == "fuzzy2" else 1
             terms = []
             for b in range(self.num_buckets):
-                terms.extend(self.bucket(b).edit1().match_all(queries))
+                terms.extend(self.bucket(b).edit1().match_all(queries, me))
         else:
             raise ValueError(f"unknown search_type {search_type!r}")
         return sorted(set(terms))

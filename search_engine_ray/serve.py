@@ -157,10 +157,12 @@ class _BucketShard:
             terms.extend(t for t in self._s.bucket(b).terms if infix in t)
         return terms
 
-    def expand_fuzzy(self, words: list[str]) -> list[str]:
+    def expand_fuzzy(self, words: list[str],
+                     max_edits: int = 1) -> list[str]:
         terms = []
         for b in self.buckets:
-            terms.extend(self._s.bucket(b).edit1().match_all(words))
+            terms.extend(
+                self._s.bucket(b).edit1().match_all(words, max_edits))
         return terms
 
 
@@ -238,8 +240,9 @@ class DocShardServer:
             return self._sidecar.expand_prefix(queries[0])
         if search_type == "contains":
             return self._sidecar.expand_contains(queries[0])
-        if search_type == "fuzzy":
-            return self._sidecar.expand_fuzzy(list(queries))
+        if search_type in ("fuzzy", "fuzzy2"):
+            return self._sidecar.expand_fuzzy(
+                list(queries), 2 if search_type == "fuzzy2" else 1)
         terms = set(queries[:1]) if search_type == "exact" else set(queries)
         present = {t for t in terms if self._sidecar.df(t) > 0}
         if search_type == "and" and present != terms:
@@ -342,9 +345,11 @@ class BucketShardServer:
             terms = sorted(set().union(*ray.get([
                 s.expand_contains.remote(queries[0]) for s in self._shards
             ])))
-        elif search_type == "fuzzy":
+        elif search_type in ("fuzzy", "fuzzy2"):
+            me = 2 if search_type == "fuzzy2" else 1
             terms = sorted(set().union(*ray.get([
-                s.expand_fuzzy.remote(list(queries)) for s in self._shards
+                s.expand_fuzzy.remote(list(queries), me)
+                for s in self._shards
             ])))
         else:
             raise ValueError(f"unknown search_type {search_type!r}")

@@ -178,8 +178,9 @@ class TermStatsSidecar:
             out.update(t for t in ts if infix in t)
         return sorted(out)
 
-    def expand_fuzzy(self, words: list[str]) -> list[str]:
-        """Levenshtein-<=1 expansion against the GLOBAL vocabulary — one
+    def expand_fuzzy(self, words: list[str],
+                     max_edits: int = 1) -> list[str]:
+        """Levenshtein expansion against the GLOBAL vocabulary — one
         cached Edit1Vocab per sidecar bucket (fuzzy.py), so repeated
         fuzzy queries pay only the vectorized matrix compares."""
         if not hasattr(self, "_edit1"):
@@ -191,7 +192,7 @@ class TermStatsSidecar:
                 from search_engine_ray.fuzzy import Edit1Vocab
 
                 ev = self._edit1[b] = Edit1Vocab(self.bucket(b)[0])
-            out.update(ev.match_all(words))
+            out.update(ev.match_all(words, max_edits))
         return sorted(out)
 
 
@@ -357,12 +358,13 @@ class ShardedSearcher:
             for sh in self.shards:
                 terms.update(sh.expand(queries, "contains"))
             return sorted(terms)
-        if search_type == "fuzzy":
+        if search_type in ("fuzzy", "fuzzy2"):
+            me = 2 if search_type == "fuzzy2" else 1
             if self._has_sidecar:
-                return self._sidecar.expand_fuzzy(list(queries))
+                return self._sidecar.expand_fuzzy(list(queries), me)
             terms = set()
             for sh in self.shards:
-                terms.update(sh.expand(queries, "fuzzy"))
+                terms.update(sh.expand(queries, search_type))
             return sorted(terms)
         if search_type == "exact":
             terms = set(queries[:1])

@@ -39,6 +39,8 @@ def _query_set(oracle):
     queries += [([w], "fuzzy") for w in
                 ["mila", "milo", "mil", "sentinel00", "bako", "qqq_absent"]]
     queries += [(heads[:1] + ["milo", "bako"], "fuzzy")]  # multi-word union
+    queries += [([w], "fuzzy2") for w in
+                ["mla", "sentinel0", "bko", "qqq_absent"]]  # 2-edit budget
     queries += [(["zzz_none"], "exact"), (["totally absent"], "exact")]
     return queries
 

@@ -95,6 +95,7 @@ SQL_BACKED = [
     "corpus_mix",  # token-budgeted training-mix assembly (r3 s5)
     "source_heavy_hitters",  # CMS top-k, exact in no-collision regime (s5)
     "cross_near_dups",  # new-vs-reference corpus dedup sweep (r3 s5)
+    "fuzzy2_search",  # edit-distance-<=2 expansion, BM25-ranked (r3 s5)
 ]
 
 

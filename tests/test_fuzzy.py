@@ -71,3 +71,24 @@ def test_empty_and_degenerate():
     assert ev.match("dddd") == []
     assert Edit1Vocab([]).match("x") == []
     assert expand_fuzzy_scan([], ["a"]) == []
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=5),
+                min_size=0, max_size=40, unique=True), WORD,
+       st.integers(min_value=2, max_value=3))
+def test_vectorized_dp_matches_scalar(vocab, q, k):
+    """max_edits >= 2 takes the running-min DP path — must equal the
+    full scalar DP for any bound."""
+    ev = Edit1Vocab(vocab)
+    got = sorted(ev.match(q, max_edits=k))
+    want = sorted(t for t in vocab if _lev_full(q, t) <= k)
+    assert got == want, (q, k)
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORD, WORD, st.integers(min_value=1, max_value=3))
+def test_leq_predicate_matches_full_dp(a, b, k):
+    from search_engine_ray.fuzzy import levenshtein_leq
+
+    assert levenshtein_leq(a, b, k) == (_lev_full(a, b) <= k)

@@ -22,6 +22,7 @@ QUERIES = [
     (["zzz_none"], "exact"), (["sentinel00"], "prefix"),
     (["il"], "contains"),
     (["milo"], "fuzzy"), (["milo", "bako"], "fuzzy"),
+    (["mlo"], "fuzzy2"),
     (["mila", "mama"], "and"), (["mila", "zzz_missing"], "and"),
 ]
 

@@ -26,6 +26,7 @@ QUERIES = [
     (["sentinel00"], "prefix"), (["mil"], "prefix"),
     (["il"], "contains"), (["qqq_absent"], "contains"),
     (["milo"], "fuzzy"), (["milo", "bako"], "fuzzy"),
+    (["mlo"], "fuzzy2"),
     (["qqq_absent"], "fuzzy"),
 ]
 

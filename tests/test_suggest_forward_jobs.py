@@ -126,6 +126,8 @@ def test_jobs_cli_build_and_query(ray_session, tmp_path):
     pre_rows = q("--terms", "mil", "--type", "prefix")
     assert len(pre_rows) >= 2
     # fuzzy reaches the CLI: 'milo' is one substitution from 'mila'
+    fuz2_rows = q("--terms", "mlo", "--type", "fuzzy2")
+    assert len(fuz2_rows) >= 2   # 'mlo' is 2 edits from 'mila'
     fuz_rows = q("--terms", "milo", "--type", "fuzzy")
     assert {r["url"] for r in fuz_rows} >= {
         "https://example.org/parity/00000002",
