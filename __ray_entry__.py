@@ -542,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Levenshtein-<=1 vocab expansion, BM25-ranked (fuzzy.py)
         "fuzzy2_search": d.fuzzy2_search_docs,         # edit budget 2
         # (the Lucene fuzzy cap) via the vectorized running-min DP
+        "bool_search": d.bool_search_docs,             # AND/OR/NOT
+        # boolean set algebra over postings, positive-clause BM25
         # --- training-data pipeline extensions ---------------------------
         "dedup_exact": d.dedup_exact_docs,
         "events_hourly": ev.events_hourly_user,
@@ -731,6 +733,70 @@ def oracle_sql() -> dict[str, str]:
                 JOIN dl ON dl.doc_id = tf.doc_id
                 CROSS JOIN stats
                 GROUP BY q.query, tf.doc_id)
+            SELECT query, doc_id, round(score, 6) AS score
+            FROM (SELECT s.query, s.doc_id, s.score, row_number() OVER
+                      (PARTITION BY s.query
+                       ORDER BY s.score DESC, s.doc_id) AS rn
+                  FROM scores s)
+            WHERE rn <= 10
+        """,
+        # boolean search: per-doc term-presence flags drive the match
+        # predicate; the score sums the POSITIVE clauses' BM25 (NOT
+        # filters, never scores; pure negation scores 0, doc_id order)
+        "bool_search": f"""
+            {_TOKS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                             (SELECT count(*)::DOUBLE FROM toks)
+                             / (SELECT count(*)::DOUBLE FROM documents)
+                             AS avgdl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            contrib AS (SELECT tf.doc_id, tf.term,
+                               {idf} * {bm25_partial} AS c
+                        FROM tf JOIN df ON df.term = tf.term
+                        JOIN dl ON dl.doc_id = tf.doc_id
+                        CROSS JOIN stats),
+            flags AS (SELECT d.doc_id,
+                         max(CASE WHEN t.term = 'stream' THEN 1 ELSE 0 END)
+                             AS f_stream,
+                         max(CASE WHEN t.term = 'window' THEN 1 ELSE 0 END)
+                             AS f_window,
+                         max(CASE WHEN t.term = 'batch' THEN 1 ELSE 0 END)
+                             AS f_batch,
+                         max(CASE WHEN t.term = 'customer' THEN 1 ELSE 0
+                             END) AS f_customer,
+                         max(CASE WHEN t.term = 'vector' THEN 1 ELSE 0 END)
+                             AS f_vector,
+                         max(CASE WHEN t.term = 'the' THEN 1 ELSE 0 END)
+                             AS f_the
+                      FROM documents d LEFT JOIN toks t USING (doc_id)
+                      GROUP BY d.doc_id),
+            matches AS (
+                SELECT 'bool:(stream OR window) AND NOT batch' AS query,
+                       doc_id, ['stream', 'window'] AS pos
+                FROM flags
+                WHERE (f_stream = 1 OR f_window = 1) AND f_batch = 0
+                UNION ALL
+                SELECT 'bool:batch AND (customer OR vector)', doc_id,
+                       ['batch', 'customer', 'vector']
+                FROM flags
+                WHERE f_batch = 1 AND (f_customer = 1 OR f_vector = 1)
+                UNION ALL
+                SELECT 'bool:stream AND NOT qqqnohit', doc_id, ['stream']
+                FROM flags WHERE f_stream = 1
+                UNION ALL
+                SELECT 'bool:NOT the', doc_id, []::VARCHAR[]
+                FROM flags WHERE f_the = 0),
+            scores AS (
+                SELECT m.query, m.doc_id,
+                       coalesce(sum(CASE WHEN list_contains(m.pos, c.term)
+                                    THEN c.c END), 0.0) AS score
+                FROM matches m LEFT JOIN contrib c
+                     ON c.doc_id = m.doc_id
+                GROUP BY m.query, m.doc_id)
             SELECT query, doc_id, round(score, 6) AS score
             FROM (SELECT s.query, s.doc_id, s.score, row_number() OVER
                       (PARTITION BY s.query

@@ -71,6 +71,8 @@ def cmd_query(args) -> int:
         # type as an OR query and silently return disjunctive results.
         if args.type == "phrase":
             res = s.phrase_search(args.terms, k=args.k)
+        elif args.type == "bool":
+            res = s.bool_search(" ".join(args.terms), k=args.k)
         elif args.type == "suggest":
             from search_engine_ray.suggest import SuggestionExpander
 
@@ -83,6 +85,10 @@ def cmd_query(args) -> int:
     s = LocalSearcher(args.index)
     if args.type == "phrase":
         res = s.phrase_search(args.terms, k=args.k)
+    elif args.type == "bool":
+        # the expression is the space-joined terms: --terms "(a" OR "b)"
+        # or a single quoted argument
+        res = s.bool_search(" ".join(args.terms), k=args.k)
     elif args.type == "suggest":
         from search_engine_ray.suggest import SuggestionExpander
 
@@ -526,7 +532,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--terms", nargs="+", required=True)
     q.add_argument("--type", default="exact",
                    choices=["exact", "or", "and", "prefix", "contains",
-                            "fuzzy", "fuzzy2", "phrase", "suggest"])
+                            "fuzzy", "fuzzy2", "phrase", "suggest",
+                            "bool"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
     q.add_argument("--highlight", action="store_true",

@@ -166,6 +166,45 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(d, s, self.url_of[d]) for d, s in ranked]
 
+    def bool_search(self, query: str, k: int = 10
+                    ) -> list[tuple[int, float, str]]:
+        """Boolean-query twin (boolquery grammar): INDEPENDENT Python-set
+        evaluation (the engine uses sorted-ordinal numpy kernels — only
+        the parse is shared), scoring the positive clauses per matching
+        doc in lexicographic term order; pure-negation matches score 0."""
+        from search_engine_ray.boolquery import parse, positive_terms
+
+        ast = parse(query)
+
+        def ev(a) -> set[int]:
+            kind = a[0]
+            if kind == "term":
+                return set(self.postings.get(a[1], {}))
+            if kind == "not":
+                return set(self.url_of) - ev(a[1])
+            parts = [ev(c) for c in a[1]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if kind == "and" else (out | p)
+            return out
+
+        docs = ev(ast)
+        acc = {d: 0.0 for d in docs}
+        for t in sorted(positive_terms(ast)):
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            idf = bm25_idf(self.n_docs, len(plist))
+            for d in sorted(plist):
+                if d in acc:
+                    tf, _ = plist[d]
+                    partial = bm25_partial(
+                        np.array([tf]), np.array([self.doc_len[d]]),
+                        self.avgdl, BM25_K1, BM25_B)[0]
+                    acc[d] += idf * float(partial)
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(d, s, self.url_of[d]) for d, s in ranked]
+
     def phrase_search(self, terms: list[str], k: int = 10
                       ) -> list[tuple[int, float, str]]:
         """Ordered same-line proximity: docs where all terms occur on one

@@ -340,6 +340,50 @@ FUZZY_QUERIES: list[tuple[str, list[str]]] = [
 ]
 
 
+BOOL_QUERIES_DRIVER: list[tuple[str, str]] = [
+    ("bool:(stream OR window) AND NOT batch",
+     "(stream OR window) AND NOT batch"),
+    ("bool:batch AND (customer OR vector)",
+     "batch AND (customer OR vector)"),
+    ("bool:stream AND NOT qqqnohit", "stream AND NOT qqqnohit"),
+    ("bool:NOT the", "NOT the"),  # pure negation: score 0, doc_id order
+]
+
+
+def bool_search_docs(sf_dir: str, k: int = BM25_K):
+    """Boolean-language search (boolquery.py) for a fixed probe set.
+
+    Tie handling: pure-negation matches all score 0.0, so the k-th
+    boundary is a huge tie group ranked by doc_id — the engine ranks by
+    its internal hashed id, the oracle by the ORIGINAL id. Over-fetching
+    the FULL match set (k=2^31 is top-k-clamped) and re-breaking on the
+    original id makes both cuts agree for any tie-group size (the
+    k+50 over-fetch bm25_topk uses is not enough here)."""
+    from search_engine_ray.search import LocalSearcher
+
+    index_root = ensure_documents_index(sf_dir)
+    s = LocalSearcher(index_root)
+    out_q, out_d, out_s = [], [], []
+    for label, expr in BOOL_QUERIES_DRIVER:
+        res = s.bool_search(expr, k=1 << 31)
+        rows = sorted(
+            (-sc, int(u[6:]))
+            for u, sc in zip(res.column("url").to_pylist(),
+                             res.column("score").to_pylist())
+        )[:k]
+        for neg_sc, dd in rows:
+            out_q.append(label)
+            out_d.append(dd)
+            out_s.append(round(-neg_sc, 6))
+    return pa.table(
+        {
+            "query": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 FUZZY2_QUERIES: list[tuple[str, list[str]]] = [
     ("fuzzy2:sow", ["sow"]),      # -> {row, slow, sort}
     ("fuzzy2:stre", ["stre"]),    # -> {sort, stream, the}

@@ -477,6 +477,54 @@ class LocalSearcher:
              "score": pa.array(np.asarray(keep_scores, dtype=np.float64)),
              "url": pa.array(urls, pa.string())}, schema=RESULT_SCHEMA)
 
+    def bool_search(self, query: str, k: int = 10,
+                    with_urls: bool = True,
+                    idfs: dict[str, float] | None = None) -> pa.Table:
+        """Boolean query (boolquery.py grammar: AND/OR/NOT, parens):
+        the predicate selects documents via sorted-ordinal set algebra;
+        the score is the BM25 sum of the POSITIVE clauses each matching
+        doc contains (NOT filters, never scores — pure-negation matches
+        score 0.0 and rank by doc_id). ``idfs`` overrides per-term idf
+        (doc-sharded serving injects GLOBAL dfs, as in phrase_search)."""
+        from search_engine_ray.boolquery import (
+            eval_ordinals,
+            parse,
+            positive_terms,
+            term_leaves,
+        )
+
+        ast = parse(query)
+        decs: dict[str, dict] = {}
+        for t in sorted(term_leaves(ast)):
+            rec = self._posting_for(t)
+            if rec is not None:
+                decs[t] = self._decode(t, rec)
+        n = len(self.ords())
+        final = eval_ordinals(
+            ast, {t: d["docids"] for t, d in decs.items()}, n)
+        totals = np.zeros(final.size, dtype=np.float64)
+        for t in sorted(positive_terms(ast)):  # lexicographic float order
+            d = decs.get(t)
+            if d is None or not final.size:
+                continue
+            idf = (idfs[t] if idfs is not None and t in idfs
+                   else bm25_idf(self.n_docs, d["docids"].size))
+            pos = np.searchsorted(d["docids"], final)
+            pos_c = np.minimum(pos, d["docids"].size - 1)
+            hit = d["docids"][pos_c] == final
+            totals[hit] += idf * d["partial"][pos_c[hit]]
+        top = _topk_indices(final, totals, k)
+        doc_ids = self.ords()[final[top]] if top.size else \
+            np.empty(0, np.int64)
+        urls = self.resolve_urls(doc_ids) if with_urls \
+            else [""] * len(doc_ids)
+        return pa.table(
+            {"rank": pa.array(np.arange(1, len(doc_ids) + 1,
+                                        dtype=np.int32)),
+             "doc_id": pa.array(doc_ids, pa.int64()),
+             "score": pa.array(totals[top], pa.float64()),
+             "url": pa.array(urls, pa.string())}, schema=RESULT_SCHEMA)
+
     # ordinal-range width for the vectorized block-max scorer: 32 codec
     # blocks (codec.BLOCK_SIZE=128). Small enough that the per-range dense
     # accumulator stays L2-resident, large enough that the Python range

@@ -202,6 +202,14 @@ class _DocShardReplica:
                 t.column("score").to_numpy(zero_copy_only=False),
                 t.column("url").to_pylist())
 
+    def bool_topk(self, query: str, idfs: dict[str, float],
+                  k: int, with_urls: bool):
+        t = self._s.bool_search(query, k=k, with_urls=with_urls,
+                                idfs=idfs)
+        return (t.column("doc_id").to_numpy(zero_copy_only=False),
+                t.column("score").to_numpy(zero_copy_only=False),
+                t.column("url").to_pylist())
+
 
 class DocShardServer:
     """Doc-sharded serving: one actor per doc shard (each a complete
@@ -272,6 +280,22 @@ class DocShardServer:
                 for t in expand}
         parts = ray.get([
             sh.phrase_topk.remote(terms, idfs, k, with_urls)
+            for sh in self._shards
+        ])
+        return self._merge(parts, k, with_urls)
+
+    def bool_search(self, query: str, k: int = 10,
+                    with_urls: bool = True) -> pa.Table:
+        """Boolean query across the shard actors: set membership
+        (complement included) is shard-local, so each shard evaluates
+        with GLOBAL idfs and the driver merges (phrase_search's
+        exactness argument)."""
+        from search_engine_ray.boolquery import parse, term_leaves
+
+        idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
+                for t in sorted(term_leaves(parse(query)))}
+        parts = ray.get([
+            sh.bool_topk.remote(query, idfs, k, with_urls)
             for sh in self._shards
         ])
         return self._merge(parts, k, with_urls)

@@ -435,6 +435,36 @@ class ShardedSearcher:
              "score": out.column("score"),
              "url": out.column("url")}, schema=RESULT_SCHEMA)
 
+    def bool_search(self, query: str, k: int = 10) -> pa.Table:
+        """Boolean query across doc shards — exact, rank-identical to an
+        unsharded index: membership in any boolean set (complement
+        included) is decidable within a document's own shard, so each
+        shard runs the local kernel with GLOBAL-df idfs injected and the
+        per-shard top-k lists merge on the same (score desc, doc_id asc)
+        key (the phrase_search argument verbatim)."""
+        from search_engine_ray.boolquery import parse, term_leaves
+
+        idfs = {t: self._global_idf(t)
+                for t in sorted(term_leaves(parse(query)))}
+        parts = [r for r in (sh.bool_search(query, k=k, idfs=idfs)
+                             for sh in self.shards) if r.num_rows]
+        if not parts:
+            return pa.table(
+                {"rank": pa.array([], pa.int32()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64()),
+                 "url": pa.array([], pa.string())}, schema=RESULT_SCHEMA)
+        merged = pa.concat_tables(parts)
+        ids = merged.column("doc_id").to_numpy()
+        scs = merged.column("score").to_numpy()
+        top = _topk_indices(ids, scs, k)
+        out = merged.take(pa.array(top))
+        return pa.table(
+            {"rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int32)),
+             "doc_id": out.column("doc_id"),
+             "score": out.column("score"),
+             "url": out.column("url")}, schema=RESULT_SCHEMA)
+
     def search(self, queries: list[str], search_type: str = "exact",
                k: int = 10, with_urls: bool = True,
                scorer: str = "taat") -> pa.Table:

@@ -96,6 +96,7 @@ SQL_BACKED = [
     "source_heavy_hitters",  # CMS top-k, exact in no-collision regime (s5)
     "cross_near_dups",  # new-vs-reference corpus dedup sweep (r3 s5)
     "fuzzy2_search",  # edit-distance-<=2 expansion, BM25-ranked (r3 s5)
+    "bool_search",  # AND/OR/NOT boolean algebra over postings (r3 s5)
 ]
 
 

@@ -128,6 +128,11 @@ def test_jobs_cli_build_and_query(ray_session, tmp_path):
     # fuzzy reaches the CLI: 'milo' is one substitution from 'mila'
     fuz2_rows = q("--terms", "mlo", "--type", "fuzzy2")
     assert len(fuz2_rows) >= 2   # 'mlo' is 2 edits from 'mila'
+    bool_rows = q("--terms", "mila AND NOT zzz_none", "--type", "bool")
+    assert {r["url"] for r in bool_rows} == {
+        "https://example.org/parity/00000002",
+        "https://example.org/parity/00000003",
+    }
     fuz_rows = q("--terms", "milo", "--type", "fuzzy")
     assert {r["url"] for r in fuz_rows} >= {
         "https://example.org/parity/00000002",
