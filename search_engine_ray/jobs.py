@@ -505,6 +505,89 @@ def pd_isna(v) -> bool:
     return not isinstance(v, (str, bytes)) and pd.isna(v)
 
 
+def _index_stats(root: str) -> dict:
+    """One index root's statistics from manifests + parquet FOOTERS
+    only — no posting bytes are read, so this is O(buckets) metadata
+    I/O at any corpus size."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    with open(os.path.join(root, "global_stats.json")) as f:
+        gs = json.load(f)
+    col_bytes: dict[str, int] = {}
+    n_terms = 0
+    n_postings = 0
+    file_bytes = 0
+    for bdir in sorted(_glob.glob(os.path.join(root, "buckets",
+                                               "bucket=*"))):
+        if not os.path.isdir(bdir):  # glob also hits *.manifest.json
+            continue
+        p = os.path.join(bdir, "postings.parquet")
+        md = _pq.ParquetFile(p).metadata
+        n_terms += md.num_rows
+        file_bytes += os.path.getsize(p)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                col_bytes[name] = (col_bytes.get(name, 0)
+                                   + col.total_compressed_size)
+        man = os.path.join(bdir + ".manifest.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                n_postings += json.load(f)["metrics"].get("n_postings", 0)
+    docs_bytes = sum(
+        os.path.getsize(p) for p in _glob.glob(
+            os.path.join(root, "docs_clean", "*.parquet")))
+    out = {
+        "n_docs": gs.get("n_docs"),
+        "avgdl": gs.get("avgdl"),
+        "vocab": n_terms,
+        "n_postings": n_postings,
+        "postings_file_bytes": file_bytes,
+        "docs_clean_bytes": docs_bytes,
+        "column_bytes": dict(sorted(col_bytes.items())),
+    }
+    if n_postings:
+        out["bytes_per_posting"] = round(file_bytes / n_postings, 3)
+    return out
+
+
+def cmd_stats(args) -> int:
+    """Index statistics job: vocabulary size, posting count, bytes per
+    parquet column (docs/tfs/positions/block-max), bytes/posting — the
+    ops view of a build or a sharded root, footer-metadata only."""
+    import glob as _glob
+    import os
+
+    shard_roots = [s for s in sorted(_glob.glob(
+        os.path.join(args.index, "shard=*"))) if os.path.isdir(s)]
+    if shard_roots:
+        shards = [_index_stats(s) for s in shard_roots]
+        with open(os.path.join(args.index, "global_stats.json")) as f:
+            gs = json.load(f)
+        agg = {
+            "n_docs": gs.get("n_docs"),
+            "avgdl": gs.get("avgdl"),
+            "num_doc_shards": len(shards),
+            "vocab_per_shard": [s["vocab"] for s in shards],
+            "n_postings": sum(s["n_postings"] for s in shards),
+            "postings_file_bytes": sum(s["postings_file_bytes"]
+                                       for s in shards),
+            "docs_clean_bytes": sum(s["docs_clean_bytes"] for s in shards),
+        }
+        if agg["n_postings"]:
+            agg["bytes_per_posting"] = round(
+                agg["postings_file_bytes"] / agg["n_postings"], 3)
+        print(json.dumps(agg))
+        return 0
+    print(json.dumps(_index_stats(args.index)))
+    return 0
+
+
 def cmd_invalidate(args) -> int:
     from search_engine_ray.build import invalidate_index
 
@@ -651,6 +734,11 @@ def main(argv: list[str] | None = None) -> int:
                          "values of COLUMN (Count-Min Sketch)")
     pf.add_argument("-k", type=int, default=20)
     pf.set_defaults(fn=cmd_profile)
+
+    ix = sub.add_parser("stats")
+    ix.add_argument("--index", required=True,
+                    help="index root (or sharded root with shard=*/)")
+    ix.set_defaults(fn=cmd_stats)
 
     i = sub.add_parser("invalidate")
     i.add_argument("--index", required=True)

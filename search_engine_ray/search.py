@@ -87,7 +87,7 @@ class _Bucket:
     copies the full postings payload — queries touch a handful of terms,
     and decoded results land in the searcher's LRU anyway."""
 
-    __slots__ = ("terms", "df", "max_partial", "_t", "_edit1")
+    __slots__ = ("terms", "df", "max_partial", "_t", "_edit1", "_trigram")
 
     def __init__(self, table: pa.Table):
         self.terms: list[str] = table.column("term").to_pylist()
@@ -95,6 +95,7 @@ class _Bucket:
         self.max_partial = table.column("max_partial").to_numpy()
         self._t = table.combine_chunks()
         self._edit1 = None
+        self._trigram = None
 
     def edit1(self):
         """Lazy per-bucket Edit1Vocab (fuzzy.py) — built on the first
@@ -105,6 +106,40 @@ class _Bucket:
 
             self._edit1 = Edit1Vocab(self.terms)
         return self._edit1
+
+    def contains(self, infix: str) -> list[str]:
+        """Vocabulary infix match via a lazy trigram index over the
+        terms (the 'trigram index OVER the vocabulary' evolution the
+        r2 linear scan documented): candidate terms = intersection of
+        the infix's trigram posting lists (smallest first), then a
+        literal ``in`` verify — O(candidates), not O(vocab), once the
+        index is built (once per bucket, ST3). Infixes shorter than 3
+        chars have no trigram and fall back to the linear scan."""
+        if len(infix) < 3:
+            return [t for t in self.terms if infix in t]
+        if self._trigram is None:
+            tri: dict[str, list[int]] = {}
+            for i, t in enumerate(self.terms):
+                for j in range(len(t) - 2):
+                    g = t[j:j + 3]
+                    lst = tri.get(g)
+                    if lst is None:
+                        tri[g] = [i]
+                    elif lst[-1] != i:  # term ordinals arrive in order
+                        lst.append(i)
+            self._trigram = {g: np.asarray(v, dtype=np.int64)
+                             for g, v in tri.items()}
+        grams = {infix[j:j + 3] for j in range(len(infix) - 2)}
+        cands: np.ndarray | None = None
+        for g in grams:
+            lst = self._trigram.get(g)
+            if lst is None:
+                return []
+            cands = lst if cands is None else np.intersect1d(
+                cands, lst, assume_unique=True)
+            if not cands.size:
+                return []
+        return [self.terms[i] for i in cands if infix in self.terms[i]]
 
     def find(self, term: str) -> int | None:
         i = bisect_left(self.terms, term)
@@ -247,14 +282,14 @@ class LocalSearcher:
                 bk = self.bucket(b)
                 terms.extend(bk.terms[i] for i in bk.prefix_range(p))
         elif search_type == "contains":
-            # infix match: linear scan of each bucket's vocabulary —
-            # vocab is corpus-sublinear (Heaps' law), so this is cheap
-            # relative to any posting decode; the documented evolution
-            # for huge vocabs is a trigram index OVER the vocabulary
+            # infix match via the per-bucket trigram vocabulary index
+            # (_Bucket.contains — O(candidates) per probe after a
+            # once-per-bucket build; <3-char infixes fall back to the
+            # linear scan, which Heaps' law keeps corpus-sublinear)
             p = queries[0]
             terms = []
             for b in range(self.num_buckets):
-                terms.extend(t for t in self.bucket(b).terms if p in t)
+                terms.extend(self.bucket(b).contains(p))
         elif search_type in ("fuzzy", "fuzzy2"):
             # Levenshtein union over every query word (fuzzy.py; edit
             # budget 1, or 2 for fuzzy2 — the Lucene fuzzy cap): hash

@@ -92,3 +92,31 @@ def test_leq_predicate_matches_full_dp(a, b, k):
     from search_engine_ray.fuzzy import levenshtein_leq
 
     assert levenshtein_leq(a, b, k) == (_lev_full(a, b) <= k)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=6),
+                min_size=0, max_size=30, unique=True),
+       st.text(alphabet="abc", min_size=1, max_size=5))
+def test_bucket_trigram_contains_equals_scan(vocab, infix):
+    """_Bucket.contains (trigram index + verify) == the literal linear
+    scan for any vocab/infix, including repeated trigrams within a term
+    ('aaaa'), <3-char fallback, and absent trigrams."""
+    import pyarrow as pa
+
+    from search_engine_ray.search import _Bucket
+
+    vocab = sorted(vocab)
+    n = len(vocab)
+    t = pa.table({
+        "term": pa.array(vocab, pa.string()),
+        "df": pa.array([1] * n, pa.int64()),
+        "max_partial": pa.array([0.0] * n, pa.float64()),
+        "docs_vb": pa.array([b""] * n, pa.large_binary()),
+        "tfs_vb": pa.array([b""] * n, pa.large_binary()),
+        "lens_vb": pa.array([b""] * n, pa.large_binary()),
+        "pos_vb": pa.array([b""] * n, pa.large_binary()),
+        "blockmax": pa.array([b""] * n, pa.large_binary()),
+    })
+    bk = _Bucket(t)
+    assert bk.contains(infix) == [v for v in vocab if infix in v]

@@ -414,3 +414,46 @@ def test_jobs_cli_mix(ray_session, tmp_path):
     by = rep.groupby("source")["n_tokens"].sum().to_dict()
     assert by == {"m0": 60, "m1": 40}
     assert "m2" not in set(corp["source"])
+
+
+def test_jobs_cli_stats(ray_session, tmp_path):
+    """stats job reports vocab/postings/bytes from footers only, for
+    both a local index and a sharded root; counts agree between the
+    two topologies over the same corpus."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.corpus import generate_pages
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(generate_pages(40, seed=6), str(pdir / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    sh = str(tmp_path / "sharded")
+    for cmd in (["build", "--input", str(pdir), "--index", idx,
+                 "--num-buckets", "4"],
+                ["sharded-build", "--input", str(pdir), "--root", sh,
+                 "--num-shards", "2", "--num-buckets", "4"]):
+        r = subprocess.run([sys.executable, "-m",
+                            "search_engine_ray.jobs", *cmd],
+                           capture_output=True, text=True,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    def stats(root):
+        r = subprocess.run(
+            [sys.executable, "-m", "search_engine_ray.jobs", "stats",
+             "--index", root],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    local = stats(idx)
+    assert local["n_docs"] == 40 and local["vocab"] > 0
+    assert local["n_postings"] > 0 and local["bytes_per_posting"] > 0
+    assert set(local["column_bytes"]) >= {"term", "docs_vb", "tfs_vb",
+                                          "pos_vb", "blockmax"}
+    sharded = stats(sh)
+    assert sharded["num_doc_shards"] == 2
+    assert sharded["n_docs"] == 40
+    # every posting lives in exactly one shard
+    assert sharded["n_postings"] == local["n_postings"]
