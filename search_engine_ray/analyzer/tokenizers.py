@@ -67,20 +67,32 @@ class Tokenizer:
 
     name = "base"
     separators: tuple[str, ...] = ()
+    folding = False  # True => token CONTENT maps through fold()
 
     def __init__(self) -> None:
         cls = "".join(re.escape(c) for c in self.separators)
         self._token_re = re.compile(f"[^{cls}]+")
 
+    def fold(self, s: str) -> str:
+        """Content normalization hook (identity here): folding
+        tokenizers map token text through this AFTER extraction, so
+        positions always index the ORIGINAL line."""
+        return s
+
     def tokenize(self, line: str | None) -> list[tuple[str, int]]:
         if not line:
             return []
+        if self.folding:
+            return [(self.fold(m.group()), m.start())
+                    for m in self._token_re.finditer(line)]
         return [(m.group(), m.start()) for m in self._token_re.finditer(line)]
 
     def tokens_only(self, line: str | None) -> list[str]:
         """Just token contents (skips position bookkeeping — hot path)."""
         if not line:
             return []
+        if self.folding:
+            return [self.fold(t) for t in self._token_re.findall(line)]
         return self._token_re.findall(line)
 
     def iter_document(self, text: str | None) -> Iterator[tuple[int, str, int]]:
@@ -98,7 +110,7 @@ class Tokenizer:
             return []
         out: list[str] = []
         for line in split_lines(text):
-            out.extend(self._token_re.findall(line))
+            out.extend(self.tokens_only(line))
         return out
 
 
@@ -110,6 +122,30 @@ class StandardTokenizer(Tokenizer):
 class WhitespaceTokenizer(Tokenizer):
     name = "whitespace"
     separators = (" ",)
+
+
+def fold_text(s: str) -> str:
+    """Case fold + accent strip: NFD-decompose, drop combining marks —
+    the standard multilingual-webtext normalization ('Café' == 'cafe',
+    'MÜNSTER' == 'munster'). Positions are unaffected: folding applies
+    to extracted token CONTENT only."""
+    import unicodedata
+
+    return "".join(c for c in unicodedata.normalize("NFD", s.casefold())
+                   if not unicodedata.combining(c))
+
+
+class FoldedStandardTokenizer(StandardTokenizer):
+    """StandardTokenizer + case/accent folding of token content —
+    select with ``BuildConfig(tokenizer="standard_folded")``. Queries
+    fold too (LocalSearcher/OracleIndex expand), so 'Café' finds docs
+    containing 'cafe', 'café' or 'CAFÉ'."""
+
+    name = "standard_folded"
+    folding = True
+
+    def fold(self, s: str) -> str:
+        return fold_text(s)
 
 
 # position packing used in posting lists: pos = (row << 32) | col, int64.
@@ -135,6 +171,7 @@ def re2_document_token_pattern(separators: tuple[str, ...]) -> str:
 
 _REGISTRY: dict[str, Callable[[], Tokenizer]] = {
     "standard": StandardTokenizer,
+    "standard_folded": FoldedStandardTokenizer,
     "whitespace": WhitespaceTokenizer,
 }
 

@@ -107,6 +107,8 @@ class OracleIndex:
 
     def expand(self, queries: list[str], search_type: str) -> list[str]:
         """Resolve a query to the concrete sorted term list it scores."""
+        if self._tok.folding:
+            queries = [self._tok.fold(q) for q in queries]
         if search_type == "exact":
             terms = [q for q in queries[:1] if q in self.postings]
         elif search_type == "or":

@@ -264,6 +264,10 @@ class LocalSearcher:
     def expand(self, queries: list[str], search_type: str) -> list[str]:
         """Concrete sorted term list a query scores (same contract as
         oracle.OracleIndex.expand)."""
+        if self._tok.folding:
+            # folding indexes store folded terms; queries fold too, so
+            # 'Café' finds docs containing 'cafe'/'café'/'CAFÉ'
+            queries = [self._tok.fold(q) for q in queries]
         if search_type == "exact":
             cands = queries[:1]
             terms = [q for q in cands if self._has_term(q)]

@@ -110,6 +110,9 @@ class TokenizeBatch:
         self.num_buckets = num_buckets
         self.salt = max(1, salt)
         self.store_positions = store_positions
+        # content-folding hook (standard_folded): None for the identity
+        # tokenizers so the hot paths stay branch-free
+        self._fold = self._tok.fold if self._tok.folding else None
         # term -> bucket memo (per actor/task): the vocabulary is Zipf, so
         # nearly every (doc, term) row hits the cache instead of blake2b.
         # Bounded so a pathological vocabulary can't grow the worker heap.
@@ -192,6 +195,18 @@ class TokenizeBatch:
         codes = dict_arr.indices.to_numpy().astype(np.int64, copy=False)
         dictionary = dict_arr.dictionary
         n_dict = len(dictionary)
+        if self._fold is not None:
+            # fold at DICTIONARY granularity (vocab << rows), then
+            # re-encode so entries that collide after folding merge to
+            # one code — positions below still measure the ORIGINAL
+            # tokens (tok_lens comes from toks_arr, pre-fold)
+            folded = pc.dictionary_encode(pa.array(
+                [self._fold(t) for t in dictionary.to_pylist()],
+                pa.string()))
+            codes = folded.indices.to_numpy().astype(
+                np.int64, copy=False)[codes]
+            dictionary = folded.dictionary
+            n_dict = len(dictionary)
         # per-token doc index
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), nt)
 
@@ -294,6 +309,7 @@ class TokenizeBatch:
 
         finditer = self._re.finditer
         findall = self._re.findall
+        fold = self._fold
         for text, doc_id in zip(texts, doc_ids):
             if self.store_positions:
                 per_doc: dict[str, list[int]] = {}
@@ -301,7 +317,9 @@ class TokenizeBatch:
                     for row, line in enumerate(split_lines(text), start=1):
                         base = row << 32
                         for m in finditer(line):
-                            per_doc.setdefault(m.group(), []).append(
+                            t = m.group() if fold is None \
+                                else fold(m.group())
+                            per_doc.setdefault(t, []).append(
                                 base | m.start()
                             )
                 items = ((t, len(p), p) for t, p in per_doc.items())
@@ -310,6 +328,8 @@ class TokenizeBatch:
                 if text:
                     for line in split_lines(text):
                         for t in findall(line):
+                            if fold is not None:
+                                t = fold(t)
                             counts[t] = counts.get(t, 0) + 1
                 items = ((t, c, []) for t, c in counts.items())
 

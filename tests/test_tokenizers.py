@@ -133,6 +133,9 @@ def test_tokenize_fast_path_equals_reference():
         tw = TokenizeBatch(tokenizer="whitespace", num_buckets=8,
                            store_positions=pos)
         assert canon(tw(batch)) == canon(tw.call_reference(batch))
+        tf_ = TokenizeBatch(tokenizer="standard_folded", num_buckets=8,
+                            store_positions=pos)
+        assert canon(tf_(batch)) == canon(tf_.call_reference(batch))
 
 
 def test_tokenize_fast_path_randomized():
@@ -162,3 +165,72 @@ def test_tokenize_fast_path_randomized():
                           "text": pa.array(texts, pa.string())})
         tb = TokenizeBatch(num_buckets=16, salt=2, store_positions=True)
         assert canon(tb(batch)) == canon(tb.call_reference(batch)), seed
+
+
+def test_folded_tokenizer_semantics():
+    """standard_folded case-folds and strips accents on CONTENT while
+    positions keep indexing the original line; colliding variants merge."""
+    from search_engine_ray.analyzer.tokenizers import (
+        fold_text,
+        get_tokenizer,
+    )
+
+    assert fold_text("Café") == "cafe"
+    assert fold_text("MÜNSTER") == "munster"
+    assert fold_text("naïve") == "naive"
+    assert fold_text("ß") == "ss"  # casefold, not just lower
+    tok = get_tokenizer("standard_folded")
+    got = tok.tokenize("Café CAFE café")
+    assert got == [("cafe", 0), ("cafe", 5), ("cafe", 10)]
+    assert tok.document_tokens("Ärger\närger") == ["arger", "arger"]
+    # the plain tokenizers are unaffected
+    assert get_tokenizer("standard").tokenize("Café")[0][0] == "Café"
+
+
+def test_folded_build_query_rank_identity(ray_session, tmp_path):
+    """End-to-end folded index: accented/uppercase variants merge into
+    one posting; unfolded queries match; engine == oracle bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.build import BuildConfig, build_index
+    from search_engine_ray.corpus import PAGES_SCHEMA
+    from search_engine_ray.oracle import OracleIndex
+    from search_engine_ray.search import LocalSearcher
+
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        {"url": f"https://example.org/fold/{i:04d}", "warc_ts": ts,
+         "html": b"", "text": t, "lang": "de"}
+        for i, t in enumerate([
+            "Café MÜNSTER Straße",
+            "cafe munster strasse plain ascii",
+            "CAFÉ again naïve",
+            "unrelated tokens entirely",
+        ])
+    ]
+    pages = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "p.parquet"))
+    root = str(tmp_path / "idx")
+    build_index(str(pdir), root,
+                BuildConfig(tokenizer="standard_folded", num_buckets=4))
+    s = LocalSearcher(root)
+    o = OracleIndex.build(pages, tokenizer="standard_folded")
+    assert s.vocabulary_size() == len(o.postings)
+    for q, st in [(["Café"], "exact"), (["CAFE"], "exact"),
+                  (["café"], "exact"), (["MÜNSTER", "café"], "and"),
+                  (["STRAẞE"], "exact"),  # casefolds to strasse
+                  (["caf"], "prefix"), (["afe"], "contains"),
+                  (["cafz"], "fuzzy")]:
+        eng = s.search(q, st, k=10)
+        got = list(zip(eng.column("doc_id").to_pylist(),
+                       eng.column("score").to_pylist()))
+        want = [(d, sc) for d, sc, _ in o.search(q, st, k=10)]
+        assert got == want, (q, st)
+        assert got, (q, st)  # every probe matches something
+    # the three Café docs share one folded posting
+    assert len(o.postings["cafe"]) == 3
