@@ -516,6 +516,39 @@ class LocalSearcher:
              "score": pa.array(np.asarray(keep_scores, dtype=np.float64)),
              "url": pa.array(urls, pa.string())}, schema=RESULT_SCHEMA)
 
+    def explain(self, queries: list[str], search_type: str = "exact",
+                doc_id: int | None = None) -> pa.Table:
+        """Score breakdown for one document (Lucene ``explain``
+        analogue): per expanded term its df, idf, tf, length-normalized
+        partial and contribution — ``sum(contribution)`` equals the
+        doc's score in ``search`` results bit-for-bit (pinned by test).
+        ``doc_id`` is the REAL doc id (as returned by search)."""
+        terms = self.expand(queries, search_type)
+        ordn = int(np.searchsorted(self.ords(), doc_id))
+        if ordn >= len(self.ords()) or self.ords()[ordn] != doc_id:
+            raise KeyError(f"doc_id {doc_id} is not in this index")
+        rows = []
+        for t in terms:  # lexicographic — the accumulation order
+            rec = self._posting_for(t)
+            if rec is None:
+                continue
+            dec = self._decode(t, rec)
+            pos = int(np.searchsorted(dec["docids"], ordn))
+            if pos >= dec["docids"].size or dec["docids"][pos] != ordn:
+                continue
+            idf = bm25_idf(self.n_docs, rec["df"])
+            partial = float(dec["partial"][pos])
+            rows.append((t, int(rec["df"]), idf, int(dec["tfs"][pos]),
+                         partial, idf * partial))
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "df": pa.array([r[1] for r in rows], pa.int64()),
+            "idf": pa.array([r[2] for r in rows], pa.float64()),
+            "tf": pa.array([r[3] for r in rows], pa.int64()),
+            "partial": pa.array([r[4] for r in rows], pa.float64()),
+            "contribution": pa.array([r[5] for r in rows], pa.float64()),
+        })
+
     def bool_search(self, query: str, k: int = 10,
                     with_urls: bool = True,
                     idfs: dict[str, float] | None = None) -> pa.Table:

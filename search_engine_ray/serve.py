@@ -57,6 +57,9 @@ class _Replica:
     def phrase(self, terms, k):
         return self.searcher.phrase_search(terms, k=k)
 
+    def bool_q(self, query, k):
+        return self.searcher.bool_search(query, k=k)
+
     def suggest(self, word, k, scorer):
         if self._expander is None:
             from search_engine_ray.suggest import SuggestionExpander
@@ -101,6 +104,11 @@ class SearcherReplicaPool:
         r = self._replicas[self._next % len(self._replicas)]
         self._next += 1
         return ray.get(r.phrase.remote(terms, k))
+
+    def bool_search(self, query, k=10):
+        r = self._replicas[self._next % len(self._replicas)]
+        self._next += 1
+        return ray.get(r.bool_q.remote(query, k))
 
     def search_with_suggestions(self, word, k=10, scorer="taat"):
         """Reference WITH_SUGGESTIONS via the replica's once-loaded

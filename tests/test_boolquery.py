@@ -120,3 +120,35 @@ def test_bool_doc_shard_server_matches_local(ray_session, built_index,
                 single.bool_search(q, k=25)), q
     finally:
         srv.shutdown()
+
+
+def test_replica_pool_bool(built_index):
+    from search_engine_ray.serve import SearcherReplicaPool
+
+    pool = SearcherReplicaPool(built_index, num_replicas=2)
+    try:
+        single = LocalSearcher(built_index)
+        for q in BOOL_QUERIES[:5]:
+            assert pool.bool_search(q, k=20).equals(
+                single.bool_search(q, k=20)), q
+    finally:
+        pool.shutdown()
+
+
+def test_explain_sums_to_search_score(searcher):
+    """explain()'s contributions, added in the same lexicographic term
+    order the scorer uses, reproduce the search score bit-for-bit."""
+    for queries, st in [(["mila"], "exact"), (["mama", "mila"], "or"),
+                        (["mil"], "prefix"), (["mama", "mila"], "and")]:
+        res = searcher.search(queries, st, k=5)
+        assert res.num_rows > 0, (queries, st)
+        for d, score in zip(res.column("doc_id").to_pylist(),
+                            res.column("score").to_pylist()):
+            ex = searcher.explain(queries, st, doc_id=d)
+            total = 0.0
+            for c in ex.column("contribution").to_pylist():
+                total += c
+            assert total == score, (queries, st, d)
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        searcher.explain(["mila"], "exact", doc_id=123456789)
