@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": ev.events_props_stats,
         "events_latest": ev.events_latest,
         "events_profile": ev.events_profile,
+        "events_funnel": ev.events_funnel,  # sequential funnel stages
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -1243,6 +1244,35 @@ def oracle_sql() -> dict[str, str]:
                    (max(i) + 25 - 1)::BIGINT AS span_end,
                    (max(i) - min(i) + 25)::BIGINT AS span_len
             FROM grp GROUP BY doc_id, g
+        """,
+        # sequential funnel: greedy chained min-joins (each step at or
+        # after the previous), stage ladder gated on the 24 h window
+        # from the first step; step times reported raw (epoch us)
+        "events_funnel": """
+            WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS ts2
+                   FROM events e JOIN t1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= t1.ts1
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS ts3
+                   FROM events e JOIN t2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2
+                   GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CASE WHEN ts3 IS NOT NULL AND epoch_us(ts3)
+                             - epoch_us(ts1) <= 86400000000 THEN 3
+                        WHEN ts2 IS NOT NULL AND epoch_us(ts2)
+                             - epoch_us(ts1) <= 86400000000 THEN 2
+                        WHEN ts1 IS NOT NULL THEN 1
+                        ELSE 0 END AS stage,
+                   epoch_us(ts1) AS t_view,
+                   epoch_us(ts2) AS t_click,
+                   epoch_us(ts3) AS t_purchase
+            FROM u LEFT JOIN t1 USING (user_id)
+                   LEFT JOIN t2 USING (user_id)
+                   LEFT JOIN t3 USING (user_id)
         """,
         # CMS heavy hitters: 20 distinct sources vs a 4x2048 sketch has
         # no full-depth collision, so the estimates are exact and the

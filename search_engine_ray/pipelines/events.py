@@ -343,3 +343,74 @@ def events_latest(sf_dir: str):
     return bucketed_group_agg(
         ds.map_batches(to_us, batch_format="pyarrow"),
         ["user_id"], latest)
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h from the first step
+
+
+def _funnel_bucket(g: pd.DataFrame, steps, window_us: int) -> pd.DataFrame:
+    """Greedy sequential funnel per user, vectorized per bucket:
+    t1 = min ts of step1; t_{i+1} = min ts of step_{i+1} at or after
+    t_i. Stage k requires t_k and t_k - t_1 <= window."""
+    users = pd.DataFrame({"user_id": g["user_id"].unique()})
+    prev = None  # Series: user_id -> t_i (epoch us)
+    ts_cols = []
+    for i, step in enumerate(steps):
+        ev = g[g["event_type"] == step][["user_id", "ts_us"]]
+        if prev is not None:
+            ev = ev.merge(prev.rename("prev_ts"), left_on="user_id",
+                          right_index=True, how="inner")
+            ev = ev[ev["ts_us"] >= ev["prev_ts"]]
+        cur = ev.groupby("user_id")["ts_us"].min()
+        ts_cols.append(cur)
+        prev = cur
+    out = users.copy()
+    for i, cur in enumerate(ts_cols):
+        out[f"t{i + 1}"] = out["user_id"].map(cur).astype("Int64")
+    stage = pd.Series(0, index=out.index)
+    t1 = out["t1"]
+    for i in range(len(steps)):
+        tk = out[f"t{i + 1}"]
+        ok = tk.notna() if i == 0 else \
+            tk.notna() & ((tk - t1) <= window_us)
+        stage = stage.mask(ok, i + 1)
+    out["stage"] = stage.astype("int64")
+    return out
+
+
+def events_funnel(sf_dir: str, steps=FUNNEL_STEPS,
+                  window_us: int = FUNNEL_WINDOW_US):
+    """Sequential funnel analysis (view -> click -> purchase within 24 h
+    of the first view): per user the greedy step timestamps and the
+    stage reached -> (user_id, stage, t_view, t_click, t_purchase,
+    epoch us, NULL where the step was never reached).
+
+    ONE exchange on the user bucket (the sessionization plan); the
+    per-bucket kernel is pandas joins/groupby-mins over the bucket's
+    rows — no per-user Python. Oracle: three chained min-aggregate
+    joins + a CASE ladder."""
+    import pyarrow as pa
+
+    def keyed(batch):
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    out = bucketed_group_agg(
+        keyed_ds, ["user_id"],
+        lambda g: _funnel_bucket(g, steps, window_us))
+    names = dict(zip(["t1", "t2", "t3"],
+                     [f"t_{s}" for s in steps]))
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns=names)
+
+    return out.map_batches(rename, batch_format="pandas")

@@ -75,3 +75,56 @@ def test_asof_bucket_matches_quadratic_scan(events):
     for r in out.itertuples(index=False):
         assert want[r.event_id] == (r.match_ts_us, r.match_event_id,
                                     r.lag_us)
+
+
+def test_funnel_bucket_vs_per_user_fold():
+    """_funnel_bucket (vectorized chained min-joins) == a literal
+    per-user greedy fold on randomized event streams, including users
+    missing any step and window boundary hits."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_ray.pipelines.events import _funnel_bucket
+
+    steps = ("view", "click", "purchase")
+    rng = np.random.default_rng(11)
+    types = np.array(["view", "click", "purchase", "error"])
+    n = 600
+    g = pd.DataFrame({
+        "user_id": rng.integers(0, 25, size=n),
+        "event_type": types[rng.integers(0, 4, size=n)],
+        "ts_us": rng.integers(0, 1000, size=n).astype("int64"),
+    })
+    window = 300
+    got = (_funnel_bucket(g, steps, window)
+           .sort_values("user_id").reset_index(drop=True))
+
+    def fold(user):
+        ev = g[g["user_id"] == user]
+        ts = []
+        prev = None
+        for s in steps:
+            cand = ev[ev["event_type"] == s]["ts_us"]
+            if prev is not None:
+                cand = cand[cand >= prev]
+            if not len(cand):
+                break
+            prev = int(cand.min())
+            ts.append(prev)
+        stage = 0
+        for i, t in enumerate(ts):
+            if i == 0 or t - ts[0] <= window:
+                stage = i + 1
+            else:
+                break
+        return ts, stage
+
+    for _, row in got.iterrows():
+        ts, stage = fold(row["user_id"])
+        assert row["stage"] == stage, row["user_id"]
+        for i in range(3):
+            v = row[f"t{i + 1}"]
+            if i < len(ts):
+                assert v == ts[i], (row["user_id"], i)
+            else:
+                assert pd.isna(v), (row["user_id"], i)
