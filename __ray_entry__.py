@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": ev.events_latest,
         "events_profile": ev.events_profile,
         "events_funnel": ev.events_funnel,  # sequential funnel stages
+        "events_retention": ev.events_retention,  # cohort retention
         "ann_topk": e.ann_bruteforce_topk,
         # --- rows-only (no SQL oracle; driver records weaker check) ------
         "phrase_search": d.phrase_search_docs,   # M9 positions
@@ -1244,6 +1245,21 @@ def oracle_sql() -> dict[str, str]:
                    (max(i) + 25 - 1)::BIGINT AS span_end,
                    (max(i) - min(i) + 25)::BIGINT AS span_len
             FROM grp GROUP BY doc_id, g
+        """,
+        # cohort retention: cohort = epoch-week of a user's first event;
+        # per-user week dedup makes the cell count exact
+        "events_retention": """
+            WITH w AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS wk
+                       FROM events),
+            c AS (SELECT user_id, min(wk) AS cohort FROM w
+                  GROUP BY user_id),
+            a AS (SELECT DISTINCT w.user_id, c.cohort,
+                         w.wk - c.cohort AS offs
+                  FROM w JOIN c USING (user_id))
+            SELECT cohort AS cohort_week, offs AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM a GROUP BY cohort, offs
         """,
         # sequential funnel: greedy chained min-joins (each step at or
         # after the previous), stage ladder gated on the 24 h window

@@ -414,3 +414,49 @@ def events_funnel(sf_dir: str, steps=FUNNEL_STEPS,
         return df.rename(columns=names)
 
     return out.map_batches(rename, batch_format="pandas")
+
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def events_retention(sf_dir: str, week_us: int = WEEK_US):
+    """Cohort retention matrix: users are cohorted by the week of
+    their FIRST event; each (cohort_week, week_offset) cell counts the
+    distinct cohort members active in that later week ->
+    (cohort_week, week_offset, n_users). Weeks are integer epoch-week
+    ordinals (epoch_us // week) — exact in SQL.
+
+    Two bucketed exchanges, both corpus-shaped: (1) user bucket — per
+    user the min week (cohort) and the DISTINCT active weeks, emitting
+    one (cohort, offset) row per (user, week); (2) (cohort, offset)
+    bucket — a count, exact because stage 1 already deduplicated per
+    user."""
+    import pyarrow as pa
+
+    def keyed(batch):
+        import pyarrow.compute as pc
+
+        us = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "wk": pc.divide(us, week_us),  # trunc == floor: ts >= epoch
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "wk"])
+        cohort = d.groupby("user_id")["wk"].transform("min")
+        return pd.DataFrame({
+            "cohort_week": cohort.to_numpy(),
+            "week_offset": (d["wk"] - cohort).to_numpy(),
+        })
+
+    cells = bucketed_group_agg(keyed_ds, ["user_id"], per_user)
+    return bucketed_group_agg(
+        cells, ["cohort_week", "week_offset"],
+        lambda g: g.groupby(["cohort_week", "week_offset"],
+                            as_index=False).agg(
+            n_users=("week_offset", "size")))

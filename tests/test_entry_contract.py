@@ -98,6 +98,7 @@ SQL_BACKED = [
     "fuzzy2_search",  # edit-distance-<=2 expansion, BM25-ranked (r3 s5)
     "bool_search",  # AND/OR/NOT boolean algebra over postings (r3 s5)
     "events_funnel",  # sequential funnel stages within a window (r3 s5)
+    "events_retention",  # weekly cohort retention matrix (r3 s5)
 ]
 
 
