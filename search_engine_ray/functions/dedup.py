@@ -28,6 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from search_engine_ray.pool import actor_pool_size
+
 from search_engine_ray.functions.textstats import round_half_away, token_regex
 
 _MERSENNE = (1 << 61) - 1
@@ -82,7 +84,14 @@ def _shingle_hash_array(text: str | None, tok_re, k: int) -> np.ndarray:
     ``md5_number_lower``, the same convention as FingerprintBatch) masked
     to 61 bits — so the whole MinHash pipeline, banding included, is
     reproducible in SQL and oracle-checkable cross-engine."""
-    toks = tok_re.findall(text) if text else []
+    return shingle_hashes_from_tokens(tok_re.findall(text) if text else [],
+                                      k)
+
+
+def shingle_hashes_from_tokens(toks: list[str], k: int) -> np.ndarray:
+    """``_shingle_hash_array`` on a pre-tokenized document — the entry
+    point for fused stages (``webtext.CorpusFilterBatch``) that tokenize
+    once per doc and feed several signal kernels."""
     sh = _shingles(toks, k)
     if not sh:
         return np.empty(0, dtype=np.int64)
@@ -695,7 +704,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, batch_size: int = 2048):
     # actor pool (class, not instance) so the term-hash memo lives for the
     # whole actor, not one task
     sigs = ds.map_batches(SimHashBatch, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=(1, 8))
+                          batch_size=batch_size, concurrency=actor_pool_size())
     pairs = bucketed_group_agg(
         sigs, ["chunk_id", "chunk_val"], _simhash_bucket_pairs)
     return bucketed_distinct(pairs, ["doc_a", "doc_b", "hamming"])

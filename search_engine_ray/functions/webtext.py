@@ -35,11 +35,15 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from search_engine_ray.functions.dedup import _shingle_hash_array
+from search_engine_ray.functions.dedup import (
+    _shingle_hash_array,
+    shingle_hashes_from_tokens,
+)
 from search_engine_ray.functions.textstats import (
     round_half_away,
     token_regex,
 )
+from search_engine_ray.pool import actor_pool_size
 
 log = logging.getLogger(__name__)
 
@@ -254,7 +258,8 @@ def unigram_surprisal(ds, batch_size: int = 1024):
     model_ref = ray.put(_unigram_model(ds))
     return ds.map_batches(
         SurprisalBatch, fn_constructor_args=(model_ref,),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=actor_pool_size(),
     )
 
 
@@ -340,7 +345,8 @@ def decontaminate(ds, eval_mod: int = 10, eval_rem: int = 7, k: int = 8,
     ev_ref = ray.put(ev)
     return ds.map_batches(
         DecontamBatch, fn_constructor_args=(ev_ref, eval_mod, eval_rem, k),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=actor_pool_size(),
     )
 
 
@@ -528,11 +534,84 @@ class CorpusFilterBatch:
     5. contaminated   shares an 8-gram with the eval set
     else keep.
 
-    Composes the EXACT production signal stages (QualityScoreBatch,
-    RepetitionStatsBatch, DecontamBatch) per batch so the thresholds see
-    bit-identical values to the standalone pipelines; re-tokenization
-    per signal is the price of zero drift (a fused single-tokenize pass
-    is the documented optimization if this becomes hot)."""
+    FUSED single-tokenize pass: each doc is tokenized exactly once and
+    the token list feeds every signal kernel; rules short-circuit in
+    reason order, so a doc rejected by an early (cheap) rule never pays
+    for trigram counting or shingle hashing. Signal arithmetic is copied
+    verbatim from the standalone stages — including the 6-dp
+    half-away-from-zero rounding that each standalone stage applies
+    BEFORE its value reaches a threshold — so decisions are bit-identical
+    to the composed path (``CorpusFilterComposedBatch`` pins this in
+    tests). The composite gate reads 100% of the corpus in a real
+    curation run, so this pass is the hot path."""
+
+    def __init__(self, eval_ref, eval_mod: int = 10, eval_rem: int = 7,
+                 k: int = 8, min_tokens: int = 20, min_quality: float = 0.5,
+                 max_dup3: float = 0.6):
+        from search_engine_ray.functions.textstats import STOPWORDS_EN
+
+        self._re = token_regex()
+        self._alpha = re.compile(r"[A-Za-z]")
+        self._stop = frozenset(STOPWORDS_EN)
+        self._eval = ray.get(eval_ref)
+        self._mod, self._rem, self._k = eval_mod, eval_rem, k
+        self._min_tokens = min_tokens
+        self._min_quality = min_quality
+        self._max_dup3 = max_dup3
+
+    def _reason(self, d: int, t: str | None) -> str:
+        if (d % self._mod) == self._rem:
+            return "eval_holdout"
+        toks = self._re.findall(t) if t else []
+        n = len(toks)
+        if n < self._min_tokens:
+            return "too_short"
+        # QualityScoreBatch arithmetic (textstats.py), value-identical
+        alpha = (len(self._alpha.findall(t)) / len(t)) if t else 0.0
+        stop_hits = sum(1 for w in toks if w in self._stop)
+        has_stop = min(1.0, stop_hits / max(1, n) * 10)
+        len_ok = min(1.0, n / 50.0)
+        q = round_half_away(0.4 * len_ok + 0.3 * min(1.0, alpha * 1.25)
+                            + 0.3 * has_stop)
+        if q < self._min_quality:
+            return "low_quality"
+        # RepetitionStatsBatch dup_3gram_frac, rounded like the stage
+        dup3 = 0.0
+        if n >= 3:
+            tg = Counter(zip(toks, toks[1:], toks[2:]))
+            dup3 = round_half_away(1.0 - len(tg) / (n - 2))
+        if dup3 > self._max_dup3:
+            return "repetitive"
+        # DecontamBatch membership test on the shared shingle hashes
+        hs = shingle_hashes_from_tokens(toks, self._k)
+        ev = self._eval
+        if hs.size and ev.size:
+            pos = np.clip(np.searchsorted(ev, hs), 0, ev.size - 1)
+            if (ev[pos] == hs).any():
+                return "contaminated"
+        return ""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        reason = [self._reason(d, t) for d, t in zip(ids, texts)]
+        keep = [0 if r else 1 for r in reason]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "keep": pa.array(keep, pa.int64()),
+                "reason": pa.array(reason, pa.string()),
+            }
+        )
+
+
+class CorpusFilterComposedBatch:
+    """The pre-fusion reference composition of the standalone signal
+    stages (TokenStatsBatch, QualityScoreBatch, RepetitionStatsBatch,
+    DecontamBatch — each re-tokenizes). Kept ONLY as the identity anchor:
+    tests assert ``CorpusFilterBatch`` (fused) emits bit-identical
+    (keep, reason) rows, and bench.py's paired A/B entry measures the
+    fusion speedup against it. Not used by any pipeline."""
 
     def __init__(self, eval_ref, eval_mod: int = 10, eval_rem: int = 7,
                  k: int = 8, min_tokens: int = 20, min_quality: float = 0.5,
@@ -586,14 +665,15 @@ class CorpusFilterBatch:
 
 
 def corpus_filter(ds, batch_size: int = 1024, **kw):
-    """The end-to-end webtext keep/reject gate (all signals composed)."""
+    """The end-to-end webtext keep/reject gate (all signals fused)."""
     ev = eval_shingle_set(ds, kw.get("eval_mod", 10), kw.get("eval_rem", 7),
                           kw.get("k", 8))
     ev_ref = ray.put(ev)
     return ds.map_batches(
         CorpusFilterBatch, fn_constructor_args=(ev_ref,),
         fn_constructor_kwargs=kw,
-        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=actor_pool_size(),
     )
 
 

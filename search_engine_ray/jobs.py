@@ -30,6 +30,8 @@ import argparse
 import json
 import sys
 
+from search_engine_ray.pool import actor_pool_size
+
 
 def _ensure_ray():
     import ray
@@ -361,7 +363,7 @@ def cmd_curate(args) -> int:
 
     ds = rd.read_parquet(args.input)  # all columns survive into the output
     ds.map_batches(_Annotate, batch_format="pyarrow", batch_size=1024,
-                   concurrency=(1, 8)).write_parquet(
+                   concurrency=actor_pool_size()).write_parquet(
         args.out, partition_cols=["keep"])
     rep = duckdb.sql(
         f"SELECT coalesce(nullif(reason, ''), 'kept') AS reason, "
@@ -414,7 +416,7 @@ def cmd_prepare(args) -> int:
 
     kept = rd.read_parquet(args.input, columns=["doc_id", "text"]) \
         .map_batches(_KeepOnly, batch_format="pyarrow", batch_size=1024,
-                     concurrency=(1, 8))
+                     concurrency=actor_pool_size())
 
     stage = os.path.join(args.out, "_stage_dedup")
     # marker lives BESIDE the stage dir — parquet readers scan every

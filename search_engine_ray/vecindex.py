@@ -38,6 +38,8 @@ from dataclasses import asdict, dataclass
 
 import numpy as np
 import pyarrow as pa
+
+from search_engine_ray.pool import actor_pool_size
 import pyarrow.dataset as pds
 
 from search_engine_ray.functions.ann import (
@@ -89,7 +91,7 @@ def build_ivf_index(ds, root: str, cfg: VecIndexConfig = VecIndexConfig(),
 
     assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
         AssignBatch, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 8),
+        concurrency=actor_pool_size(),
     )
     assigned.write_parquet(os.path.join(root, "lists"),
                            partition_cols=["list_id"])

@@ -580,3 +580,55 @@ def test_corpus_mix_budget_and_order(ray_session):
     tot = got.groupby("source")["n_tokens"].sum()
     for src, w in weights.items():
         assert tot.get(src, 0) <= int(w * budget)
+
+
+def test_corpus_filter_fused_identical_to_composed(ray_session):
+    """The fused single-tokenize CorpusFilterBatch must emit bit-identical
+    (keep, reason) rows to the pre-fusion composition of the standalone
+    signal stages, across every reason and threshold boundary."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import (
+        CorpusFilterBatch,
+        CorpusFilterComposedBatch,
+        eval_shingle_set,
+    )
+
+    # deterministic, varied corpus: short docs, low-quality (no stopwords,
+    # low alpha), repetitive, contaminated (share eval 8-grams), eval-slice
+    # docs, and healthy docs near the thresholds
+    stop_filler = ("the data of table and value for index in row stream it "
+                   "is that a to batch sort key scan merge part hash fast")
+    eval_doc = "q1 q2 q3 q4 q5 q6 q7 q8 answer token stream with more words"
+    texts, ids = [], []
+    for i in range(120):
+        h = int(hashlib.md5(f"cf:{i}".encode()).hexdigest(), 16)
+        kind = h % 6
+        if kind == 0:
+            t = f"tiny {i}"
+        elif kind == 1:
+            t = " ".join(f"z{(h >> j) % 97}" for j in range(40))  # no stops
+        elif kind == 2:
+            t = " ".join([f"loop{i} the data of"] * (5 + h % 20))
+        elif kind == 3:
+            t = f"prefix {i} q1 q2 q3 q4 q5 q6 q7 q8 " + stop_filler
+        elif kind == 4:
+            t = stop_filler + f" extra{i} " + stop_filler[: h % 60]
+        else:
+            t = " ".join(stop_filler.split()[: 18 + h % 8]) + f" v{i}"
+        texts.append(t)
+        ids.append(10 * i)  # never % 10 == 7: only eval_doc is eval-slice
+    ids[-1] = 1207  # one more eval id (% 10 == 7)
+    texts[-1] = eval_doc
+    ds = rd.from_arrow(_tbl(texts + [eval_doc], ids=ids + [7]))
+    ev_ref = ray.put(eval_shingle_set(ds))
+    batch = _tbl(texts + [eval_doc], ids=ids + [7])
+    fused = CorpusFilterBatch(ev_ref).__call__(batch).to_pydict()
+    composed = CorpusFilterComposedBatch(ev_ref).__call__(batch).to_pydict()
+    assert fused == composed
+    assert set(composed["reason"]) == {
+        "", "eval_holdout", "too_short", "low_quality", "repetitive",
+        "contaminated"}
