@@ -155,3 +155,21 @@ def quantize_int8(sf_dir: str):
 
     return load_embeddings(sf_dir).map_batches(
         quant, batch_format="pyarrow", batch_size=1024)
+
+
+def embedding_near_dups_all(sf_dir: str):
+    """embedding_near_dups (multi-table LSH, t=0.5) + the exact
+    all-pairs twin (t=0.4) as one tagged union — (method, vec_a, vec_b,
+    cos), method in {'lsh', 'exact'} (merged driver entry; both remain
+    standalone operators). The exact set at the lower threshold is a
+    superset anchor: every 'lsh' pair must also appear under 'exact'."""
+    import pandas as pd
+    import pyarrow as pa
+
+    lsh = embedding_near_dups(sf_dir).to_pandas()
+    exact = embedding_near_dups_exact(sf_dir).to_pandas()
+    lsh.insert(0, "method", "lsh")
+    exact.insert(0, "method", "exact")
+    out = pd.concat([lsh, exact], ignore_index=True)
+    return pa.Table.from_pandas(out[["method", "vec_a", "vec_b", "cos"]],
+                                preserve_index=False)

@@ -58,30 +58,28 @@ def test_oracle_keys_subset_of_queries(entrymod):
 
 
 SQL_BACKED = [
-    "doc_token_stats", "bpe_token_counts", "term_df_top100",
-    "exact_search_batch",
+    "gram_top100",  # term-df + bigram top-k tagged union (merged, r4)
+    "doc_signals",  # quality + langid + fingerprints one-scan (merged, r4)
+    "doc_lm_signals",  # repetition + surprisal one-scan (merged, r4)
+    "clean_redact",  # line_clean + redact one-scan (merged, r4)
+    "pack_shuffle_sample",  # pack + shuffle + sample-flag join (merged, r4)
+    "doc_token_stats",  # + n_pretokens BPE budget (merged, r4)
+    "source_stats", "exact_search_batch",
     "prefix_search_cu", "vocab_total", "dedup_exact", "bm25_topk",
     "events_hourly", "events_sessions", "ann_topk", "phrase_search",
-    "quality_scores", "langid", "fingerprints",
     "minhash_pairs", "simhash_pairs",  # full sketch pipelines in SQL (r3)
-    "ngram_jaccard_pairs", "embedding_near_dups_exact",  # exact (late r3)
-    "ann_lsh_topk", "embedding_near_dups",  # LSH pipelines in SQL (late r3)
-    "repetition_scores", "source_stats", "unigram_surprisal",  # webtext
+    "ngram_jaccard_pairs",  # exact, brute-force oracle (late r3)
+    "ann_lsh_topk",  # LSH pipeline in SQL (late r3)
+    "embedding_near_dups",  # LSH + exact twin tagged union (merged, r4)
     "decontaminate", "corpus_filter",  # curation family (late r3)
     "events_sliding",  # sliding-window aggregate (late r3)
-    "stratified_sample",  # deterministic data mixing (late r3)
-    "sequence_pack",  # distributed prefix-scan packing (late r3)
-    "line_clean",  # C4-style line cleaning transform (late r3)
     "events_asof",  # backward as-of join (r3 session 4)
-    "redact",  # PII / deny-list scrub (r3 session 4)
     "line_dedup",  # corpus-global exact line dedup (r3 session 4)
     "tfidf_topk",  # per-doc tf-idf keywords (r3 session 4)
     "length_quantiles",  # exact histogram-merge quantiles (r3 session 4)
     "orders_by_nation",  # distributed hash + broadcast joins (r3 s4)
     "chunk_windows",  # overlapping context-window chunking (r3 s4)
     "events_top_users",  # grouped top-k / argmax-per-group (r3 s4)
-    "corpus_shuffle",  # deterministic training-order shuffle (r3 s4)
-    "bigram_top100",  # corpus n-gram frequency top-k (r3 s4)
     "revenue_by_brand",  # fact-table hash join at volume (r3 s4)
     "events_props_stats",  # JSON-field extraction + rollup (r3 s4)
     "quantize_int8",  # per-vector symmetric int8 quantization (r3 s4)
