@@ -133,7 +133,8 @@ def run_bench() -> dict:
 
     # scaling mode runs its own dedicated calibration subprocesses
     if not os.environ.get("BENCH_SKIP_SECONDARY"):
-        extras["calib_tasks_per_sec"] = _host_stamp(NUM_CPUS)
+        extras["calib_tasks_per_sec"] = _stamp_clean_window(NUM_CPUS,
+                                                            extras)
 
     pages = _ensure_corpus()
     index_root = f"{BENCH_DIR}/index_{NUM_CPUS}"
@@ -227,14 +228,23 @@ def run_bench() -> dict:
         refs = [pool.search_async(q, st, 10) for q, st in serve_qs]
         ray.get(refs)  # warm every replica's caches
         best = None
+        lat_ms: list[float] = []
         for _ in range(3):
             t0 = time.monotonic()
-            refs = [pool.search_async(q, st, 10) for q, st in serve_qs]
-            ray.get(refs)
+            pend = {}
+            for q, st in serve_qs:  # burst submit, per-query timestamps
+                pend[pool.search_async(q, st, 10)] = time.monotonic()
+            refs = list(pend)
+            while refs:  # per-query completion latency INCLUDING queue
+                done, refs = ray.wait(refs, num_returns=1)
+                lat_ms.append((time.monotonic() - pend[done[0]]) * 1000)
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         extras["serve_replicas"] = n_rep
         extras["serve_qps"] = round(len(serve_qs) / best, 1)
+        # pool-level latency percentiles under the concurrent mix
+        extras["serve_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
+        extras["serve_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
 
     # --- secondary pipelines over the sf dir -----------------------------
     if os.environ.get("BENCH_SKIP_SECONDARY"):
@@ -278,6 +288,80 @@ def run_bench() -> dict:
         "search_engine_ray.pipelines.relational",
         fromlist=["orders_by_nation"]).orders_by_nation)  # hash join
 
+    # --- paired A/B: fused corpus_filter vs the pre-fusion composition ----
+    # (r4: the composite gate reads 100% of the corpus; the fused pass
+    # tokenizes each doc once instead of ~5x — bit-identical decisions)
+    timed("corpus_filter", d.corpus_filter_docs)
+
+    def composed_filter(sf):
+        from search_engine_ray.functions.webtext import (
+            CorpusFilterComposedBatch,
+            eval_shingle_set,
+        )
+        from search_engine_ray.pipelines.documents import load_documents
+        from search_engine_ray.pool import actor_pool_size
+
+        dset = load_documents(sf)
+        ev_ref = ray.put(eval_shingle_set(dset))
+        return dset.map_batches(
+            CorpusFilterComposedBatch, fn_constructor_args=(ev_ref,),
+            batch_format="pyarrow", batch_size=1024,
+            concurrency=actor_pool_size())
+
+    timed("corpus_filter_composed", composed_filter)
+
+    # kernel-level A/B on ONE in-process batch (pipeline wall time at
+    # sandbox scale is Ray fixed-cost-dominated; the fusion win is CPU)
+    from search_engine_ray.functions.webtext import (
+        CorpusFilterBatch,
+        CorpusFilterComposedBatch as _CFC,
+        eval_shingle_set,
+    )
+    from search_engine_ray.pipelines.documents import load_documents
+
+    _docs = load_documents(SF_DIR)
+    _ev = ray.put(eval_shingle_set(_docs))
+    _fb = _docs.take_batch(2000, batch_format="pyarrow")
+    for name, inst in (("corpus_filter_kernel_fused_s",
+                        CorpusFilterBatch(_ev)),
+                       ("corpus_filter_kernel_composed_s", _CFC(_ev))):
+        inst(_fb)  # warm
+        kbest = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            inst(_fb)
+            kdt = time.monotonic() - t0
+            kbest = kdt if kbest is None else min(kbest, kdt)
+        extras[name] = round(kbest, 3)
+
+    # --- paired A/B: dup-spans emit kernel, rolling vs per-window md5 -----
+    # (r4: in-process on one deterministic ~300k-window batch — the
+    # rolling polynomial fingerprint replaced r3's per-window Python md5)
+    import pyarrow as _pa
+
+    from search_engine_ray.functions.dedup import (
+        RollingWindowHashBatch,
+        WindowHashBatch,
+    )
+
+    rng = np.random.default_rng(1)
+    vocab = [f"tok{i}" for i in range(5000)]
+    ktexts = [" ".join(vocab[i] for i in rng.integers(0, 5000, size=300))
+              for _ in range(1000)]
+    kb = _pa.table({"doc_id": _pa.array(range(len(ktexts)), _pa.int64()),
+                    "text": _pa.array(ktexts)})
+    for name, cls in (("dup_spans_emit_md5_s", WindowHashBatch),
+                      ("dup_spans_emit_rolling_s", RollingWindowHashBatch)):
+        inst = cls(25, 64)
+        inst(kb)  # warm: token-hash memo / power tables
+        kbest = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            inst(kb)
+            kdt = time.monotonic() - t0
+            kbest = kdt if kbest is None else min(kbest, kdt)
+        extras[name] = round(kbest, 3)
+
     ray.shutdown()
     total = round(sum(queries.values()), 3)
     return {
@@ -311,6 +395,31 @@ def _calib_kernel(seed: int) -> int:
         order = np.lexsort((b, a))
         out ^= int(np.cumsum(a[order])[-1])
     return out
+
+
+CALIB_FLOOR = float(os.environ.get("BENCH_CALIB_FLOOR", "6.1"))
+
+
+def _stamp_clean_window(ncpu: int, extras: dict) -> float:
+    """Clean-window discipline (r4): BENCH_r03 landed in a degraded host
+    window (calib 5.13 tasks/s vs the 8.3-8.74 clean-window baseline in
+    BASELINE.md), making every secondary read as regressed. When the
+    in-session stamp is below ~70% of the session calibration max
+    (floor 6.1, override BENCH_CALIB_FLOOR), pause and re-stamp up to
+    BENCH_CALIB_RETRIES times so the timed sections start in a clean
+    window; ALL stamps are recorded so a still-degraded run is visible,
+    never silent."""
+    stamps = [_host_stamp(ncpu)]
+    retries = int(os.environ.get("BENCH_CALIB_RETRIES", "3"))
+    wait_s = int(os.environ.get("BENCH_CALIB_WAIT_S", "45"))
+    # the floor is calibrated for the 32-cpu driver shape; smaller
+    # sessions have a lower natural ceiling, so only stamp there
+    while (ncpu >= 16 and stamps[-1] < CALIB_FLOOR
+           and len(stamps) <= retries):
+        time.sleep(wait_s)
+        stamps.append(_host_stamp(ncpu))
+    extras["calib_stamps"] = stamps
+    return stamps[-1]
 
 
 def _host_stamp(ncpu: int) -> float:

@@ -904,24 +904,161 @@ class WindowHashBatch:
         })
 
 
+# Two independent 31-bit prime channels for the rolling window
+# fingerprint: values stay < 2^31, so numpy int64 holds every product
+# (< 2^62) and every cumulative sum without overflow; the combined
+# 62-bit fingerprint keeps candidate collisions negligible while the
+# md5 VERIFY pass keeps the final output on the exact md5 convention.
+_RP1, _RB1 = 2147483647, 1_000_003        # 2^31 - 1 (Mersenne prime)
+_RP2, _RB2 = 2147483629, 1_000_033
+_RB1_INV = pow(_RB1, _RP1 - 2, _RP1)      # modular inverses (Fermat)
+_RB2_INV = pow(_RB2, _RP2 - 2, _RP2)
+
+
+def _mod_pow_table(base: int, mod: int, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.int64)
+    v = 1
+    for i in range(n):
+        out[i] = v
+        v = (v * base) % mod
+    return out
+
+
+class RollingWindowHashBatch:
+    """Candidate-generation twin of ``WindowHashBatch``: the same
+    (h, doc_id, start, hbucket) rows, but ``h`` is a 62-bit POLYNOMIAL
+    rolling fingerprint of the token window instead of a per-window md5
+    — equal window content always yields equal ``h`` (so candidate
+    recall is 1.0), and the whole doc is fingerprinted with vectorized
+    numpy (one cumsum + two gathers per channel) instead of O(n_windows)
+    Python md5 calls. The md5 verify pass downstream removes the (rare)
+    62-bit collisions, so the operator's OUTPUT stays on the md5 oracle
+    convention.
+
+    Per-channel maths (c_k = md5_number_lower(token_k) mod p, memoized
+    per distinct token per actor): v_k = c_k * B^k mod p; prefix sums
+    S; window sum W_i = S[i+w] - S[i] (int64-exact: each v < 2^31 and
+    docs are << 2^32 tokens); normalized N_i = W_i * B^-i mod p, so
+    equal windows at different offsets agree. h = N1 + (N2 << 31)."""
+
+    def __init__(self, window: int, num_buckets: int):
+        self._re = token_regex()
+        self._w = window
+        self._nb = num_buckets
+        self._memo: dict[str, int] = {}
+        self._pow1 = _mod_pow_table(_RB1, _RP1, 1024)
+        self._pow2 = _mod_pow_table(_RB2, _RP2, 1024)
+        self._inv1 = _mod_pow_table(_RB1_INV, _RP1, 1024)
+        self._inv2 = _mod_pow_table(_RB2_INV, _RP2, 1024)
+
+    def _grow_tables(self, n: int) -> None:
+        while len(self._pow1) < n:
+            m = len(self._pow1) * 2
+            self._pow1 = _mod_pow_table(_RB1, _RP1, m)
+            self._pow2 = _mod_pow_table(_RB2, _RP2, m)
+            self._inv1 = _mod_pow_table(_RB1_INV, _RP1, m)
+            self._inv2 = _mod_pow_table(_RB2_INV, _RP2, m)
+
+    def _codes(self, toks: list[str]) -> np.ndarray:
+        memo = self._memo
+        miss = [t for t in toks if t not in memo]
+        for t in set(miss):
+            memo[t] = int.from_bytes(
+                hashlib.md5(t.encode()).digest()[8:], "little") & _MERSENNE
+        return np.fromiter((memo[t] for t in toks), dtype=np.int64,
+                           count=len(toks))
+
+    def _doc_hashes(self, toks: list[str]) -> np.ndarray:
+        w = self._w
+        n_win = len(toks) - w + 1
+        self._grow_tables(len(toks) + 1)
+        c = self._codes(toks)
+        idx = np.arange(n_win)
+        out = np.empty(n_win, dtype=np.int64)
+        acc = None
+        for p, powt, invt, shift in ((_RP1, self._pow1, self._inv1, 0),
+                                     (_RP2, self._pow2, self._inv2, 31)):
+            v = ((c % p) * powt[:len(c)]) % p
+            s = np.concatenate(([0], np.cumsum(v)))
+            wsum = (s[w:] - s[:-w]) % p
+            norm = (wsum * invt[idx]) % p
+            if acc is None:
+                acc = norm
+            else:
+                acc = acc + (norm << np.int64(shift))
+        return acc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = self._w
+        ids: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        starts: list[np.ndarray] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = self._re.findall(text) if text else []
+            n = len(toks) - w + 1
+            if n <= 0:
+                continue
+            hs.append(self._doc_hashes(toks))
+            ids.append(np.full(n, doc_id, dtype=np.int64))
+            starts.append(np.arange(1, n + 1, dtype=np.int64))
+        h_arr = (np.concatenate(hs) if hs else np.empty(0, dtype=np.int64))
+        return pa.table({
+            "h": pa.array(h_arr, pa.int64()),
+            "doc_id": pa.array(
+                np.concatenate(ids) if ids else np.empty(0, np.int64),
+                pa.int64()),
+            "start": pa.array(
+                np.concatenate(starts) if starts else np.empty(0, np.int64),
+                pa.int64()),
+            "hbucket": pa.array(h_arr % np.int64(self._nb), pa.int64()),
+        })
+
+
+DUP_SPAN_BROADCAST_CAP = 5_000_000
+
+
 def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
-                    batch_size: int = 1024):
+                    batch_size: int = 1024, rolling: bool = True,
+                    broadcast_cap: int = DUP_SPAN_BROADCAST_CAP):
     """Flag maximal duplicated token spans: every run of tokens covered
     by ``window``-token windows whose exact content appears in >= 2
     DISTINCT documents -> (doc_id, span_start, span_end, span_len),
     1-based inclusive token positions.
 
-    Two coarse-bucket exchanges, both corpus-shaped (never all-pairs):
-    1. shuffle window fingerprints on ``h % num_buckets``; inside each
-       bucket keep windows whose hash has >= 2 distinct doc_ids (the
-       within-doc-repeat case is deliberately NOT flagged — same rule as
-       the SQL oracle's ``count(DISTINCT doc_id) >= 2``),
-    2. shuffle survivors on ``doc_id % num_buckets``; inside each bucket
-       merge overlapping-or-adjacent windows per doc into maximal spans
-       (vectorized islands: break where start > prev_start + window).
+    Default plan (``rolling=True``): rolling-fingerprint candidates +
+    md5 exact verify — the hot emit stage is vectorized numpy instead of
+    one Python md5 per token window (the r3 verdict's one row-at-a-time
+    loop in a headline pipeline):
+
+    1. map: 62-bit polynomial rolling fingerprints per window
+       (``RollingWindowHashBatch`` — equal content => equal h, so no
+       true pair is ever missed);
+    2. exchange on ``h %% num_buckets``: windows whose fingerprint spans
+       >= 2 distinct docs become CANDIDATES (a tiny superset of the true
+       duplicates: true dups + 62-bit collisions);
+    3. verify: md5 window hashes computed ONLY for candidate windows,
+       tiered like the minhash verify — <= ``broadcast_cap`` candidates
+       broadcast once via ``ray.put`` and the corpus is re-SCANNED
+       map-side (a second read beats shuffling text); above the cap
+       (dup-heavy corpus) the candidates co-shuffle with the text rows
+       on the doc bucket (the cut_duplicate_spans tagged-union plan) —
+       both tiers are built and proven identical by test;
+    4. exchange on the md5 hash: >= 2 distinct docs survive (same rule
+       as the SQL oracle's ``count(DISTINCT doc_id) >= 2``, so the
+       OUTPUT is bit-identical to the direct-md5 plan — pinned by test);
+    5. exchange on ``doc_id %% num_buckets``: merge overlapping-or-
+       adjacent windows per doc into maximal spans (vectorized islands:
+       break where start > prev_start + window).
+
+    ``rolling=False`` is the direct-md5 two-exchange plan (every window
+    md5-hashed map-side) — kept as the identity anchor and A/B baseline.
 
     Downstream policy (cut vs keep-one-occurrence) is a separate map —
     this operator is the corpus-wide report it needs."""
+    if rolling:
+        return _duplicate_spans_rolling(ds, window, num_buckets,
+                                        batch_size, broadcast_cap)
     hashed = ds.map_batches(WindowHashBatch(window, num_buckets),
                             batch_format="pyarrow", batch_size=batch_size)
 
@@ -933,7 +1070,10 @@ def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
 
     hits = hashed.groupby("hbucket").map_groups(survivors,
                                                 batch_format="pandas")
+    return _spans_from_hits(hits, window, num_buckets)
 
+
+def _spans_islands_fn(window: int):
     def islands(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "start"])
         d = g["doc_id"].to_numpy()
@@ -951,8 +1091,151 @@ def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
             "span_len": s[last] - s[first] + window,
         })
 
-    return hits.groupby("dbucket").map_groups(islands,
+    return islands
+
+
+def _spans_from_hits(hits, window: int, num_buckets: int):
+    """(doc_id, start, dbucket) hit rows -> maximal spans per doc."""
+    return hits.groupby("dbucket").map_groups(_spans_islands_fn(window),
                                               batch_format="pandas")
+
+
+def _duplicate_spans_rolling(ds, window: int, num_buckets: int,
+                             batch_size: int, broadcast_cap: int):
+    """The rolling-candidates + md5-verify plan (see duplicate_spans)."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    cand = ds.map_batches(RollingWindowHashBatch(window, num_buckets),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["doc_id"].transform("nunique")
+        return g.loc[nd >= 2, ["doc_id", "start"]]
+
+    cand_ds = bucketed_group_agg(cand, ["hbucket"], candidates,
+                                 num_buckets).materialize()
+    n_cand = cand_ds.count()
+    if n_cand == 0:  # no fingerprint collides across docs: no spans
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64()),
+            "span_len": pa.array([], pa.int64())}))
+
+    def _md5_window_hashes(toks: list[str], starts: np.ndarray,
+                           w: int) -> list[int]:
+        return [
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[s - 1:s - 1 + w]).encode())
+                .digest()[8:], "little") & _MERSENNE
+            for s in starts.tolist()
+        ]
+
+    if n_cand <= broadcast_cap:
+        # verify tier 1: broadcast the candidate set once (ray.put) and
+        # RE-SCAN the corpus map-side — text never enters an exchange
+        cand_df = cand_ds.to_pandas()
+        starts_by_doc = {
+            int(d): np.sort(sub["start"].to_numpy(dtype=np.int64))
+            for d, sub in cand_df.groupby("doc_id")
+        }
+        cand_ref = ray.put(starts_by_doc)
+
+        class VerifyHash:
+            """md5 window hashes for CANDIDATE windows only."""
+
+            def __init__(self, ref):
+                self._re = token_regex()
+                self._cand = ray.get(ref)
+                self._w = window
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids: list[int] = []
+                hs: list[int] = []
+                starts: list[int] = []
+                for doc_id, text in zip(
+                        batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+                    st = self._cand.get(int(doc_id))
+                    if st is None:
+                        continue
+                    toks = self._re.findall(text) if text else []
+                    ids.extend([doc_id] * len(st))
+                    starts.extend(st.tolist())
+                    hs.extend(_md5_window_hashes(toks, st, self._w))
+                return pa.table({
+                    "h": pa.array(np.asarray(hs, dtype=np.int64),
+                                  pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "start": pa.array(starts, pa.int64()),
+                })
+
+        verified = ds.map_batches(
+            VerifyHash, fn_constructor_args=(cand_ref,),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=actor_pool_size())
+    else:
+        # verify tier 2 (dup-heavy corpus, candidates exceed what the
+        # driver should hold): tagged-union co-shuffle of candidates
+        # with the text rows on the doc bucket — the
+        # cut_duplicate_spans plan; the corpus moves through ONE
+        # exchange instead of a broadcast
+        logger.info(
+            "duplicate_spans: %d candidates > broadcast cap %d — "
+            "using the co-shuffle verify tier", n_cand, broadcast_cap)
+
+        def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "start": df["start"].to_numpy(),
+                "text": "",  # typed, never None (union schema)
+            })
+
+        def tag_text(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(),
+                "start": np.int64(-1),
+                "text": b["text"].astype(object),
+            })
+
+        both = cand_ds.map_batches(tag_cand, batch_format="pandas") \
+            .union(ds.map_batches(tag_text, batch_format="pandas",
+                                  batch_size=batch_size))
+
+        def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            tok_re = token_regex()
+            wins = g[g["start"] >= 0]
+            by_doc = {d: np.sort(sub["start"].to_numpy(dtype=np.int64))
+                      for d, sub in wins.groupby("doc_id")}
+            out_d: list[int] = []
+            out_s: list[int] = []
+            out_h: list[int] = []
+            for row in g[g["start"] < 0].itertuples(index=False):
+                st = by_doc.get(row.doc_id)
+                if st is None:
+                    continue
+                toks = tok_re.findall(row.text) if row.text else []
+                out_d.extend([row.doc_id] * len(st))
+                out_s.extend(st.tolist())
+                out_h.extend(_md5_window_hashes(toks, st, window))
+            return pd.DataFrame({
+                "h": np.asarray(out_h, dtype=np.int64),
+                "doc_id": np.asarray(out_d, dtype=np.int64),
+                "start": np.asarray(out_s, dtype=np.int64)})
+
+        verified = bucketed_group_agg(both, ["doc_id"], verify_bucket,
+                                      num_buckets)
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["doc_id"].transform("nunique")
+        out = g.loc[nd >= 2, ["doc_id", "start"]].copy()
+        out["dbucket"] = (out["doc_id"].to_numpy() % np.int64(num_buckets))
+        return out
+
+    hits = bucketed_group_agg(verified, ["h"], survivors, num_buckets)
+    return _spans_from_hits(hits, window, num_buckets)
 
 
 def cut_duplicate_spans(ds, window: int = 50, num_buckets: int = 64,

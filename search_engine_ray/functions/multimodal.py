@@ -2,12 +2,13 @@
 
 Binary media are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as actor-pool ``map_batches``
-stages. The container ships NO image/audio libraries, so the codec leaf is
-STUBBED: ``RealDecoder`` raises ``NotImplementedError`` (swap in
-PIL/torchaudio in a real deployment), while ``FakeDecoder`` produces a
-deterministic array from the bytes so the Ray-side plumbing — schema, batch
-sizing for wide binary rows, actor signature, output layout — is real and
-tested.
+stages. The container ships NO image/audio libraries, so the codec leaf
+is ``PureDecoder`` — dependency-free REAL parsers for published formats:
+24-bit uncompressed BMP (BITMAPINFOHEADER), 16-bit PCM RIFF/WAVE, and a
+length-prefixed BMP frame container for video. ``FakeDecoder`` (a
+deterministic blake2b stand-in that accepts arbitrary bytes) remains for
+plumbing tests; swap in PIL/libav for JPEG/MP4 in a real deployment —
+the actor signature and output layout don't change.
 
 Memory note: binary payloads can be MBs/row, so these stages run with SMALL
 ``batch_size`` (see ``media_features``) and keep the payload column out of
@@ -17,6 +18,7 @@ any shuffle — only the extracted fixed-size features move.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -36,18 +38,122 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 64
 
 
-class RealDecoder:
-    """The production decode path — intentionally not implementable in this
-    container (no PIL / libav). Kept as the documented extension point."""
+# --- dependency-free real codecs -------------------------------------------
+# BMP: Microsoft BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit BI_RGB,
+# rows bottom-up, each row padded to 4 bytes (the published format).
+# WAV: RIFF/WAVE with a PCM 'fmt ' chunk and a 'data' chunk, 16-bit.
+# Video: "GVID" magic + uint32 frame count + per-frame uint32-length-
+# prefixed BMP blobs (a defined container so frame parsing is real).
+
+_VID_MAGIC = b"GVID"
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Grayscale uint8 (h, w) -> 24-bit uncompressed BMP bytes (each of
+    B, G, R carries the gray value)."""
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    pad = (-(w * 3)) % 4
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up row order
+        bgr = np.repeat(g[r], 3).astype(np.uint8).tobytes()
+        rows.append(bgr + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data),
+                         0, 0, 14 + 40)
+    return header + info + pixel_data
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM bytes."""
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(s)) + s)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """List of grayscale uint8 frames -> GVID container bytes."""
+    blobs = [encode_bmp(f) for f in frames]
+    return (_VID_MAGIC + struct.pack("<I", len(blobs))
+            + b"".join(struct.pack("<I", len(b)) + b for b in blobs))
+
+
+class PureDecoder:
+    """Real, dependency-free decode leaf for the formats above. Raises
+    ``ValueError`` on malformed payloads (magic/bpp/compression checks),
+    so a corrupt row fails loudly instead of producing garbage pixels."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "container; use FakeDecoder for plumbing tests"
-        )
+        """24-bit BI_RGB BMP -> float32 grayscale (h, w) in [0, 1]
+        (mean of B, G, R per pixel)."""
+        if not payload or len(payload) < 54 or payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        (hdr_size, w, h, _planes, bpp, comp) = struct.unpack_from(
+            "<IiiHHI", payload, 14)
+        if hdr_size < 40 or bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        px = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                           offset=data_off)
+        rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return (rows.astype(np.float32).mean(axis=2) / 255.0)
 
-    decode_audio = decode_image
-    decode_video_frames = decode_image
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        """16-bit PCM RIFF/WAVE -> float32 samples in [-1, 1)."""
+        if (not payload or payload[:4] != b"RIFF"
+                or payload[8:12] != b"WAVE"):
+            raise ValueError("not a WAV payload")
+        off = 12
+        data = None
+        while off + 8 <= len(payload):
+            cid = payload[off:off + 4]
+            sz = struct.unpack_from("<I", payload, off + 4)[0]
+            if off + 8 + sz > len(payload):
+                raise ValueError("truncated WAV chunk")
+            if cid == b"fmt ":
+                fmt_code, _ch, _rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", payload, off + 8)
+                if fmt_code != 1 or bits != 16:
+                    raise ValueError("unsupported WAV (non-PCM16)")
+            elif cid == b"data":
+                data = payload[off + 8:off + 8 + sz]
+            off += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if data is None:
+            raise ValueError("WAV without data chunk")
+        return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+
+    def decode_video_frames(self, payload: bytes,
+                            n_frames: int | None = None) -> list[np.ndarray]:
+        """GVID container -> list of decoded frames; when ``n_frames`` is
+        given, evenly subsample (the frame-sampling a featurizer wants)."""
+        if not payload or payload[:4] != _VID_MAGIC:
+            raise ValueError("not a GVID payload")
+        if len(payload) < 8:
+            raise ValueError("truncated GVID header")
+        total = struct.unpack_from("<I", payload, 4)[0]
+        off, frames = 8, []
+        for _ in range(total):
+            if off + 4 > len(payload):
+                raise ValueError("truncated GVID frame table")
+            ln = struct.unpack_from("<I", payload, off)[0]
+            frames.append(self.decode_image(payload[off + 4:off + 4 + ln]))
+            off += 4 + ln
+        if n_frames is not None and n_frames > 0 and frames:
+            # exactly n_frames, evenly sampled (repeats when the clip is
+            # shorter — fixed-count sampling is what a featurizer wants)
+            idx = (np.arange(n_frames) * len(frames)) // n_frames
+            frames = [frames[i] for i in idx]
+        return frames
 
 
 class FakeDecoder:
@@ -73,40 +179,65 @@ class FakeDecoder:
         ]
 
 
+def _decoder_of(decoder: str):
+    try:
+        return {"fake": FakeDecoder, "pure": PureDecoder}[decoder]()
+    except KeyError:
+        raise ValueError(f"unknown decoder {decoder!r}") from None
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decoder constructed ONCE per actor (the 'model
-    load'), per-batch decode + pooled feature vector per row."""
+    load'), per-batch decode + REAL decoded stats (width/height of the
+    decoded raster, sample/frame counts, pixel-or-sample mean and rms)
+    + a pooled fixed-size feature vector per row."""
 
-    def __init__(self, decoder: str = "fake"):
-        self._dec = FakeDecoder() if decoder == "fake" else RealDecoder()
+    def __init__(self, decoder: str = "pure"):
+        self._dec = _decoder_of(decoder)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        feats = []
+        feats, widths, heights, units, means, rmss = [], [], [], [], [], []
         for kind, p in zip(kinds, payloads):
             if kind == "image":
-                arr = self._dec.decode_image(p).ravel()
+                img = self._dec.decode_image(p)
+                arr = img.ravel()
+                w, h, n_units = img.shape[1], img.shape[0], 1
             elif kind == "audio":
                 arr = self._dec.decode_audio(p).ravel()
+                w, h, n_units = 0, 0, arr.size
             elif kind == "video":
                 frames = self._dec.decode_video_frames(p)
                 arr = np.mean([f.ravel() for f in frames], axis=0)
+                w, h = frames[0].shape[1], frames[0].shape[0]
+                n_units = len(frames)
             else:
                 raise ValueError(f"unknown media kind {kind!r}")
             vec = np.zeros(FEATURE_DIM, dtype=np.float32)
             vec[: min(FEATURE_DIM, arr.size)] = arr[:FEATURE_DIM]
             feats.append(vec.tolist())
+            widths.append(w)
+            heights.append(h)
+            units.append(n_units)
+            a64 = arr.astype(np.float64)
+            means.append(round(float(a64.mean()), 6))
+            rmss.append(round(float(np.sqrt((a64 * a64).mean())), 6))
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "kind": batch.column("kind"),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_units": pa.array(units, pa.int64()),
+                "sig_mean": pa.array(means, pa.float64()),
+                "sig_rms": pa.array(rmss, pa.float64()),
                 "feature": pa.array(feats, pa.list_(pa.float32())),
             }
         )
 
 
-def media_features(ds, decoder: str = "fake", concurrency: int = 2,
+def media_features(ds, decoder: str = "pure", concurrency: int = 2,
                    batch_size: int = 64):
     """documents-with-media Dataset -> (media_id, kind, feature:list<float>).
 
@@ -130,8 +261,8 @@ class MediaResize:
     the resized pixel block as list<float> plus its dimensions."""
 
     def __init__(self, out_w: int = 4, out_h: int = 4,
-                 decoder: str = "fake"):
-        self._dec = FakeDecoder() if decoder == "fake" else RealDecoder()
+                 decoder: str = "pure"):
+        self._dec = _decoder_of(decoder)
         self.out_w = out_w
         self.out_h = out_h
 
@@ -156,7 +287,7 @@ class MediaResize:
         )
 
 
-def resize_images(ds, out_w: int = 4, out_h: int = 4, decoder: str = "fake",
+def resize_images(ds, out_w: int = 4, out_h: int = 4, decoder: str = "pure",
                   concurrency: int = 2, batch_size: int = 64):
     """Image rows -> resized pixel blocks (media_id, pixels, width,
     height). Filters to kind == 'image' first so non-image payloads never
@@ -180,8 +311,8 @@ class FrameSampler:
     a video featurization pipeline needs (per-frame rows are narrow, so
     downstream stages shuffle frames, never payloads)."""
 
-    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
-        self._dec = FakeDecoder() if decoder == "fake" else RealDecoder()
+    def __init__(self, n_frames: int = 4, decoder: str = "pure"):
+        self._dec = _decoder_of(decoder)
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -203,7 +334,7 @@ class FrameSampler:
         )
 
 
-def sample_video_frames(ds, n_frames: int = 4, decoder: str = "fake",
+def sample_video_frames(ds, n_frames: int = 4, decoder: str = "pure",
                         concurrency: int = 2, batch_size: int = 32):
     """Video rows -> per-frame rows (frame-sample explode)."""
     import pyarrow.compute as pc
@@ -218,21 +349,50 @@ def sample_video_frames(ds, n_frames: int = 4, decoder: str = "fake",
     )
 
 
-def synthetic_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic media fixture table (no real codecs needed)."""
+def synthetic_media(n: int, seed: int = 42, real: bool = True) -> pa.Table:
+    """Deterministic media fixture table. ``real=True`` (default) writes
+    REAL payload bytes in the formats ``PureDecoder`` parses — BMP images
+    of varying sizes, PCM-16 WAV clips, GVID multi-frame videos —
+    so the decode stage exercises an actual codec path end-to-end;
+    ``real=False`` keeps the legacy opaque-random-bytes fixture for the
+    FakeDecoder plumbing tests."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                               dtype=np.uint8).tobytes()
+        if not real:
+            payload = rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                                   dtype=np.uint8).tobytes()
+            w = h = 8 if kind != "audio" else 0
+            dur = 0 if kind == "image" else 1000
+        elif kind == "image":
+            h, w = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+            payload = encode_bmp(
+                rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+            dur = 0
+        elif kind == "audio":
+            n_samp = int(rng.integers(64, 512))
+            payload = encode_wav(rng.integers(
+                -32768, 32768, size=n_samp, dtype=np.int64
+            ).astype(np.int16), rate=8000)
+            w = h = 0
+            dur = int(n_samp * 1000 / 8000)
+        else:
+            h, w = int(rng.integers(4, 13)), int(rng.integers(4, 13))
+            n_fr = int(rng.integers(3, 7))
+            payload = encode_video([
+                rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                for _ in range(n_fr)])
+            dur = n_fr * 40
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/fake", "audio": "audio/fake",
-                             "video": "video/fake"}[kind])
-        rows["width"].append(8 if kind != "audio" else 0)
-        rows["height"].append(8 if kind != "audio" else 0)
-        rows["duration_ms"].append(0 if kind == "image" else 1000)
+        rows["mime"].append(
+            {"image": "image/bmp" if real else "image/fake",
+             "audio": "audio/wav" if real else "audio/fake",
+             "video": "video/x-gvid" if real else "video/fake"}[kind])
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)

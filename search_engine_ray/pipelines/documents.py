@@ -780,8 +780,11 @@ def corpus_filter_docs(sf_dir: str):
 
 
 def media_features_demo(sf_dir: str):
-    """Multimodal plumbing demo on a deterministic synthetic media table
-    (sf_dir unused — the container has no media columns in testdata)."""
+    """Multimodal decode + featurize on a deterministic media table of
+    REAL payload bytes (BMP / PCM-16 WAV / GVID frame container, parsed
+    by the dependency-free PureDecoder — see functions/multimodal.py);
+    sf_dir unused (testdata ships no media columns). Emits real decoded
+    width/height/sample stats per row (golden-pinned by pytest)."""
     from search_engine_ray.functions.multimodal import (
         media_features,
         synthetic_media,

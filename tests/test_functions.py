@@ -381,23 +381,85 @@ def test_ivf_partial_probe_recall_on_clustered_data(ray_session):
         assert sub["cos"].max() == 1.0
 
 
-def test_media_features_deterministic_and_stub(ray_session):
+def test_pure_decoder_golden_roundtrip():
+    """Golden values through the REAL dependency-free codecs: a known
+    BMP gradient, a known PCM-16 WAV, a multi-frame GVID container —
+    encode -> decode must reproduce the exact pixels/samples; malformed
+    payloads raise."""
+    from search_engine_ray.functions.multimodal import (
+        PureDecoder,
+        encode_bmp,
+        encode_video,
+        encode_wav,
+    )
+
+    dec = PureDecoder()
+    img = np.array([[0, 85], [170, 255]], dtype=np.uint8)
+    got = dec.decode_image(encode_bmp(img))
+    assert got.shape == (2, 2)
+    assert np.allclose(got, img.astype(np.float32) / 255.0)
+    # odd width exercises the 4-byte row padding path
+    img2 = np.arange(15, dtype=np.uint8).reshape(3, 5) * 17
+    assert np.allclose(dec.decode_image(encode_bmp(img2)),
+                       img2.astype(np.float32) / 255.0)
+
+    samples = np.array([0, 16384, -32768, 32767], dtype=np.int16)
+    aud = dec.decode_audio(encode_wav(samples))
+    assert np.allclose(aud, [0.0, 0.5, -1.0, 32767 / 32768])
+
+    frames = [np.full((2, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    out = dec.decode_video_frames(encode_video(frames))
+    assert len(out) == 3
+    assert all(np.allclose(o, f / 255.0) for o, f in zip(out, frames))
+    # exact-n subsampling, repeats when the clip is shorter
+    assert len(dec.decode_video_frames(encode_video(frames), 2)) == 2
+    assert len(dec.decode_video_frames(encode_video(frames), 5)) == 5
+
+    for bad in (b"xx", b"BMshort", b"RIFFxxxxNOPE"):
+        with pytest.raises(ValueError):
+            dec.decode_image(bad)
+        with pytest.raises(ValueError):
+            dec.decode_audio(bad)
+        with pytest.raises(ValueError):
+            dec.decode_video_frames(bad)
+
+
+def test_media_features_real_decode_stats(ray_session):
+    """media_features over the real-payload fixture decodes actual
+    bytes: width/height match the encoded raster, audio n_units counts
+    real samples, sig_mean/sig_rms reproduce numpy on the decoded
+    signal; the run is deterministic."""
     import ray.data as rd
 
     from search_engine_ray.functions.multimodal import (
-        RealDecoder,
+        PureDecoder,
         media_features,
         synthetic_media,
     )
 
-    ds1 = media_features(rd.from_arrow(synthetic_media(12))).to_pandas()
-    ds2 = media_features(rd.from_arrow(synthetic_media(12))).to_pandas()
+    t = synthetic_media(12)
+    ds1 = media_features(rd.from_arrow(t)).to_pandas()
+    ds2 = media_features(rd.from_arrow(t)).to_pandas()
     a = ds1.sort_values("media_id").reset_index(drop=True)
     b = ds2.sort_values("media_id").reset_index(drop=True)
     assert all(np.array_equal(x, y) for x, y in zip(a["feature"], b["feature"]))
     assert all(len(f) == 64 for f in a["feature"])
-    with pytest.raises(NotImplementedError):
-        RealDecoder().decode_image(b"xx")
+    # decoded dims must equal the fixture's encoded metadata columns
+    meta = t.to_pandas().set_index("media_id")
+    got = a.set_index("media_id")
+    for mid in meta.index:
+        if meta.loc[mid, "kind"] != "audio":
+            assert got.loc[mid, "width"] == meta.loc[mid, "width"]
+            assert got.loc[mid, "height"] == meta.loc[mid, "height"]
+    # golden stats on one audio row
+    dec = PureDecoder()
+    arow = meta[meta["kind"] == "audio"].iloc[0]
+    sig = dec.decode_audio(arow["payload"]).astype(np.float64)
+    mid = arow.name
+    assert got.loc[mid, "n_units"] == sig.size
+    assert got.loc[mid, "sig_mean"] == round(float(sig.mean()), 6)
+    assert got.loc[mid, "sig_rms"] == round(
+        float(np.sqrt((sig * sig).mean())), 6)
 
 
 def test_media_resize_and_frame_sample(ray_session):
@@ -583,6 +645,8 @@ def _brute_spans(texts: dict[int, str], window: int):
 
 def _spans_rows(ds):
     df = ds.to_pandas()
+    if df.empty:  # zero spans: legacy md5 plan yields a column-less frame
+        return []
     return sorted(map(tuple, df[["doc_id", "span_start", "span_end",
                                  "span_len"]].itertuples(index=False)))
 
@@ -649,6 +713,47 @@ def test_duplicate_spans_randomized_vs_brute(ray_session):
         got = _spans_rows(duplicate_spans(rd.from_arrow(t), window=w,
                                           num_buckets=8))
         assert got == _brute_spans(texts, w), w
+
+
+def test_rolling_window_hash_kernel_and_plan_identity(ray_session):
+    """The rolling-fingerprint kernel: equal window CONTENT (across docs
+    and offsets) always hashes equal, different content differs; and the
+    rolling+verify plan (default) returns bit-identical spans to the
+    direct-md5 plan (rolling=False) on planted and randomized corpora."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import (
+        RollingWindowHashBatch,
+        duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["x0 x1 " + shared + " x2",
+                          shared + " y0 y1 y2 y3"]),
+    })
+    out = RollingWindowHashBatch(5, 4)(t).to_pandas()
+    h0 = out[(out.doc_id == 0) & (out.start == 3)]["h"].iloc[0]
+    h1 = out[(out.doc_id == 1) & (out.start == 1)]["h"].iloc[0]
+    assert h0 == h1  # same 5-token content at different offsets/docs
+    assert out["h"].nunique() == out["h"].size - 1  # everything else differs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(6)]
+    texts = {d: " ".join(vocab[i] for i in rng.integers(0, 6, size=int(n)))
+             for d, n in enumerate(rng.integers(0, 40, size=30))}
+    tbl = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                    "text": pa.array([texts[k] for k in sorted(texts)])})
+    for w in (3, 6):
+        roll = _spans_rows(duplicate_spans(rd.from_arrow(tbl), window=w,
+                                           num_buckets=8))
+        md5p = _spans_rows(duplicate_spans(rd.from_arrow(tbl), window=w,
+                                           num_buckets=8, rolling=False))
+        # co-shuffle verify tier (broadcast_cap=0 forces it)
+        cosh = _spans_rows(duplicate_spans(rd.from_arrow(tbl), window=w,
+                                           num_buckets=8, broadcast_cap=0))
+        assert roll == md5p == cosh == _brute_spans(texts, w), w
 
 
 def test_cms_heavy_hitters_exact_anchor_and_bounds(ray_session):
