@@ -265,6 +265,24 @@ def cmd_ann_build(args) -> int:
     return 0
 
 
+def cmd_ann_delta(args) -> int:
+    """Incremental maintenance of the persisted IVF index
+    (vecindex.apply_ivf_delta): --add is a (vec_id, embedding) parquet
+    appended under the stored codebook; --remove is a comma-separated
+    vec_id list rewritten out of only the touched list files."""
+    import ray.data as rd
+
+    from search_engine_ray.vecindex import apply_ivf_delta
+
+    adds = (rd.read_parquet(args.add, columns=["vec_id", "embedding"])
+            if args.add else None)
+    removes = ([int(x) for x in args.remove.split(",") if x]
+               if args.remove else None)
+    m = apply_ivf_delta(args.root, adds=adds, remove_ids=removes)
+    print(json.dumps(m))
+    return 0
+
+
 def cmd_ann_query(args) -> int:
     """Query the persisted IVF index: reads ONLY the probed list
     partitions. ``--queries`` is a (vec_id, embedding) parquet; results
@@ -694,6 +712,14 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("-k", type=int, default=10)
     aq.add_argument("--n-probe", type=int, default=4)
     aq.set_defaults(fn=cmd_ann_query)
+
+    ad = sub.add_parser("ann-delta")
+    ad.add_argument("--root", required=True)
+    ad.add_argument("--add", default=None,
+                    help="parquet of vectors to add (vec_id, embedding)")
+    ad.add_argument("--remove", default=None,
+                    help="comma-separated vec_ids to remove")
+    ad.set_defaults(fn=cmd_ann_delta)
 
     cu = sub.add_parser("curate")
     cu.add_argument("--input", required=True,

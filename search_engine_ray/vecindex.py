@@ -57,27 +57,10 @@ class VecIndexConfig:
     seed: int = 17
 
 
-def build_ivf_index(ds, root: str, cfg: VecIndexConfig = VecIndexConfig(),
-                    batch_size: int = 4096, resume: bool = True) -> dict:
-    """Train the codebook, assign every vector to its nearest-centroid
-    list in one streaming pass, write the list-partitioned parquet and
-    the manifest (last — its presence marks a complete build, the same
-    atomic-commit convention as build.py)."""
+def _assign_lists(ds, C: np.ndarray, batch_size: int):
+    """Streaming nearest-centroid assignment: + ``list_id`` column."""
     import ray
 
-    manifest_path = os.path.join(root, "manifest.json")
-    if resume and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            m = json.load(f)
-        if m.get("config") == asdict(cfg):
-            return m
-    import shutil
-
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-
-    C = train_codebook(ds, cfg.n_centroids, cfg.sample_size, cfg.seed)
-    np.save(os.path.join(root, "centroids.npy"), C)
     cref = ray.put(C)
 
     class AssignBatch:
@@ -89,10 +72,37 @@ def build_ivf_index(ds, root: str, cfg: VecIndexConfig = VecIndexConfig(),
             assign = np.argmax(vecs @ self._C.T, axis=1).astype(np.int32)
             return batch.append_column("list_id", pa.array(assign))
 
-    assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
         AssignBatch, batch_format="pyarrow", batch_size=batch_size,
         concurrency=actor_pool_size(),
     )
+
+
+def build_ivf_index(ds, root: str, cfg: VecIndexConfig = VecIndexConfig(),
+                    batch_size: int = 4096, resume: bool = True,
+                    codebook: np.ndarray | None = None) -> dict:
+    """Train the codebook, assign every vector to its nearest-centroid
+    list in one streaming pass, write the list-partitioned parquet and
+    the manifest (last — its presence marks a complete build, the same
+    atomic-commit convention as build.py). ``codebook`` overrides the
+    trained centroids — the shared-codebook path for sharded builds and
+    for the delta-vs-scratch identity test."""
+    manifest_path = os.path.join(root, "manifest.json")
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("config") == asdict(cfg):
+            return m
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    C = (np.asarray(codebook, dtype=np.float64) if codebook is not None
+         else train_codebook(ds, cfg.n_centroids, cfg.sample_size,
+                             cfg.seed))
+    np.save(os.path.join(root, "centroids.npy"), C)
+    assigned = _assign_lists(ds, C, batch_size)
     assigned.write_parquet(os.path.join(root, "lists"),
                            partition_cols=["list_id"])
     n_vectors = int(
@@ -100,6 +110,109 @@ def build_ivf_index(ds, root: str, cfg: VecIndexConfig = VecIndexConfig(),
                     partitioning="hive").count_rows())
     m = {"config": asdict(cfg), "n_vectors": n_vectors,
          "dim": int(C.shape[1]), "n_lists": int(C.shape[0])}
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, manifest_path)
+    return m
+
+
+def apply_ivf_delta(root: str, adds=None, remove_ids=None,
+                    batch_size: int = 4096) -> dict:
+    """Incremental maintenance of a persisted IVF index — the
+    ``incremental.apply_delta`` analogue for the vector artifact:
+
+    * ``adds`` (a (vec_id, embedding) Dataset, or None): assigned to the
+      EXISTING lists with the stored codebook (centroids are immutable
+      under deltas, like the inverted index's tokenizer config) and
+      APPENDED as new ``delta-<seq>-*.parquet`` files inside each
+      touched list directory — zero rewrite for pure inserts.
+    * ``remove_ids`` (iterable of vec_ids, or None): located by a
+      vec_id-COLUMN-ONLY scan of the list files (footer min/max stats
+      prune fragments that cannot contain a removed id; the id column is
+      ~1-2%% of the vector payload, so even the unpruned worst case reads
+      a sliver of the index); ONLY files that actually contain a removed
+      id are rewritten in place (original row order preserved).
+    * an update is remove + add of the same vec_id, as in incremental.py.
+
+    The manifest is rewritten LAST with the new ``n_vectors`` and a
+    bumped ``delta_seq`` (atomic ``os.replace`` — a crash mid-delta
+    leaves the previous manifest; re-running the delta is idempotent for
+    removals and safe for adds because the delta file name carries the
+    sequence number and is replaced whole). Searches need no code path
+    change: ``IvfSearcher`` already reads every parquet file in a probed
+    list directory. Equivalence contract (pinned by test): after a
+    delta, the index is bit-identical in CONTENT to a scratch rebuild of
+    the updated corpus with the same codebook, and searches equal brute
+    force at full probe width."""
+    import pyarrow.parquet as pq
+
+    manifest_path = os.path.join(root, "manifest.json")
+    with open(manifest_path) as f:
+        m = json.load(f)
+    C = np.load(os.path.join(root, "centroids.npy"))
+    lists_dir = os.path.join(root, "lists")
+    seq = int(m.get("delta_seq", 0)) + 1
+    n_removed = 0
+    n_added = 0
+
+    if remove_ids is not None:
+        rm = np.unique(np.asarray(list(remove_ids), dtype=np.int64))
+        if rm.size:
+            for dirpath, _dirs, files in os.walk(lists_dir):
+                for fname in sorted(files):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    path = os.path.join(dirpath, fname)
+                    md = pq.read_metadata(path)
+                    # footer stats prune: can this file hold any rm id?
+                    idx = md.schema.to_arrow_schema().get_field_index(
+                        "vec_id")
+                    may = False
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            may = True
+                            break
+                        lo = np.searchsorted(rm, st.min)
+                        if lo < rm.size and rm[lo] <= st.max:
+                            may = True
+                            break
+                    if not may:
+                        continue
+                    ids = pq.read_table(
+                        path, columns=["vec_id"]).column(
+                            "vec_id").to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(rm, ids)
+                    hit = (pos < rm.size) & (rm[np.minimum(
+                        pos, rm.size - 1)] == ids)
+                    if not hit.any():
+                        continue
+                    t = pq.read_table(path)
+                    kept = t.filter(pa.array(~hit))
+                    n_removed += int(hit.sum())
+                    tmp = path + ".tmp"
+                    pq.write_table(kept, tmp)
+                    os.replace(tmp, path)
+
+    if adds is not None:
+        assigned = _assign_lists(adds, C, batch_size).to_pandas()
+        n_added = len(assigned)
+        for list_id, sub in assigned.groupby("list_id"):
+            d = os.path.join(lists_dir, f"list_id={int(list_id)}")
+            os.makedirs(d, exist_ok=True)
+            out = pa.table({
+                "vec_id": pa.array(sub["vec_id"].to_numpy(np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in sub["embedding"]],
+                    pa.list_(pa.float64())),
+            })
+            pq.write_table(out, os.path.join(
+                d, f"delta-{seq:06d}.parquet"))
+
+    m["n_vectors"] = int(m["n_vectors"]) - n_removed + n_added
+    m["delta_seq"] = seq
+    m["last_delta"] = {"added": n_added, "removed": n_removed}
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(m, f)

@@ -157,3 +157,126 @@ def test_ann_cli_build_and_query(tmp_path):
     for qi, sub in by_q.items():
         best = max(sub, key=lambda r: r["cos"])
         assert best["cos"] == pytest.approx(1.0, abs=1e-6)
+
+
+def _list_contents(root) -> pd.DataFrame:
+    """Every (vec_id, list_id, embedding-tuple) in the index, canonical
+    order — the content-identity canonicalization for delta tests."""
+    import pyarrow.dataset as pds
+
+    t = pds.dataset(os.path.join(root, "lists"), format="parquet",
+                    partitioning="hive").to_table()
+    df = t.to_pandas()
+    df["emb"] = df["embedding"].map(tuple)
+    return (df[["vec_id", "list_id", "emb"]]
+            .astype({"vec_id": "int64", "list_id": "int64"})
+            .sort_values(["vec_id"]).reset_index(drop=True))
+
+
+def test_apply_ivf_delta_equals_scratch_rebuild(ray_session, tmp_path):
+    """Adds + removes + an update through apply_ivf_delta must leave the
+    index CONTENT bit-identical to a scratch rebuild of the updated
+    corpus with the SAME codebook, and full-probe search must equal
+    brute force over the updated corpus."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from search_engine_ray.functions.ann import brute_force_topk
+    from search_engine_ray.pipelines.embeddings import (
+        load_embeddings,
+        query_matrix,
+    )
+    from search_engine_ray.vecindex import (
+        IvfSearcher,
+        VecIndexConfig,
+        apply_ivf_delta,
+        build_ivf_index,
+    )
+
+    base = load_embeddings(SF).to_pandas()
+    root = str(tmp_path / "ivf")
+    cfg = VecIndexConfig(n_centroids=8, sample_size=10_000, seed=17)
+    build_ivf_index(rd.from_pandas(base), root, cfg)
+    C = np.load(os.path.join(root, "centroids.npy"))
+
+    rng = np.random.default_rng(5)
+    dim = len(base["embedding"].iloc[0])
+    remove = base["vec_id"].iloc[[3, 40, 127]].tolist()
+    upd_id = int(base["vec_id"].iloc[200])
+    new_ids = [10_001, 10_002, 10_003]
+    new_vecs = [rng.standard_normal(dim).tolist() for _ in new_ids]
+    upd_vec = rng.standard_normal(dim).tolist()
+
+    adds = pa.table({
+        "vec_id": pa.array(new_ids + [upd_id], pa.int64()),
+        "embedding": pa.array(new_vecs + [upd_vec],
+                              pa.list_(pa.float64())),
+    })
+    m = apply_ivf_delta(root, adds=rd.from_arrow(adds),
+                        remove_ids=remove + [upd_id])
+    assert m["n_vectors"] == len(base) - 3 + 3  # update is remove+add
+    assert m["last_delta"] == {"added": 4, "removed": 4}
+
+    # scratch rebuild of the UPDATED corpus with the same codebook
+    upd = base[~base["vec_id"].isin(remove + [upd_id])].copy()
+    upd = pd.concat([upd, pd.DataFrame({
+        "vec_id": new_ids + [upd_id],
+        "embedding": [np.asarray(v) for v in new_vecs + [upd_vec]],
+    })], ignore_index=True)
+    root2 = str(tmp_path / "ivf_scratch")
+    build_ivf_index(rd.from_pandas(upd[["vec_id", "embedding"]]), root2,
+                    cfg, codebook=C)
+    pd.testing.assert_frame_equal(_list_contents(root), _list_contents(root2))
+
+    # full probe == brute force over the updated corpus
+    q = query_matrix(SF)
+    got = _canon(IvfSearcher(root).search(q, k=10, n_probe=8))
+    want = _canon(brute_force_topk(
+        rd.from_pandas(upd[["vec_id", "embedding"]]), q, k=10).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ann_delta_cli(ray_session, tmp_path):
+    """ann-delta job: remove two ids + add one vector, verify the
+    manifest counts and that a full-probe query finds the new vector."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    env = dict(os.environ, RAY_ADDRESS="")
+    root = str(tmp_path / "ivf")
+    emb = os.path.join(SF, "embeddings.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "ann-build",
+         "--input", emb, "--root", root, "--n-centroids", "8"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    n0 = json.loads(r.stdout.strip().splitlines()[-1])["n_vectors"]
+
+    addp = str(tmp_path / "adds.parquet")
+    dim = 64
+    pq.write_table(pa.table({
+        "vec_id": pa.array([99_999], pa.int64()),
+        "embedding": pa.array(
+            [np.linspace(-1, 1, dim).tolist()], pa.list_(pa.float64())),
+    }), addp)
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "ann-delta",
+         "--root", root, "--add", addp, "--remove", "0,1"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["n_vectors"] == n0 - 2 + 1
+
+    qp = str(tmp_path / "q.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        "embedding": pa.array(
+            [np.linspace(-1, 1, dim).tolist()], pa.list_(pa.float64())),
+    }), qp)
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "ann-query",
+         "--root", root, "--queries", qp, "-k", "1", "--n-probe", "8"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    rows = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rows[0]["vec_id"] == 99_999 and rows[0]["cos"] == 1.0
