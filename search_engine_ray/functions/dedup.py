@@ -814,20 +814,16 @@ def near_dup_clusters(pairs, num_buckets: int = 64,
             batch_format="pandas")
 
         def send(g: pd.DataFrame) -> pd.DataFrame:
-            parts = []
-            for k, gg in g.groupby("key", sort=False):
-                lab = gg.loc[gg["src"] == -1, "label"]
-                if lab.empty:
-                    continue
-                lv = int(lab.min())
-                tgt = gg.loc[gg["src"] == 0, "node"]
-                out = pd.DataFrame({"node": np.concatenate(
-                    ([k], tgt.to_numpy(np.int64)))})
-                out["label"] = lv
-                parts.append(out)
-            return pd.concat(parts) if parts else pd.DataFrame({
-                "node": pd.Series(dtype="int64"),
-                "label": pd.Series(dtype="int64")})
+            # vectorized message fan-out: each node's label row (src=-1,
+            # one per key by construction) merges onto its incident edge
+            # rows (src=0) in ONE pandas hash join; the node also
+            # messages itself so its own label survives the round
+            lab = g.loc[g["src"] == -1, ["key", "label"]]
+            tgt = g.loc[g["src"] == 0, ["key", "node"]]
+            fwd = tgt.merge(lab, on="key", how="inner")[["node", "label"]]
+            own = lab.rename(columns={"key": "node"})[["node", "label"]]
+            out = pd.concat([own, fwd], ignore_index=True)
+            return out.astype({"node": "int64", "label": "int64"})
 
         msgs = bucketed_group_agg(lab_rows.union(edge_rows), ["key"],
                                   send, num_buckets)
