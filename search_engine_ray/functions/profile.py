@@ -250,3 +250,167 @@ def heavy_hitters(ds, column: str, k: int = 20, width: int = CMS_WIDTH,
     return (out.sort_values(["est_count", "value"],
                             ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile sketch — the mergeable companion for UNBOUNDED /
+# continuous metrics, where length_quantiles' exact (value, count)
+# histogram plan stops working (the histogram is only bounded when the
+# value domain is). Dunning & Ertl, "Computing Extremely Accurate
+# Quantiles Using t-Digests" (arXiv:1902.04023): centroids sized by the
+# asin scale function k(q) = delta/(2pi) * asin(2q - 1), which keeps
+# centroids tiny near q=0/1 (accurate tails) and coarse mid-range.
+
+TDIGEST_DELTA = 200
+
+
+class TDigest:
+    """Merging t-digest: bounded state (<= ~delta centroids + exact
+    min/max), deterministic (compression is a greedy left-to-right walk
+    over mean-sorted centroids — no RNG), and MERGEABLE (merge =
+    concatenate + recompress), so per-batch partials fold in any tree
+    shape with no shuffle, exactly like the HLL registers above."""
+
+    __slots__ = ("delta", "means", "weights", "vmin", "vmax")
+
+    def __init__(self, delta: int = TDIGEST_DELTA):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.vmin = np.inf
+        self.vmax = -np.inf
+
+    @staticmethod
+    def _k(q: np.ndarray, delta: int) -> np.ndarray:
+        return delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.argsort(means, kind="mergesort")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        cur_m, cur_w, w_before = means[0], weights[0], 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q0 = w_before / total
+            q2 = (w_before + cur_w + w) / total
+            if (self._k(np.float64(q2), self.delta)
+                    - self._k(np.float64(q0), self.delta)) <= 1.0:
+                # weighted-mean absorb keeps the centroid the exact mean
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_before += cur_w
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not v.size:
+            return self
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        self._compress(np.concatenate([self.means, v]),
+                       np.concatenate([self.weights,
+                                       np.ones(v.size)]))
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.weights.size:
+            self.vmin = min(self.vmin, other.vmin)
+            self.vmax = max(self.vmax, other.vmax)
+            self._compress(np.concatenate([self.means, other.means]),
+                           np.concatenate([self.weights, other.weights]))
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Piecewise-linear interpolation between centroid midpoints,
+        clamped to the exact stored min/max (the standard estimator)."""
+        if not self.weights.size:
+            return float("nan")
+        total = self.weights.sum()
+        if total == 1 or self.weights.size == 1:
+            return float(self.means[0]) if 0 < q < 1 else (
+                self.vmin if q <= 0 else self.vmax)
+        t = q * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if t <= cum[0]:  # below the first midpoint: lerp from exact min
+            return self.vmin + max(0.0, t / cum[0]) * (
+                float(self.means[0]) - self.vmin)
+        if t >= cum[-1]:
+            rem = total - cum[-1]
+            if rem <= 0:
+                return self.vmax
+            return float(self.means[-1]) + (t - cum[-1]) / rem * (
+                self.vmax - float(self.means[-1]))
+        i = int(np.searchsorted(cum, t) - 1)
+        frac = (t - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1]
+                                             - self.means[i]))
+
+    # --- serialization for crossing the batch -> driver boundary ----------
+    def to_bytes(self) -> bytes:
+        head = np.asarray([self.delta, self.weights.size,
+                           self.vmin, self.vmax], dtype=np.float64)
+        return (head.tobytes() + self.means.tobytes()
+                + self.weights.tobytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "TDigest":
+        head = np.frombuffer(buf, dtype=np.float64, count=4)
+        d = cls(int(head[0]))
+        n = int(head[1])
+        d.vmin, d.vmax = float(head[2]), float(head[3])
+        d.means = np.frombuffer(buf, dtype=np.float64, count=n,
+                                offset=32).copy()
+        d.weights = np.frombuffer(buf, dtype=np.float64, count=n,
+                                  offset=32 + 8 * n).copy()
+        return d
+
+
+def approx_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                     delta: int = TDIGEST_DELTA, group_col: str | None = None,
+                     batch_size: int = 8192) -> pd.DataFrame:
+    """Approximate quantiles of a numeric column with NO shuffle: each
+    batch emits its serialized t-digest partial (optionally one per
+    ``group_col`` value — group cardinality must be bounded, the same
+    contract as ``source_stats``), the driver folds them. Returns one
+    row per group with a ``q<p>`` column per requested quantile. The
+    EXACT path for bounded integer domains stays ``length_quantiles``;
+    this is the unbounded/continuous-metric companion (float values,
+    latencies, scores) at ~1e-3 rank error mid-range and better tails."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        groups = ([("", df)] if group_col is None
+                  else list(df.groupby(group_col, sort=False)))
+        rows = []
+        for g, sub in groups:
+            td = TDigest(delta).add(sub[column].to_numpy(np.float64))
+            rows.append((str(g), td.to_bytes()))
+        return pd.DataFrame(rows, columns=["g", "td"])
+
+    parts = ds.map_batches(sketch, batch_format="pandas",
+                           batch_size=batch_size).take_all()
+    merged: dict[str, TDigest] = {}
+    for r in parts:
+        td = TDigest.from_bytes(r["td"])
+        if r["g"] in merged:
+            merged[r["g"]].merge(td)
+        else:
+            merged[r["g"]] = td
+    rows = []
+    for g in sorted(merged):
+        td = merged[g]
+        rows.append([g, float(td.weights.sum()),
+                     *(td.quantile(q) for q in qs)])
+    cols = ["group", "n", *[f"q{int(q * 100)}" for q in qs]]
+    out = pd.DataFrame(rows, columns=cols)
+    if group_col is None:
+        out = out.drop(columns=["group"])
+    return out

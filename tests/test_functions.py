@@ -898,3 +898,63 @@ def test_cross_near_dups_sides(ray_session):
                     .itertuples(index=False))) == [(101, 2), (103, 2)]
     assert (got["jaccard"] >= 0.5).all()
     assert float(got[got["doc_new"] == 101]["jaccard"].iloc[0]) == 1.0
+
+
+def test_tdigest_accuracy_merge_determinism():
+    """t-digest: <= ~1e-3 rank error on 200k uniform + heavy-tailed
+    samples, mergeable (split-merge == one-shot to rank-error
+    tolerance), deterministic centroids, exact on tiny inputs,
+    byte-serialization round-trip."""
+    from search_engine_ray.functions.profile import TDigest
+
+    rng = np.random.default_rng(3)
+    for data in (rng.uniform(0, 1000, 200_000),
+                 rng.lognormal(0, 2, 200_000)):
+        td = TDigest()
+        for chunk in np.array_split(data, 25):
+            td.add(chunk)
+        assert td.means.size < 300  # bounded state
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99, 0.999):
+            rank = (data < td.quantile(q)).mean()
+            assert abs(rank - q) < 1e-3, q
+        a = TDigest().add(data[:100_000])
+        b = TDigest().add(data[100_000:])
+        m = a.merge(b)
+        assert abs((data < m.quantile(0.5)).mean() - 0.5) < 1e-3
+        rt = TDigest.from_bytes(m.to_bytes())
+        assert np.array_equal(rt.means, m.means)
+        assert rt.quantile(0.9) == m.quantile(0.9)
+
+    t1 = TDigest().add(data)
+    t2 = TDigest().add(data)
+    assert np.array_equal(t1.means, t2.means)
+    assert np.array_equal(t1.weights, t2.weights)
+
+    tiny = TDigest().add(np.array([1.0, 2, 3, 4, 5]))
+    assert tiny.means.size == 5  # singletons survive under delta
+    assert tiny.quantile(0.5) == 3.0
+    assert tiny.quantile(0.0) == 1.0 and tiny.quantile(1.0) == 5.0
+
+
+def test_approx_quantiles_operator(ray_session):
+    """approx_quantiles over the events value column: zero-shuffle
+    partial-digest fold; every estimate within 1% rank error of exact,
+    grouped variant partitions correctly by event_type."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.profile import approx_quantiles
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["event_type", "value"])
+    vals = ds.to_pandas()
+    got = approx_quantiles(ds, "value", qs=(0.25, 0.5, 0.9))
+    assert got["n"].iloc[0] == len(vals)
+    for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+        rank = (vals["value"] < got[col].iloc[0]).mean()
+        assert abs(rank - q) < 0.01, col
+
+    byg = approx_quantiles(ds, "value", qs=(0.5,),
+                           group_col="event_type").set_index("group")
+    for et, sub in vals.groupby("event_type"):
+        rank = (sub["value"] < byg.loc[et, "q50"]).mean()
+        assert abs(rank - 0.5) < 0.02, et
