@@ -1012,17 +1012,29 @@ class RollingWindowHashBatch:
 
 
 DUP_SPAN_BROADCAST_CAP = 5_000_000
+# below this corpus size the direct-md5 single-execution plan wins on
+# Ray's fixed per-pipeline costs; above it the rolling plan's saved
+# O(corpus) md5 CPU dominates (emit kernel ~2.5-4x faster)
+DUP_SPAN_ROLLING_MIN_DOCS = 200_000
 
 
 def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
-                    batch_size: int = 1024, rolling: bool = True,
+                    batch_size: int = 1024, rolling: bool | None = None,
                     broadcast_cap: int = DUP_SPAN_BROADCAST_CAP):
     """Flag maximal duplicated token spans: every run of tokens covered
     by ``window``-token windows whose exact content appears in >= 2
     DISTINCT documents -> (doc_id, span_start, span_end, span_len),
     1-based inclusive token positions.
 
-    Default plan (``rolling=True``): rolling-fingerprint candidates +
+    ``rolling=None`` (default) auto-tiers by corpus size — the same
+    size-guard pattern as the minhash verify tiers: at or above
+    ``DUP_SPAN_ROLLING_MIN_DOCS`` docs the rolling plan's saved
+    O(corpus-tokens) md5 CPU beats its two extra pipeline executions;
+    below it Ray's fixed per-pipeline costs dominate and the direct-md5
+    single-execution plan is faster. Both plans are bit-identical
+    (pinned by test), so the tier choice is pure performance.
+
+    Rolling plan (``rolling=True``): rolling-fingerprint candidates +
     md5 exact verify — the hot emit stage is vectorized numpy instead of
     one Python md5 per token window (the r3 verdict's one row-at-a-time
     loop in a headline pipeline):
@@ -1052,6 +1064,11 @@ def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
 
     Downstream policy (cut vs keep-one-occurrence) is a separate map —
     this operator is the corpus-wide report it needs."""
+    if rolling is None:
+        try:  # parquet-backed inputs answer from footers (no scan)
+            rolling = ds.count() >= DUP_SPAN_ROLLING_MIN_DOCS
+        except Exception:
+            rolling = True  # unknown size: assume the scale path
     if rolling:
         return _duplicate_spans_rolling(ds, window, num_buckets,
                                         batch_size, broadcast_cap)

@@ -747,12 +747,13 @@ def test_rolling_window_hash_kernel_and_plan_identity(ray_session):
                     "text": pa.array([texts[k] for k in sorted(texts)])})
     for w in (3, 6):
         roll = _spans_rows(duplicate_spans(rd.from_arrow(tbl), window=w,
-                                           num_buckets=8))
+                                           num_buckets=8, rolling=True))
         md5p = _spans_rows(duplicate_spans(rd.from_arrow(tbl), window=w,
                                            num_buckets=8, rolling=False))
         # co-shuffle verify tier (broadcast_cap=0 forces it)
         cosh = _spans_rows(duplicate_spans(rd.from_arrow(tbl), window=w,
-                                           num_buckets=8, broadcast_cap=0))
+                                           num_buckets=8, rolling=True,
+                                           broadcast_cap=0))
         assert roll == md5p == cosh == _brute_spans(texts, w), w
 
 
