@@ -265,6 +265,37 @@ def cmd_ann_build(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Ingest a directory of JSONL / JSONL-gz crawl shards into the
+    documents-parquet layout every pipeline consumes
+    (sources/jsonl.read_jsonl): distributed per-file reads, shard-
+    partitioned output (shard_id = doc_id %% n-shards) so a failed run
+    resumes per shard and downstream jobs prune reads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.sources.jsonl import read_jsonl
+
+    ds = read_jsonl(args.input, text_key=args.text_key)
+    n_shards = args.n_shards
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard_id", pa.array((ids % n_shards).astype(np.int64)))
+
+    ds.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        args.out, partition_cols=["shard_id"])
+    import pyarrow.dataset as pds
+
+    n = pds.dataset(args.out, format="parquet",
+                    partitioning="hive").count_rows()
+    print(json.dumps({"out": args.out, "n_docs": int(n),
+                      "n_shards": n_shards}))
+    return 0
+
+
 def cmd_ann_delta(args) -> int:
     """Incremental maintenance of the persisted IVF index
     (vecindex.apply_ivf_delta): --add is a (vec_id, embedding) parquet
@@ -720,6 +751,15 @@ def main(argv: list[str] | None = None) -> int:
     ad.add_argument("--remove", default=None,
                     help="comma-separated vec_ids to remove")
     ad.set_defaults(fn=cmd_ann_delta)
+
+    ig = sub.add_parser("ingest")
+    ig.add_argument("--input", required=True,
+                    help="dir (or file) of .jsonl / .jsonl.gz shards")
+    ig.add_argument("--out", required=True,
+                    help="output documents parquet root")
+    ig.add_argument("--text-key", default="text")
+    ig.add_argument("--n-shards", type=int, default=16)
+    ig.set_defaults(fn=cmd_ingest)
 
     cu = sub.add_parser("curate")
     cu.add_argument("--input", required=True,

@@ -114,3 +114,88 @@ def test_result_subscription_diffs(ray_session, corpus, tmp_path):
     remove_urls(idx, ["https://example.org/sub/00000001"])
     d3 = sub.refresh()
     assert d3["removed"] == [new_id]
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    """JSONL / JSONL-gz ingestion: gz and plain files parse identically,
+    field mapping + defaults hold, ids are stable across re-reads,
+    malformed lines are skipped (not fatal), and a downstream operator
+    runs on the result unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_ray.functions.textstats import TokenStatsBatch
+    from search_engine_ray.sources.jsonl import (
+        read_jsonl,
+        write_jsonl_gz,
+    )
+
+    rows = [
+        {"id": 7, "text": "the quick brown fox", "lang": "en",
+         "source": "cc"},
+        {"text": "sans id sans lang"},           # id/lang/source default
+        {"id": 9, "text": "ein kleiner text", "lang": "de"},
+    ]
+    d = tmp_path / "shards"
+    write_jsonl_gz(rows, str(d / "part-000.jsonl.gz"))
+    # same content uncompressed + one malformed line + one blank line
+    with open(d / "part-001.jsonl", "w") as f:
+        f.write('{"id": 11, "text": "plain file row"}\n')
+        f.write("{not json}\n\n")
+        f.write('{"id": 12, "no_text_field": 1}\n')
+
+    ds = read_jsonl(str(d))
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 4  # 3 gz rows + 1 good plain row; 2 bad skipped
+    assert set(df.columns) == {"doc_id", "text", "lang", "source",
+                               "n_chars"}
+    by_id = df.set_index("doc_id")
+    assert by_id.loc[7, "lang"] == "en" and by_id.loc[7, "source"] == "cc"
+    assert by_id.loc[9, "lang"] == "de"
+    assert by_id.loc[11, "text"] == "plain file row"
+    # the id-less row got a stable md5-derived id with defaults
+    anon = df[~df["doc_id"].isin([7, 9, 11])]
+    assert len(anon) == 1
+    assert anon["lang"].iloc[0] == "und"
+    assert anon["source"].iloc[0] == "part-000"
+    assert (df["n_chars"] == df["text"].str.len()).all()
+
+    # stable across re-reads
+    df2 = read_jsonl(str(d)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df, df2)
+
+    # downstream operator consumes the ingested table unchanged
+    stats = ds.map_batches(TokenStatsBatch(),
+                           batch_format="pyarrow").to_pandas()
+    assert stats.set_index("doc_id").loc[7, "n_tokens"] == 4
+
+
+def test_ingest_cli(ray_session, tmp_path):
+    """ingest job: jsonl.gz dir -> shard-partitioned documents parquet."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.dataset as pds
+
+    from search_engine_ray.sources.jsonl import write_jsonl_gz
+
+    d = tmp_path / "in"
+    write_jsonl_gz(
+        [{"id": i, "text": f"doc number {i} words here"}
+         for i in range(20)],
+        str(d / "part-000.jsonl.gz"))
+    out = str(tmp_path / "docs")
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "ingest",
+         "--input", str(d), "--out", out, "--n-shards", "4"],
+        capture_output=True, text=True,
+        env=dict(os.environ, RAY_ADDRESS=""), cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    m = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["n_docs"] == 20
+    t = pds.dataset(out, format="parquet", partitioning="hive").to_table()
+    assert t.num_rows == 20
+    assert sorted(set(t.column("shard_id").to_pylist())) == [0, 1, 2, 3]
