@@ -1113,9 +1113,24 @@ def _spans_from_hits(hits, window: int, num_buckets: int):
                                               batch_format="pandas")
 
 
-def _duplicate_spans_rolling(ds, window: int, num_buckets: int,
-                             batch_size: int, broadcast_cap: int):
-    """The rolling-candidates + md5-verify plan (see duplicate_spans)."""
+def _md5_window_hashes(toks: list[str], starts: np.ndarray,
+                       w: int) -> list[int]:
+    return [
+        int.from_bytes(
+            hashlib.md5(" ".join(toks[s - 1:s - 1 + w]).encode())
+            .digest()[8:], "little") & _MERSENNE
+        for s in starts.tolist()
+    ]
+
+
+def _verified_window_hashes(ds, window: int, num_buckets: int,
+                            batch_size: int, broadcast_cap: int):
+    """Rolling-fingerprint candidate generation + tiered md5 verify:
+    returns the (h, doc_id, start) Dataset of md5 window hashes for
+    every CANDIDATE window (rolling fingerprint shared by >= 2 distinct
+    docs — a lossless superset of the true duplicates), or ``None``
+    when no fingerprint crosses documents. Shared by duplicate_spans
+    and cut_duplicate_spans; see duplicate_spans for the tier notes."""
     from search_engine_ray.stages.agg import bucketed_group_agg
 
     cand = ds.map_batches(RollingWindowHashBatch(window, num_buckets),
@@ -1128,23 +1143,8 @@ def _duplicate_spans_rolling(ds, window: int, num_buckets: int,
     cand_ds = bucketed_group_agg(cand, ["hbucket"], candidates,
                                  num_buckets).materialize()
     n_cand = cand_ds.count()
-    if n_cand == 0:  # no fingerprint collides across docs: no spans
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "span_start": pa.array([], pa.int64()),
-            "span_end": pa.array([], pa.int64()),
-            "span_len": pa.array([], pa.int64())}))
-
-    def _md5_window_hashes(toks: list[str], starts: np.ndarray,
-                           w: int) -> list[int]:
-        return [
-            int.from_bytes(
-                hashlib.md5(" ".join(toks[s - 1:s - 1 + w]).encode())
-                .digest()[8:], "little") & _MERSENNE
-            for s in starts.tolist()
-        ]
+    if n_cand == 0:
+        return None
 
     if n_cand <= broadcast_cap:
         # verify tier 1: broadcast the candidate set once (ray.put) and
@@ -1240,6 +1240,28 @@ def _duplicate_spans_rolling(ds, window: int, num_buckets: int,
 
         verified = bucketed_group_agg(both, ["doc_id"], verify_bucket,
                                       num_buckets)
+    return verified
+
+
+def _empty_spans():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "span_start": pa.array([], pa.int64()),
+        "span_end": pa.array([], pa.int64()),
+        "span_len": pa.array([], pa.int64())}))
+
+
+def _duplicate_spans_rolling(ds, window: int, num_buckets: int,
+                             batch_size: int, broadcast_cap: int):
+    """The rolling-candidates + md5-verify plan (see duplicate_spans)."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    verified = _verified_window_hashes(ds, window, num_buckets,
+                                       batch_size, broadcast_cap)
+    if verified is None:  # no fingerprint collides across docs
+        return _empty_spans()
 
     def survivors(g: pd.DataFrame) -> pd.DataFrame:
         nd = g.groupby("h")["doc_id"].transform("nunique")
@@ -1252,7 +1274,9 @@ def _duplicate_spans_rolling(ds, window: int, num_buckets: int,
 
 
 def cut_duplicate_spans(ds, window: int = 50, num_buckets: int = 64,
-                        batch_size: int = 1024):
+                        batch_size: int = 1024,
+                        rolling: bool | None = None,
+                        broadcast_cap: int = DUP_SPAN_BROADCAST_CAP):
     """Rewrite the corpus with duplicated substrings removed, keeping ONE
     occurrence globally (the Lee et al. 2021 cut policy, distributed):
 
@@ -1265,15 +1289,36 @@ def cut_duplicate_spans(ds, window: int = 50, num_buckets: int = 64,
       (token_regex ``finditer`` offsets) — all surviving bytes,
       separators included, are preserved verbatim.
 
-    Two exchanges: window fingerprints by hash bucket (elect keepers),
-    then flagged windows co-shuffled with the TEXT rows by doc bucket
+    ``rolling`` auto-tiers exactly like ``duplicate_spans``: above
+    ``DUP_SPAN_ROLLING_MIN_DOCS`` the window hashes come from the
+    rolling-fingerprint candidate + md5-verify plan
+    (``_verified_window_hashes`` — the emit stage stops md5-hashing
+    every window of the corpus); below it every window is md5-hashed
+    map-side in one pipeline execution. Keeper election runs on the md5
+    hashes in both tiers, so the rewrite is bit-identical (pinned by
+    test).
+
+    Exchanges: window hashes by hash bucket (elect keepers), then
+    flagged windows co-shuffled with the TEXT rows by doc bucket
     (tagged union — the same single-exchange trick as
     functions/join.bucketed_hash_join) for the per-doc rewrite.
     Returns (doc_id, clean_text, n_cut_tokens). Re-running
     ``duplicate_spans`` on the output finds nothing (pinned by test)."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
     tok_re = token_regex()
-    hashed = ds.map_batches(WindowHashBatch(window, num_buckets),
-                            batch_format="pyarrow", batch_size=batch_size)
+    if rolling is None:
+        try:
+            rolling = ds.count() >= DUP_SPAN_ROLLING_MIN_DOCS
+        except Exception:
+            rolling = True
+    if rolling:
+        hashed = _verified_window_hashes(ds, window, num_buckets,
+                                         batch_size, broadcast_cap)
+    else:
+        hashed = ds.map_batches(WindowHashBatch(window, num_buckets),
+                                batch_format="pyarrow",
+                                batch_size=batch_size)
 
     def elect(g: pd.DataFrame) -> pd.DataFrame:
         nd = g.groupby("h")["doc_id"].transform("nunique")
@@ -1298,8 +1343,21 @@ def cut_duplicate_spans(ds, window: int = 50, num_buckets: int = 64,
         out["dbucket"] = out["doc_id"].to_numpy() % np.int64(num_buckets)
         return out
 
-    flagged = hashed.groupby("hbucket").map_groups(elect,
-                                                   batch_format="pandas")
+    if hashed is None:  # no cross-doc candidates: identity rewrite
+        def identity(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(),
+                "clean_text": b["text"].fillna("").astype(object),
+                "n_cut_tokens": np.int64(0),
+            })
+
+        return ds.map_batches(identity, batch_format="pandas",
+                              batch_size=batch_size)
+    if rolling:
+        flagged = bucketed_group_agg(hashed, ["h"], elect, num_buckets)
+    else:
+        flagged = hashed.groupby("hbucket").map_groups(
+            elect, batch_format="pandas")
 
     def tag_text(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -836,6 +836,22 @@ def test_cut_duplicate_spans_keep_one_occurrence(ray_session):
                   "text": pa.array([texts[k] for k in sorted(texts)])})
     got = (cut_duplicate_spans(rd.from_arrow(t), window=8, num_buckets=4)
            .to_pandas().set_index("doc_id").sort_index())
+    # the rolling-candidate tier rewrites bit-identically (and the
+    # identity path covers a corpus with no cross-doc candidates)
+    got_roll = (cut_duplicate_spans(rd.from_arrow(t), window=8,
+                                    num_buckets=4, rolling=True)
+                .to_pandas().set_index("doc_id").sort_index())
+    import pandas as _pd
+
+    _pd.testing.assert_frame_equal(got.sort_index(axis=1),
+                                   got_roll.sort_index(axis=1))
+    nodup = pa.table({"doc_id": pa.array([8, 9], pa.int64()),
+                      "text": pa.array(["a b c", "d e f"])})
+    ident = (cut_duplicate_spans(rd.from_arrow(nodup), window=3,
+                                 num_buckets=4, rolling=True)
+             .to_pandas().set_index("doc_id"))
+    assert ident.loc[8, "clean_text"] == "a b c"
+    assert int(ident["n_cut_tokens"].sum()) == 0
     assert got.loc[1, "clean_text"] == texts[1]          # keeper intact
     assert int(got.loc[1, "n_cut_tokens"]) == 0
     # 8 cut tokens leave their 7 internal separator spaces behind
