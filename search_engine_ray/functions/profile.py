@@ -414,3 +414,135 @@ def approx_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
     if group_col is None:
         out = out.drop(columns=["group"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the mergeable MEMBERSHIP sketch completing the family
+# (HLL: distinct counts; CMS: frequencies; t-digest: quantiles; Bloom:
+# set membership). The 100 TB use case is snapshot-vs-snapshot dedup:
+# build the filter over an existing corpus's content hashes ONCE, then
+# filter every new crawl shard map-side with the broadcast bits — no
+# join, no shuffle. One-sided error: a member is NEVER missed (no false
+# negatives); a non-member passes with probability ~(1-e^{-kn/m})^k
+# (false positive = a genuinely-new doc wrongly dropped — size m for
+# the corpus, or route survivors through the exact join to reclaim).
+
+BLOOM_BITS = 1 << 23  # 8 Mbit = 1 MiB packed; ~0.6% FPR at 500k keys/k=7
+BLOOM_K = 7
+
+
+class BloomFilter:
+    """Deterministic k-hash Bloom filter over 64-bit value hashes.
+    Internals are an unpacked uint8 bit array (vectorized scatter/gather
+    — this VM's boolean fancy-indexing is slow, integer indexing is
+    not); serialization packs to m/8 bytes. Mergeable by OR."""
+
+    __slots__ = ("n_bits", "k", "_a", "_b", "bits", "n_added")
+
+    def __init__(self, n_bits: int = BLOOM_BITS, k: int = BLOOM_K,
+                 seed: int = 29):
+        self.n_bits = n_bits
+        self.k = k
+        self._a, self._b = _cms_params(k, seed)
+        self.bits = np.zeros(n_bits, dtype=np.uint8)
+        self.n_added = 0
+
+    def _idx(self, h: np.ndarray) -> np.ndarray:
+        return _cms_rows(np.asarray(h, dtype=np.int64), self._a, self._b,
+                         self.n_bits)
+
+    def add_hashes(self, h: np.ndarray) -> "BloomFilter":
+        if len(h):
+            self.bits[self._idx(h).ravel()] = 1
+            self.n_added += int(len(h))
+        return self
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        return self.bits[self._idx(h)].all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_bits, self.k) == (other.n_bits, other.k)
+        np.maximum(self.bits, other.bits, out=self.bits)
+        self.n_added += other.n_added
+        return self
+
+    def fp_rate(self) -> float:
+        """Theoretical FPR from the actual fill factor."""
+        fill = float(self.bits.mean())
+        return fill ** self.k
+
+    def to_bytes(self) -> bytes:
+        head = np.asarray([self.n_bits, self.k, self.n_added],
+                          dtype=np.int64)
+        return head.tobytes() + np.packbits(self.bits).tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, seed: int = 29) -> "BloomFilter":
+        head = np.frombuffer(buf, dtype=np.int64, count=3)
+        bf = cls(int(head[0]), int(head[1]), seed)
+        bf.n_added = int(head[2])
+        bf.bits = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8, offset=24)
+        )[: bf.n_bits].astype(np.uint8)
+        return bf
+
+
+def _value_hashes(col: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit hashes of a column's (string-cast) values —
+    the same convention as the HLL/CMS sketches above."""
+    return pd.util.hash_pandas_object(
+        col.dropna().astype(str), index=False).to_numpy().view(np.int64)
+
+
+def build_bloom(ds, column: str, n_bits: int = BLOOM_BITS,
+                k: int = BLOOM_K, seed: int = 29,
+                batch_size: int = 8192) -> BloomFilter:
+    """Membership sketch of a column with NO shuffle: per-batch partial
+    filters (mergeable by OR) folded on the driver — the same plan as
+    ``approx_distinct``. At 100 TB the fold nests in a tree; the driver
+    fold is O(batches), never O(rows)."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_bits, k, seed)
+        bf.add_hashes(_value_hashes(df[column]))
+        return pd.DataFrame({"bf": [bf.to_bytes()]})
+
+    parts = ds.map_batches(sketch, batch_format="pandas",
+                           batch_size=batch_size).take_all()
+    merged = BloomFilter(n_bits, k, seed)
+    for r in parts:
+        merged.merge(BloomFilter.from_bytes(r["bf"], seed))
+    return merged
+
+
+def filter_by_bloom(ds, column: str, bloom: BloomFilter,
+                    keep_members: bool = False, seed: int = 29,
+                    batch_size: int = 8192):
+    """Map-side membership filter: broadcast the filter bits once
+    (``ray.put``), drop (default) or keep rows whose column value is in
+    the sketch. The snapshot-dedup shape: ``filter_by_bloom(new_crawl,
+    'text_md5', build_bloom(old_corpus, 'text_md5'))`` keeps only docs
+    the old corpus has never seen — up to the one-sided FPR, which
+    drops a few genuinely-new docs and never resurrects an old one."""
+    import ray
+
+    bloom_ref = ray.put(bloom.to_bytes())
+
+    class Member:
+        def __init__(self):
+            self._bf = BloomFilter.from_bytes(ray.get(bloom_ref), seed)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vals = df[column].astype(str)
+            hit = self._bf.contains_hashes(
+                pd.util.hash_pandas_object(
+                    vals, index=False).to_numpy().view(np.int64))
+            return df[hit] if keep_members else df[~hit]
+
+    from search_engine_ray.pool import actor_pool_size
+
+    return ds.map_batches(Member, batch_format="pandas",
+                          batch_size=batch_size,
+                          concurrency=actor_pool_size())

@@ -975,3 +975,59 @@ def test_approx_quantiles_operator(ray_session):
     for et, sub in vals.groupby("event_type"):
         rank = (sub["value"] < byg.loc[et, "q50"]).mean()
         assert abs(rank - 0.5) < 0.02, et
+
+
+def test_bloom_filter_bounds_merge_roundtrip():
+    """Bloom sketch: NO false negatives ever; observed FPR within 3x of
+    the fill-factor theory; merge(A, B) == one-shot(A+B); bytes
+    round-trip exactly."""
+    from search_engine_ray.functions.profile import BloomFilter
+
+    rng = np.random.default_rng(11)
+    members = rng.integers(-(2 ** 62), 2 ** 62, 50_000).astype(np.int64)
+    others = rng.integers(-(2 ** 62), 2 ** 62, 50_000).astype(np.int64)
+    others = np.setdiff1d(others, members)
+
+    bf = BloomFilter().add_hashes(members)
+    assert bf.contains_hashes(members).all()  # one-sided: never missed
+    fpr = bf.contains_hashes(others).mean()
+    assert fpr <= max(3 * bf.fp_rate(), 1e-3)
+
+    a = BloomFilter().add_hashes(members[:25_000])
+    b = BloomFilter().add_hashes(members[25_000:])
+    m = a.merge(b)
+    assert np.array_equal(m.bits, bf.bits)
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert np.array_equal(rt.bits, bf.bits)
+    assert rt.n_added == bf.n_added
+
+
+def test_bloom_snapshot_dedup(ray_session):
+    """filter_by_bloom: dedup a new crawl snapshot against an old corpus
+    with no join — no old doc ever survives (one-sided), nearly all
+    genuinely-new docs do; keep_members=True returns the complement."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.profile import (
+        build_bloom,
+        filter_by_bloom,
+    )
+
+    old = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "text": pa.array([f"old doc body {i}" for i in range(300)]),
+    })
+    # new snapshot: 100 docs overlap old texts, 200 genuinely new
+    new = pa.table({
+        "doc_id": pa.array(range(1000, 1300), pa.int64()),
+        "text": pa.array([f"old doc body {200 + i}" if i < 100
+                          else f"new doc body {i}" for i in range(300)]),
+    })
+    bloom = build_bloom(rd.from_arrow(old), "text")
+    kept = filter_by_bloom(rd.from_arrow(new), "text", bloom).to_pandas()
+    assert not kept["text"].str.startswith("old").any()  # one-sided
+    assert len(kept) >= 0.95 * 200  # FPR may drop a few new docs
+    dupes = filter_by_bloom(rd.from_arrow(new), "text", bloom,
+                            keep_members=True).to_pandas()
+    assert len(dupes) + len(kept) == 300
+    assert dupes["text"].str.startswith("old").sum() == 100
