@@ -1470,3 +1470,59 @@ def cross_near_dups(ds_new, ds_ref, shingle_k: int = 5,
         })
 
     return j2.map_batches(finish, batch_format="pandas")
+
+
+def corpus_diff(ds_old, ds_new, num_buckets: int = 64,
+                batch_size: int = 4096):
+    """CDC between two corpus snapshots: (doc_id, status) for every doc
+    whose membership or content changed — status in {'added',
+    'removed', 'changed'} (unchanged docs emit nothing). 'changed' =
+    same doc_id, different md5(text).
+
+    This is the input feed for incremental index maintenance: route
+    'removed' + the old side of 'changed' to ``incremental.apply_delta``
+    removals and 'added' + the new side of 'changed' to its adds, and
+    the index follows the snapshot without a rebuild (the vecindex
+    ``apply_ivf_delta`` consumes the same split).
+
+    Scale shape: each side projects to (doc_id, md5) map-side — 48
+    bytes/doc, never text — then ONE tagged-union exchange on the doc_id
+    bucket compares the sides per doc. The md5 convention matches
+    ``exact_dedup``/DuckDB, so the diff is SQL-reproducible."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "md5": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest()
+                     for t in texts], pa.string()),
+                "side": pa.array(
+                    np.full(len(texts), side, dtype=np.int8)),
+            })
+
+        return fn
+
+    both = ds_old.map_batches(project(0), batch_format="pyarrow",
+                              batch_size=batch_size).union(
+        ds_new.map_batches(project(1), batch_format="pyarrow",
+                           batch_size=batch_size))
+
+    def compare(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(index="doc_id", columns="side", values="md5",
+                            aggfunc="first")
+        old = piv[0] if 0 in piv.columns else pd.Series(index=piv.index,
+                                                        dtype=object)
+        new = piv[1] if 1 in piv.columns else pd.Series(index=piv.index,
+                                                        dtype=object)
+        status = np.where(
+            old.isna(), "added",
+            np.where(new.isna(), "removed",
+                     np.where(old != new, "changed", "")))
+        out = pd.DataFrame({"doc_id": piv.index.to_numpy(np.int64),
+                            "status": status})
+        return out[out["status"] != ""]
+
+    return bucketed_group_agg(both, ["doc_id"], compare, num_buckets)

@@ -1031,3 +1031,32 @@ def test_bloom_snapshot_dedup(ray_session):
                             keep_members=True).to_pandas()
     assert len(dupes) + len(kept) == 300
     assert dupes["text"].str.startswith("old").sum() == 100
+
+
+def test_corpus_diff_cdc(ray_session):
+    """corpus_diff: added/removed/changed detection between snapshots;
+    unchanged docs emit nothing; brute-force dict reference."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import corpus_diff
+
+    old = {i: f"body {i}" for i in range(40)}
+    new = dict(old)
+    for i in (3, 17):
+        del new[i]                       # removed
+    for i in (5, 25):
+        new[i] = f"edited body {i}"      # changed
+    new[100] = "brand new"               # added
+    new[101] = "also new"
+
+    def tbl(d):
+        ks = sorted(d)
+        return pa.table({"doc_id": pa.array(ks, pa.int64()),
+                         "text": pa.array([d[k] for k in ks])})
+
+    got = (corpus_diff(rd.from_arrow(tbl(old)), rd.from_arrow(tbl(new)),
+                       num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = sorted([(3, "removed"), (17, "removed"), (5, "changed"),
+                   (25, "changed"), (100, "added"), (101, "added")])
+    assert list(map(tuple, got.itertuples(index=False))) == want
