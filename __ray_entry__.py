@@ -644,9 +644,21 @@ def oracle_sql() -> dict[str, str]:
             FROM toks WHERE term LIKE 'cu%' GROUP BY doc_id
         """,
         "contains_search_at": f"""
-            {_TOKS_CTE}
-            SELECT doc_id, count(DISTINCT term) AS n_terms
-            FROM toks WHERE term LIKE '%at%' GROUP BY doc_id
+            {_TOKS_CTE},
+            -- one row per (probe label, SQL LIKE translation of the glob):
+            -- fnmatch * == LIKE %, fnmatch ? == LIKE _ (tokens are alnum,
+            -- so no escaping is needed)
+            probes(probe, pat) AS (VALUES
+                ('contains:at', '%at%'),
+                ('wildcard:s*', 's%'),
+                ('wildcard:?a??', '_a__'),
+                ('wildcard:b*ch', 'b%ch'),
+                ('wildcard:gr*up', 'gr%up'),
+                ('wildcard:*o*e*', '%o%e%'),
+                ('wildcard:qqq*', 'qqq%'))
+            SELECT p.probe, t.doc_id, count(DISTINCT t.term) AS n_terms
+            FROM probes p JOIN toks t ON t.term LIKE p.pat
+            GROUP BY p.probe, t.doc_id
         """,
         "vocab_total": f"""
             {_TOKS_CTE}

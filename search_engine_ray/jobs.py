@@ -666,13 +666,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--terms", nargs="+", required=True)
     q.add_argument("--type", default="exact",
                    choices=["exact", "or", "and", "prefix", "contains",
-                            "fuzzy", "fuzzy2", "phrase", "suggest",
-                            "bool"])
+                            "wildcard", "fuzzy", "fuzzy2", "phrase",
+                            "suggest", "bool"])
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
     q.add_argument("--highlight", action="store_true",
                    help="emit matched lines + char spans per hit "
-                        "(exact/or/and/prefix/contains/fuzzy; local "
+                        "(exact/or/and/prefix/contains/wildcard/fuzzy; "
+                        "local "
                         "index only)")
     q.add_argument("--sharded", action="store_true",
                    help="--index is a doc-sharded root (sharded-build)")

@@ -130,6 +130,15 @@ class OracleIndex:
         elif search_type == "contains":
             p = queries[0]
             terms = [t for t in self._sorted_terms if p in t]
+        elif search_type == "wildcard":
+            # glob match via a plain fnmatch scan — deliberately NOT the
+            # engine's trigram-candidate path, so rank-identity tests
+            # exercise independent implementations
+            import fnmatch
+
+            p = queries[0]
+            terms = [t for t in self._sorted_terms
+                     if fnmatch.fnmatchcase(t, p)]
         elif search_type in ("fuzzy", "fuzzy2"):
             # Levenshtein union over the query words — independent
             # scalar DP (fuzzy.levenshtein_leq), NOT the engine's

@@ -190,23 +190,51 @@ def prefix_search_cu(sf_dir: str):
          "n_terms": pa.array(counts.astype(np.int64))})
 
 
-def contains_search_at(sf_dir: str, infix: str = "at"):
-    """(doc_id, n matching distinct terms) for terms CONTAINING 'at' —
-    index-served infix search (vocabulary scan + one decode per
-    matching term; the same result shape as prefix_search_cu)."""
+# (search_type, probe) pairs the driver's vocabulary-match query runs —
+# one infix probe plus glob probes covering every wildcard shape: suffix
+# `*`, fixed-length `?`, infix `*`, multi-`*`, and a no-hit
+VOCAB_PROBES = (
+    ("contains", "at"),
+    ("wildcard", "s*"),
+    ("wildcard", "?a??"),
+    ("wildcard", "b*ch"),
+    ("wildcard", "gr*up"),
+    ("wildcard", "*o*e*"),
+    ("wildcard", "qqq*"),
+)
+
+
+def contains_search_at(sf_dir: str, probes=VOCAB_PROBES):
+    """(probe, doc_id, n matching distinct terms) for an infix probe and
+    a set of glob probes — index-served vocabulary matching (trigram
+    candidates + verify per bucket; one postings decode per matching
+    term; the same result shape as prefix_search_cu plus the probe
+    label). Lucene analogue: WildcardQuery over the term dictionary."""
     from search_engine_ray.search import LocalSearcher
 
     s = LocalSearcher(ensure_documents_index(sf_dir))
-    terms = s.expand([infix], "contains")
-    if not terms:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
+    labels: list[str] = []
+    doc_ids: list[np.ndarray] = []
+    n_terms: list[np.ndarray] = []
+    for st, probe in probes:
+        label = f"{st}:{probe}"
+        terms = s.expand([probe], st)
+        if not terms:
+            continue
+        ords = np.concatenate(
+            [s._decode(t, s._posting_for(t))["docids"] for t in terms])
+        uniq, counts = np.unique(ords, return_counts=True)
+        labels.extend([label] * uniq.size)
+        doc_ids.append(np.asarray(_index_doc_ids(s, uniq), dtype=np.int64))
+        n_terms.append(counts.astype(np.int64))
+    if not labels:
+        return pa.table({"probe": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
                          "n_terms": pa.array([], pa.int64())})
-    ords = np.concatenate(
-        [s._decode(t, s._posting_for(t))["docids"] for t in terms])
-    uniq, counts = np.unique(ords, return_counts=True)
     return pa.table(
-        {"doc_id": pa.array(_index_doc_ids(s, uniq), pa.int64()),
-         "n_terms": pa.array(counts.astype(np.int64))})
+        {"probe": pa.array(labels, pa.string()),
+         "doc_id": pa.array(np.concatenate(doc_ids), pa.int64()),
+         "n_terms": pa.array(np.concatenate(n_terms))})
 
 
 def vocab_and_total(sf_dir: str):

@@ -1,4 +1,4 @@
-"""Query engine over index artifacts: exact/prefix/contains/or/and/phrase BM25 top-k.
+"""Query engine over index artifacts: exact/prefix/contains/wildcard/or/and/phrase BM25 top-k.
 
 Mirrors the reference's search surface (ref: engine/src/main/java/org/search/
 engine/search/SimpleSearchManager.java:50-85, model/SearchType.java:3-5):
@@ -52,9 +52,12 @@ term order; final order is (score desc, doc_id asc); float64 throughout.
 
 from __future__ import annotations
 
+import fnmatch
 import json
 import os
+import re
 from bisect import bisect_left
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -67,6 +70,16 @@ from search_engine_ray.codec import (
     decode_posting,
 )
 from search_engine_ray.stages.tokenize import term_bucket
+
+_WILD_SPLIT = re.compile(r"[*?]+")
+
+
+@lru_cache(maxsize=4096)
+def _wildcard_regex(pattern: str) -> "re.Pattern[str]":
+    """Compiled anchored regex for a glob pattern (``*``/``?``), cached —
+    the same pattern probes every bucket of every shard."""
+    return re.compile(fnmatch.translate(pattern))
+
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -117,6 +130,17 @@ class _Bucket:
         chars have no trigram and fall back to the linear scan."""
         if len(infix) < 3:
             return [t for t in self.terms if infix in t]
+        grams = {infix[j:j + 3] for j in range(len(infix) - 2)}
+        cands = self._trigram_candidates(grams)
+        if cands is None:
+            return []
+        return [self.terms[i] for i in cands if infix in self.terms[i]]
+
+    def _trigram_candidates(self, grams: set[str]) -> np.ndarray | None:
+        """Intersection of the trigram posting lists for ``grams`` (term
+        ordinals into ``self.terms``); None when some gram never occurs
+        (=> no term can match). Builds the trigram index lazily, once per
+        bucket (ST3), shared by ``contains`` and ``wildcard``."""
         if self._trigram is None:
             tri: dict[str, list[int]] = {}
             for i, t in enumerate(self.terms):
@@ -129,17 +153,37 @@ class _Bucket:
                         lst.append(i)
             self._trigram = {g: np.asarray(v, dtype=np.int64)
                              for g, v in tri.items()}
-        grams = {infix[j:j + 3] for j in range(len(infix) - 2)}
         cands: np.ndarray | None = None
         for g in grams:
             lst = self._trigram.get(g)
             if lst is None:
-                return []
+                return None
             cands = lst if cands is None else np.intersect1d(
                 cands, lst, assume_unique=True)
             if not cands.size:
-                return []
-        return [self.terms[i] for i in cands if infix in self.terms[i]]
+                return None
+        return cands
+
+    def wildcard(self, pattern: str) -> list[str]:
+        """Vocabulary glob match — ``*`` = any run (incl. empty), ``?`` =
+        exactly one char (Lucene WildcardQuery semantics). Candidate
+        generation mirrors ``contains``: every literal run of >=3 chars
+        between wildcards contributes its trigrams, the trigram posting
+        lists intersect (lossless — a matching term must contain every
+        literal run), then an anchored compiled-regex verify
+        (``fnmatch.translate``) filters the candidates. Patterns with no
+        >=3-char literal run (e.g. ``a?c``, ``*xy*``) have no trigram
+        signal and fall back to the linear regex scan, which Heaps' law
+        keeps corpus-sublinear per bucket."""
+        rx = _wildcard_regex(pattern)
+        runs = [r for r in _WILD_SPLIT.split(pattern) if len(r) >= 3]
+        if not runs:
+            return [t for t in self.terms if rx.match(t)]
+        grams = {r[j:j + 3] for r in runs for j in range(len(r) - 2)}
+        cands = self._trigram_candidates(grams)
+        if cands is None:
+            return []
+        return [self.terms[i] for i in cands if rx.match(self.terms[i])]
 
     def find(self, term: str) -> int | None:
         i = bisect_left(self.terms, term)
@@ -294,6 +338,15 @@ class LocalSearcher:
             terms = []
             for b in range(self.num_buckets):
                 terms.extend(self.bucket(b).contains(p))
+        elif search_type == "wildcard":
+            # glob over the vocabulary (Lucene WildcardQuery): literal
+            # runs >=3 chars feed the shared trigram index, anchored
+            # regex verifies; like prefix/contains, hash partitioning
+            # destroys pattern locality so it fans out to ALL buckets
+            p = queries[0]
+            terms = []
+            for b in range(self.num_buckets):
+                terms.extend(self.bucket(b).wildcard(p))
         elif search_type in ("fuzzy", "fuzzy2"):
             # Levenshtein union over every query word (fuzzy.py; edit
             # budget 1, or 2 for fuzzy2 — the Lucene fuzzy cap): hash

@@ -165,6 +165,12 @@ class _BucketShard:
             terms.extend(t for t in self._s.bucket(b).terms if infix in t)
         return terms
 
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        terms = []
+        for b in self.buckets:
+            terms.extend(self._s.bucket(b).wildcard(pattern))
+        return terms
+
     def expand_fuzzy(self, words: list[str],
                      max_edits: int = 1) -> list[str]:
         terms = []
@@ -256,6 +262,8 @@ class DocShardServer:
             return self._sidecar.expand_prefix(queries[0])
         if search_type == "contains":
             return self._sidecar.expand_contains(queries[0])
+        if search_type == "wildcard":
+            return self._sidecar.expand_wildcard(queries[0])
         if search_type in ("fuzzy", "fuzzy2"):
             return self._sidecar.expand_fuzzy(
                 list(queries), 2 if search_type == "fuzzy2" else 1)
@@ -376,6 +384,10 @@ class BucketShardServer:
         elif search_type == "contains":
             terms = sorted(set().union(*ray.get([
                 s.expand_contains.remote(queries[0]) for s in self._shards
+            ])))
+        elif search_type == "wildcard":
+            terms = sorted(set().union(*ray.get([
+                s.expand_wildcard.remote(queries[0]) for s in self._shards
             ])))
         elif search_type in ("fuzzy", "fuzzy2"):
             me = 2 if search_type == "fuzzy2" else 1

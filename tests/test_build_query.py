@@ -36,6 +36,9 @@ def _query_set(oracle):
                 ["ma", "mil", "bako", "sent", "sentinel00", "zz"]]
     queries += [([i], "contains") for i in
                 ["il", "a", "ako", "entinel", "qqq_absent"]]
+    queries += [([p], "wildcard") for p in
+                ["m?la", "mil*", "*ako", "sent*el0?", "b?k*", "*a*",
+                 "m*a", "??la", "qqq*absent", "mila"]]
     queries += [([w], "fuzzy") for w in
                 ["mila", "milo", "mil", "sentinel00", "bako", "qqq_absent"]]
     queries += [(heads[:1] + ["milo", "bako"], "fuzzy")]  # multi-word union
@@ -290,3 +293,20 @@ def test_docmap_fallback_matches_artifact(built_index, ray_session,
                   (["bako", "kota"], "or")]:
         assert a.search(q, st, k=20).equals(b.search(q, st, k=20)), (q, st)
     assert b._docmap._fallback is not None
+
+
+def test_wildcard_trigram_equals_linear_scan(searcher):
+    """The trigram-candidate wildcard path (literal runs >=3 chars) and
+    the linear-regex fallback (no such run) both equal a plain fnmatch
+    scan over the full vocabulary — the candidate filter is lossless."""
+    import fnmatch
+
+    vocab = sorted(set(searcher.vocab_terms()))
+    patterns = [
+        "mil*", "*ila", "m?la", "sent*", "sentinel0?", "*ako*",
+        "*", "?", "????", "m*", "*a*o*", "q?q*", "zzz*none",
+        "mila", "m?l?", "*el00",
+    ]
+    for pat in patterns:
+        want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+        assert searcher.expand([pat], "wildcard") == want, pat

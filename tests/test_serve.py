@@ -21,6 +21,8 @@ QUERIES = [
     (["mila"], "exact"), (["mam"], "prefix"), (["bako", "kota"], "or"),
     (["zzz_none"], "exact"), (["sentinel00"], "prefix"),
     (["il"], "contains"),
+    (["m?la"], "wildcard"), (["b*o"], "wildcard"),
+    (["qqq*none"], "wildcard"),
     (["milo"], "fuzzy"), (["milo", "bako"], "fuzzy"),
     (["mlo"], "fuzzy2"),
     (["mila", "mama"], "and"), (["mila", "zzz_missing"], "and"),

@@ -25,6 +25,8 @@ QUERIES = [
     (["mila", "mama"], "and"), (["zzz_none"], "exact"),
     (["sentinel00"], "prefix"), (["mil"], "prefix"),
     (["il"], "contains"), (["qqq_absent"], "contains"),
+    (["m?la"], "wildcard"), (["mi*"], "wildcard"),
+    (["*ako"], "wildcard"), (["qqq*absent"], "wildcard"),
     (["milo"], "fuzzy"), (["milo", "bako"], "fuzzy"),
     (["mlo"], "fuzzy2"),
     (["qqq_absent"], "fuzzy"),
