@@ -378,3 +378,209 @@ def remove_urls(index_root: str, urls: list[str],
                 config: BuildConfig | None = None) -> dict:
     """Delete documents by url (reference DocumentRemoveTask semantics)."""
     return apply_delta(index_root, None, deleted_urls=urls, config=config)
+
+
+def _merge_two_buckets(
+    batch: pd.DataFrame,
+    root_a: str,
+    root_b: str,
+    out_root: str,
+    cfg_hash: str,
+    avgdl: float,
+    store_positions: bool,
+    aff_a_ref,
+    aff_b_ref,
+    map_a_ref,
+    map_b_ref,
+    new_map_ref,
+    doclen_ref,
+) -> pd.DataFrame:
+    """Merge one term bucket from two source indexes into the output
+    index: explode each side's stored postings (minus its losing side of
+    any url collision) into token rows, concatenate, re-encode with the
+    union corpus's avgdl. Bucket b of A merges with bucket b of B and
+    nothing else — term_bucket is config-stable, so a segment merge is
+    bucket-aligned and needs NO shuffle."""
+    from search_engine_ray.stages.postings import (
+        _write_bucket,
+        encode_token_table,
+    )
+
+    aff_a = ray.get(aff_a_ref)
+    aff_b = ray.get(aff_b_ref)
+    map_a = ray.get(map_a_ref)
+    map_b = ray.get(map_b_ref)
+    new_map = ray.get(new_map_ref)
+    doclen_new = ray.get(doclen_ref)
+    out = []
+    cols = ["term", "df", "docs_vb", "tfs_vb", "pos_vb"]
+    for bucket in batch["bucket"].astype(int).tolist():
+        t0 = time.monotonic()
+        parts = []
+        for root, aff, omap in ((root_a, aff_a, map_a),
+                                (root_b, aff_b, map_b)):
+            p = os.path.join(root, "buckets", f"bucket={bucket}",
+                             "postings.parquet")
+            parts.append(_explode_surviving(
+                pq.read_table(p, columns=cols), aff, omap, new_map,
+                store_positions))
+        tok = pa.concat_tables(parts)
+        table, n_post = encode_token_table(tok, doclen_new, avgdl,
+                                           store_positions)
+        _write_bucket(out_root, bucket, table, cfg_hash, n_post, t0)
+        out.append((bucket, table.num_rows, n_post))
+    return pd.DataFrame(out, columns=["bucket", "n_terms", "n_postings"])
+
+
+def merge_indexes(root_a: str, root_b: str, out_root: str) -> dict:
+    """Segment merge (the Lucene/LSM compaction analogue): combine two
+    committed index snapshots into a new index at ``out_root`` WITHOUT
+    re-tokenizing — each side's postings are decoded to token rows once,
+    bucket-aligned (no shuffle: term_bucket depends only on the shared
+    config), and re-encoded by the build's own kernel, so the result is
+    byte-identical to a from-scratch build over A's pages followed by
+    B's pages (tests/test_merge_indexes.py).
+
+    Url collisions (the same url indexed in both snapshots) resolve by
+    the clean stage's dedup rule — keep max ``(warc_ts, text)``, ties to
+    B ("later snapshot wins", matching ``dedup_group``'s keep-last over
+    an A-then-B input order). Distinct urls hashing to the same doc_id
+    raise, exactly as the build does. Both indexes must share a
+    config_hash (same tokenizer / buckets / positions): merging across
+    configs would route terms to the wrong buckets.
+
+    At 100 TB this is the maintenance path between incremental deltas
+    and full rebuilds: N crawl snapshots index independently (each an
+    embarrassingly parallel build over its own shard of pages) and
+    pairwise merges compact them, moving every postings byte exactly
+    once per merge level with zero re-tokenization and zero exchange.
+    """
+    t_start = time.monotonic()
+    with open(os.path.join(root_a, "_manifest.json")) as f:
+        man_a = json.load(f)
+    with open(os.path.join(root_b, "_manifest.json")) as f:
+        man_b = json.load(f)
+    if man_a.get("config_hash") != man_b.get("config_hash"):
+        raise ValueError(
+            "merge_indexes: config_hash mismatch "
+            f"({man_a.get('config_hash')} vs {man_b.get('config_hash')}); "
+            "indexes must be built with identical BuildConfig")
+    from dataclasses import fields as _dc_fields
+
+    stored_cfg = man_a.get("config") or {}
+    known = {f.name for f in _dc_fields(BuildConfig)}
+    cfg = BuildConfig(**{k: v for k, v in stored_cfg.items() if k in known})
+
+    from search_engine_ray.state.ordinals import (
+        doclens_by_ordinal,
+        load_ordinals,
+        write_ordinals,
+    )
+
+    ids_a = load_ordinals(root_a)
+    ids_b = load_ordinals(root_b)
+    collide = np.intersect1d(ids_a, ids_b, assume_unique=True)
+
+    # ---- url-collision resolution (usually empty/tiny) -------------------
+    aff_a = np.empty(0, dtype=np.int64)  # ids whose A-side copy LOSES
+    aff_b = np.empty(0, dtype=np.int64)
+    if collide.size:
+        import pyarrow.dataset as pds
+
+        def rows_for(root):
+            d = pds.dataset(_expand_inputs(
+                os.path.join(root, "docs_clean")))
+            import pyarrow.compute as pc
+
+            t = d.to_table(columns=["doc_id", "url", "warc_ts", "text"],
+                           filter=pc.field("doc_id").isin(collide))
+            df = t.to_pandas().set_index("doc_id").sort_index()
+            return df
+
+        da, db = rows_for(root_a), rows_for(root_b)
+        if not (da["url"] == db["url"]).all():
+            bad = da.index[da["url"] != db["url"]][:4]
+            raise ValueError(
+                f"doc_id hash collision between distinct urls: {list(bad)}")
+        # dedup_group keep-last over sort(warc_ts, text), A rows before B:
+        # A wins only when strictly greater
+        a_wins = (da["warc_ts"].values > db["warc_ts"].values) | (
+            (da["warc_ts"].values == db["warc_ts"].values)
+            & (da["text"].values > db["text"].values))
+        aff_b = np.sort(da.index.values[a_wins])
+        aff_a = np.sort(da.index.values[~a_wins])
+
+    # ---- merged docs_clean ------------------------------------------------
+    os.makedirs(out_root, exist_ok=True)
+    docs_clean = os.path.join(out_root, "docs_clean")
+    aff_a_ref = ray.put(aff_a)
+    aff_b_ref = ray.put(aff_b)
+
+    def drop(aff_ref):
+        def fn(t: pa.Table) -> pa.Table:
+            aff = ray.get(aff_ref)
+            if not aff.size:
+                return t
+            ids = t.column("doc_id").to_numpy()
+            return t.filter(pa.array(~np.isin(ids, aff)))
+        return fn
+
+    ds_a = rd.read_parquet(_expand_inputs(
+        os.path.join(root_a, "docs_clean"))).map_batches(
+        drop(aff_a_ref), batch_format="pyarrow")
+    ds_b = rd.read_parquet(_expand_inputs(
+        os.path.join(root_b, "docs_clean"))).map_batches(
+        drop(aff_b_ref), batch_format="pyarrow")
+    tmp = docs_clean + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds_a.union(ds_b).write_parquet(tmp)
+    _commit_dir(tmp, docs_clean)
+    new_map = write_ordinals(out_root, docs_clean)
+    from search_engine_ray.state.docmap import write_docmap
+
+    write_docmap(out_root, docs_clean)
+
+    # ---- global stats -----------------------------------------------------
+    n_docs = _count_rows(docs_clean)
+    total_tokens = rd.read_parquet(
+        docs_clean, columns=["doc_len"]).sum("doc_len") or 0
+    avgdl = (float(total_tokens) / n_docs) if n_docs else 0.0
+    run_hash = config_hash({
+        "merge": [man_a.get("config_hash"),
+                  man_a.get("metrics", {}).get("n_docs"),
+                  man_b.get("metrics", {}).get("n_docs")],
+    })
+    stats = {"n_docs": int(n_docs), "total_tokens": int(total_tokens),
+             "avgdl": avgdl, "run_hash": run_hash}
+    atomic_write_json(os.path.join(out_root, "global_stats.json"), stats)
+    write_manifest(docs_clean, run_hash, [],
+                   metrics={"n_docs": int(n_docs)})
+
+    # ---- bucket-aligned postings merge ------------------------------------
+    items = [{"bucket": b} for b in range(cfg.num_buckets)]
+    built = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        _merge_two_buckets, batch_format="pandas", batch_size=1,
+        fn_kwargs=dict(root_a=root_a, root_b=root_b, out_root=out_root,
+                       cfg_hash=run_hash, avgdl=avgdl,
+                       store_positions=cfg.store_positions,
+                       aff_a_ref=aff_a_ref, aff_b_ref=aff_b_ref,
+                       map_a_ref=ray.put(ids_a), map_b_ref=ray.put(ids_b),
+                       new_map_ref=ray.put(new_map),
+                       doclen_ref=ray.put(doclens_by_ordinal(docs_clean))),
+    ).to_pandas()
+
+    metrics = {
+        "n_docs": int(n_docs), "avgdl": avgdl,
+        "n_collisions": int(collide.size),
+        "n_terms": int(built["n_terms"].sum()),
+        "n_postings": int(built["n_postings"].sum()),
+        "seconds": round(time.monotonic() - t_start, 3),
+    }
+    atomic_write_json(
+        os.path.join(out_root, "_manifest.json"),
+        {"status": "committed", "config_hash": man_a.get("config_hash"),
+         "config": stored_cfg, "input": [],
+         "merged_from": [os.path.abspath(root_a), os.path.abspath(root_b)],
+         "metrics": metrics},
+    )
+    return metrics

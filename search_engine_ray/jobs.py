@@ -111,6 +111,14 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    from search_engine_ray.incremental import merge_indexes
+
+    m = merge_indexes(args.index_a, args.index_b, args.out)
+    print(json.dumps(m))
+    return 0
+
+
 def cmd_delta(args) -> int:
     from search_engine_ray.incremental import apply_delta
 
@@ -684,6 +692,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--delete-urls-file", default=None)
     d.set_defaults(fn=cmd_delta)
+
+    mg = sub.add_parser("merge", help="segment-merge two index snapshots "
+                        "into a new index (no re-tokenization; byte-"
+                        "identical to a scratch build over A+B pages)")
+    mg.add_argument("--index-a", required=True)
+    mg.add_argument("--index-b", required=True)
+    mg.add_argument("--out", required=True)
+    mg.set_defaults(fn=cmd_merge)
 
     sb = sub.add_parser("sharded-build")
     sb.add_argument("--input", required=True)
