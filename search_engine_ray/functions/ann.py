@@ -469,3 +469,96 @@ def cosine_all_pairs_exact(ds, threshold: float = 0.5,
     futs = [block_pair.remote(refs[i], refs[j], i == j)
             for i in range(len(refs)) for j in range(i, len(refs))]
     return rd.from_arrow_refs(futs)
+
+
+def assign_clusters(ds, codebook: np.ndarray, batch_size: int = 4096):
+    """Nearest-centroid (max cosine) assignment pass: appends an int32
+    ``cluster`` column. The codebook broadcasts once (ray.put); ties
+    resolve to the lowest centroid id (np.argmax), so assignments are
+    deterministic given the codebook."""
+    import ray
+
+    cref = ray.put(np.asarray(codebook, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        vecs = _normalize(_matrix(batch.column("embedding")))
+        cl = np.argmax(vecs @ C.T, axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(cl))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def semantic_dedup(ds, n_clusters: int = 16, threshold: float = 0.95,
+                   sample_size: int = 10_000, seed: int = 17,
+                   batch_size: int = 4096, block_rows: int = 2048,
+                   round_to: int = 6):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): spherical-k-means
+    cluster the embeddings, then inside each cluster drop every vector
+    that has an EARLIER (lower vec_id) cluster-mate with
+    ``round(cos, round_to) >= threshold`` — semantic near-duplicates
+    never survive twice, and the survivor set is deterministic
+    (keep-first, the exact-dedup convention). Returns the DROPPED rows
+    as ``(vec_id, keeper_id, cluster, cos)`` where ``keeper_id`` is the
+    lowest-id qualifying neighbor; the kept corpus is
+    ``ds`` minus these vec_ids.
+
+    Scale shape: one broadcast assignment pass + ONE cluster-keyed
+    exchange; the within-cluster kernel is a blocked
+    ``block_rows x cluster`` matmul (bounded memory), quadratic only in
+    the CLUSTER size — size ``n_clusters ~ n / 10k`` at scale (SemDeDup
+    uses 50k clusters for LAION) so the per-group work stays flat. The
+    pairwise-within-cluster restriction is the paper's own
+    approximation; the exactness anchor in tests is a literal
+    full-matrix within-cluster twin under the SAME codebook."""
+    C = train_codebook(ds, n_clusters, sample_size, seed)
+
+    _EMPTY = pd.DataFrame(
+        {"vec_id": pd.Series(dtype="int64"),
+         "keeper_id": pd.Series(dtype="int64"),
+         "cluster": pd.Series(dtype="int32"),
+         "cos": pd.Series(dtype="float64")})
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _EMPTY
+        g = g.sort_values("vec_id", kind="mergesort")
+        ids = g["vec_id"].to_numpy()
+        M = _normalize(np.stack(
+            [np.asarray(e, dtype=np.float64) for e in g["embedding"]]))
+        n = len(ids)
+        drop_i: list[np.ndarray] = []
+        keep_j: list[np.ndarray] = []
+        sims: list[np.ndarray] = []
+        for s in range(1, n, block_rows):
+            e = min(s + block_rows, n)
+            # rows s..e scored against ALL earlier rows 0..e (then the
+            # j < i triangle mask) — ids are sorted, so the FIRST
+            # qualifying column is the minimum keeper_id
+            sim = np.round(M[s:e] @ M[:e].T, round_to)
+            jcol = np.arange(e)
+            mask = (sim >= threshold) & (jcol[None, :]
+                                         < np.arange(s, e)[:, None])
+            hit = mask.any(axis=1)
+            if not hit.any():
+                continue
+            first = np.argmax(mask[hit], axis=1)
+            rows = np.flatnonzero(hit)
+            drop_i.append(rows + s)
+            keep_j.append(first)
+            sims.append(sim[rows, first])
+        if not drop_i:
+            return _EMPTY
+        di = np.concatenate(drop_i)
+        kj = np.concatenate(keep_j)
+        return pd.DataFrame(
+            {"vec_id": ids[di].astype(np.int64),
+             "keeper_id": ids[kj].astype(np.int64),
+             "cluster": np.full(di.size, int(g["cluster"].iloc[0]),
+                                dtype=np.int32),
+             "cos": np.concatenate(sims)})
+
+    return (assign_clusters(ds, C, batch_size)
+            .groupby("cluster")
+            .map_groups(per_cluster, batch_format="pandas"))

@@ -179,6 +179,15 @@ def cmd_dedup(args) -> int:
         res = (cosine_all_pairs_exact(ds, threshold=args.threshold)
                if args.exact else
                cosine_near_dup_pairs(ds, threshold=args.threshold))
+    elif args.method == "semantic":
+        # SemDeDup: k-means clusters + within-cluster keep-first pruning;
+        # writes the DROPPED rows (vec_id, keeper_id, cluster, cos) — the
+        # kept corpus is the input minus these vec_ids
+        from search_engine_ray.functions.ann import semantic_dedup
+
+        ds = rd.read_parquet(args.input, columns=["vec_id", "embedding"])
+        res = semantic_dedup(ds, n_clusters=args.n_clusters,
+                             threshold=args.threshold)
     else:
         ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
         if args.method == "exact":
@@ -724,8 +733,11 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--out", required=True)
     dd.add_argument("--method", default="exact",
                     choices=["exact", "minhash", "simhash", "ngram",
-                             "embedding", "line", "spans"])
+                             "embedding", "semantic", "line", "spans"])
     dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--n-clusters", type=int, default=16,
+                    help="semantic method: k-means cluster count "
+                         "(size ~ n_vectors / 10k at scale)")
     dd.add_argument("--window", type=int, default=50,
                     help="spans method: duplicated-substring window "
                          "length in tokens")

@@ -1060,3 +1060,80 @@ def test_corpus_diff_cdc(ray_session):
     want = sorted([(3, "removed"), (17, "removed"), (5, "changed"),
                    (25, "changed"), (100, "added"), (101, "added")])
     assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def _semdedup_brute(ids, vecs, clusters, threshold, round_to=6):
+    """Literal SemDeDup reference: full within-cluster matrix, drop any
+    vector with a lower-id cluster-mate at round(cos) >= t; keeper = the
+    lowest-id such mate."""
+    from search_engine_ray.functions.ann import _normalize
+
+    order = np.argsort(ids, kind="stable")
+    ids, vecs, clusters = ids[order], vecs[order], clusters[order]
+    M = _normalize(vecs.astype(np.float64))
+    dropped = {}
+    for i in range(len(ids)):
+        for j in range(i):
+            if clusters[j] != clusters[i]:
+                continue
+            c = round(float(M[i] @ M[j]), round_to)
+            if c >= threshold:
+                dropped[int(ids[i])] = (int(ids[j]), c,
+                                        int(clusters[i]))
+                break
+    return dropped
+
+
+def test_semantic_dedup_matches_brute_force(ray_session):
+    """Engine (blocked within-cluster kernel, two block sizes) == the
+    literal quadratic reference under the SAME codebook/assignments."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import (
+        _matrix,
+        _normalize,
+        assign_clusters,
+        semantic_dedup,
+        train_codebook,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((8, 12))           # 8 semantic "topics"
+    vecs = base[rng.integers(0, 8, 120)] + 0.02 * rng.standard_normal(
+        (120, 12))                                # dense near-dup groups
+    vecs[50] = vecs[20] + 1e-6                    # planted exact-ish dup
+    t = pa.table({"vec_id": pa.array(range(120), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    C = train_codebook(ds, 8, seed=17)
+    assigned = assign_clusters(ds, C).to_pandas()
+    clusters = assigned.sort_values("vec_id")["cluster"].to_numpy()
+    want = _semdedup_brute(np.arange(120), vecs, clusters, 0.97)
+
+    for br in (2048, 7):  # block smaller than clusters must not matter
+        got = semantic_dedup(rd.from_arrow(t), n_clusters=8,
+                             threshold=0.97, block_rows=br).to_pandas()
+        got_map = {int(r.vec_id): (int(r.keeper_id), float(r.cos),
+                                   int(r.cluster))
+                   for r in got.itertuples()}
+        assert got_map == want, br
+    # the planted dup is dropped (its keeper is its LOWEST-id near
+    # neighbor, which may precede 20 — the dense topic groups overlap)
+    assert 50 in want and want[50][0] < 50
+
+
+def test_semantic_dedup_keeps_singletons_and_empty(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    # mutually orthogonal-ish vectors: nothing is dropped
+    vecs = np.eye(10) + 0.001 * rng.standard_normal((10, 10))
+    t = pa.table({"vec_id": pa.array(range(10), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float64()))})
+    out = semantic_dedup(rd.from_arrow(t), n_clusters=4,
+                         threshold=0.99).to_pandas()
+    assert len(out) == 0
