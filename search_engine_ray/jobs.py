@@ -73,6 +73,8 @@ def cmd_query(args) -> int:
         # type as an OR query and silently return disjunctive results.
         if args.type == "phrase":
             res = s.phrase_search(args.terms, k=args.k)
+        elif args.type == "near":
+            res = s.near_search(args.terms, window=args.slop, k=args.k)
         elif args.type == "bool":
             res = s.bool_search(" ".join(args.terms), k=args.k)
         elif args.type == "suggest":
@@ -87,6 +89,8 @@ def cmd_query(args) -> int:
     s = LocalSearcher(args.index)
     if args.type == "phrase":
         res = s.phrase_search(args.terms, k=args.k)
+    elif args.type == "near":
+        res = s.near_search(args.terms, window=args.slop, k=args.k)
     elif args.type == "bool":
         # the expression is the space-joined terms: --terms "(a" OR "b)"
         # or a single quoted argument
@@ -684,7 +688,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--type", default="exact",
                    choices=["exact", "or", "and", "prefix", "contains",
                             "wildcard", "fuzzy", "fuzzy2", "phrase",
-                            "suggest", "bool"])
+                            "near", "suggest", "bool"])
+    q.add_argument("--slop", type=int, default=8,
+                   help="near type: same-line column window "
+                        "(max - min <= slop over one position per term)")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
     q.add_argument("--highlight", action="store_true",

@@ -36,6 +36,27 @@ from search_engine_ray.extract import extract_text
 from search_engine_ray.idhash import doc_id_for_url
 
 
+def within_window_in_row(cols_per_term: list[list[int]],
+                         window: int) -> bool:
+    """Unordered proximity: can one column be chosen from every list so
+    that max - min <= window? Classic minimal-cover over k sorted lists:
+    repeatedly advance the pointer at the current minimum — O(total
+    positions) with k pointers. Shared by oracle and engine (the
+    predicate is the spec; candidate generation differs)."""
+    k = len(cols_per_term)
+    if any(not c for c in cols_per_term):
+        return False
+    idx = [0] * k
+    while True:
+        vals = [cols_per_term[i][idx[i]] for i in range(k)]
+        lo = min(range(k), key=vals.__getitem__)
+        if max(vals) - vals[lo] <= window:
+            return True
+        idx[lo] += 1
+        if idx[lo] >= len(cols_per_term[lo]):
+            return False
+
+
 def ordered_in_row(cols_per_term: list[list[int]]) -> bool:
     """Greedy left-to-right chain: can the terms appear in order (strictly
     increasing columns) within one line? Shared by oracle and engine."""
@@ -230,6 +251,26 @@ class OracleIndex:
             for r in rows_per_term[1:]:
                 common_rows &= set(r)
             if any(ordered_in_row([rpt[row] for rpt in rows_per_term])
+                   for row in common_rows):
+                out.append((d, s, u))
+        return out[:k]
+
+    def near_search(self, terms: list[str], window: int = 8, k: int = 10
+                    ) -> list[tuple[int, float, str]]:
+        """Unordered same-line proximity (NEAR/window): docs where every
+        DISTINCT query term occurs on one line within a ``window``-column
+        span (columns = stored char offsets), ranked by conjunctive BM25 (the Lucene sloppy-PhraseQuery
+        analogue, minus per-position scoring)."""
+        uniq = sorted(set(terms))
+        base = self.search(uniq, "and", k=self.n_docs or 1)
+        out = []
+        for d, s, u in base:
+            rows_per_term = [self.matched_rows(d, t) for t in uniq]
+            common_rows = set(rows_per_term[0])
+            for r in rows_per_term[1:]:
+                common_rows &= set(r)
+            if any(within_window_in_row(
+                    [rpt[row] for rpt in rows_per_term], window)
                    for row in common_rows):
                 out.append((d, s, u))
         return out[:k]

@@ -569,6 +569,67 @@ class LocalSearcher:
              "score": pa.array(np.asarray(keep_scores, dtype=np.float64)),
              "url": pa.array(urls, pa.string())}, schema=RESULT_SCHEMA)
 
+    def near_search(self, terms: list[str], window: int = 8, k: int = 10,
+                    with_urls: bool = True,
+                    idfs: dict[str, float] | None = None) -> pa.Table:
+        """Unordered same-line proximity (NEAR/window, the Lucene sloppy-
+        PhraseQuery analogue): docs where every DISTINCT query term
+        occurs on one line within a ``window``-column span — columns
+        are the STORED position unit, the token's character offset in
+        its line (oracle.within_window_in_row, the shared minimal-cover
+        predicate) — ranked by conjunctive BM25. Same cost shape and
+        ``idfs`` injection contract as ``phrase_search``."""
+        from search_engine_ray.oracle import within_window_in_row
+
+        empty = pa.table(
+            {"rank": pa.array([], pa.int32()),
+             "doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             "url": pa.array([], pa.string())}, schema=RESULT_SCHEMA)
+        uniq = sorted(set(terms))
+        gathered = self._gather(uniq)
+        if idfs is not None:
+            gathered = [(t, rec, idfs[t]) for t, rec, _ in gathered]
+        if not terms or len(gathered) < len(uniq):
+            return empty  # conjunctive: a missing term empties the result
+        pos_decs: dict[str, dict] = {}
+        for t, rec, _ in gathered:
+            dec = self._decode_positions(t, rec)
+            if dec is None:
+                return empty  # index built without positions
+            pos_decs[t] = dec
+        ords, scores = self._score_and(gathered, k=self.n_docs or 1)
+        keep_ords, keep_scores = [], []
+        for o, sc in zip(ords.tolist(), scores.tolist()):
+            rows_per_term = []
+            for t in uniq:
+                dec = pos_decs[t]
+                i = int(np.searchsorted(dec["docids"], o))
+                poss = dec["positions"][dec["starts"][i]:dec["starts"][i + 1]]
+                rows: dict[int, list[int]] = {}
+                for p in poss.tolist():
+                    rows.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+                rows_per_term.append(rows)
+            common = set(rows_per_term[0])
+            for r in rows_per_term[1:]:
+                common &= set(r)
+            if any(within_window_in_row([rpt[row] for rpt in rows_per_term],
+                                        window)
+                   for row in common):
+                keep_ords.append(o)
+                keep_scores.append(sc)
+                if len(keep_ords) >= k:
+                    break
+        doc_ids = self.ords()[np.asarray(keep_ords, dtype=np.int64)] \
+            if keep_ords else np.empty(0, np.int64)
+        urls = self.resolve_urls(doc_ids) if with_urls \
+            else [""] * len(doc_ids)
+        return pa.table(
+            {"rank": pa.array(np.arange(1, len(doc_ids) + 1, dtype=np.int32)),
+             "doc_id": pa.array(doc_ids, pa.int64()),
+             "score": pa.array(np.asarray(keep_scores, dtype=np.float64)),
+             "url": pa.array(urls, pa.string())}, schema=RESULT_SCHEMA)
+
     def explain(self, queries: list[str], search_type: str = "exact",
                 doc_id: int | None = None) -> pa.Table:
         """Score breakdown for one document (Lucene ``explain``

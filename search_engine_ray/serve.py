@@ -57,6 +57,9 @@ class _Replica:
     def phrase(self, terms, k):
         return self.searcher.phrase_search(terms, k=k)
 
+    def near(self, terms, window, k):
+        return self.searcher.near_search(terms, window=window, k=k)
+
     def bool_q(self, query, k):
         return self.searcher.bool_search(query, k=k)
 
@@ -104,6 +107,11 @@ class SearcherReplicaPool:
         r = self._replicas[self._next % len(self._replicas)]
         self._next += 1
         return ray.get(r.phrase.remote(terms, k))
+
+    def near_search(self, terms, window=8, k=10):
+        r = self._replicas[self._next % len(self._replicas)]
+        self._next += 1
+        return ray.get(r.near.remote(terms, window, k))
 
     def bool_search(self, query, k=10):
         r = self._replicas[self._next % len(self._replicas)]
@@ -216,6 +224,14 @@ class _DocShardReplica:
                 t.column("score").to_numpy(zero_copy_only=False),
                 t.column("url").to_pylist())
 
+    def near_topk(self, terms: list[str], window: int,
+                  idfs: dict[str, float], k: int, with_urls: bool):
+        t = self._s.near_search(terms, window=window, k=k,
+                                with_urls=with_urls, idfs=idfs)
+        return (t.column("doc_id").to_numpy(zero_copy_only=False),
+                t.column("score").to_numpy(zero_copy_only=False),
+                t.column("url").to_pylist())
+
     def bool_topk(self, query: str, idfs: dict[str, float],
                   k: int, with_urls: bool):
         t = self._s.bool_search(query, k=k, with_urls=with_urls,
@@ -296,6 +312,21 @@ class DocShardServer:
                 for t in expand}
         parts = ray.get([
             sh.phrase_topk.remote(terms, idfs, k, with_urls)
+            for sh in self._shards
+        ])
+        return self._merge(parts, k, with_urls)
+
+    def near_search(self, terms: list[str], window: int = 8, k: int = 10,
+                    with_urls: bool = True) -> pa.Table:
+        """Exact sharded proximity search (phrase_search's argument: a
+        window match is decidable within one shard)."""
+        expand = self._expand(sorted(set(terms)), "and")
+        if not expand:
+            return self._merge([], k, with_urls)
+        idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
+                for t in expand}
+        parts = ray.get([
+            sh.near_topk.remote(terms, window, idfs, k, with_urls)
             for sh in self._shards
         ])
         return self._merge(parts, k, with_urls)

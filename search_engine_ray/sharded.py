@@ -452,6 +452,35 @@ class ShardedSearcher:
              "score": out.column("score"),
              "url": out.column("url")}, schema=RESULT_SCHEMA)
 
+    def near_search(self, terms: list[str], window: int = 8,
+                    k: int = 10) -> pa.Table:
+        """Unordered proximity (NEAR/window) across doc shards — exact by
+        phrase_search's argument: a doc's window match is shard-local,
+        scores use injected GLOBAL-df idfs, per-shard top-k merge."""
+        uniq = sorted(set(terms))
+        idfs = {t: self._global_idf(t) for t in uniq}
+        parts = []
+        for sh in self.shards:
+            res = sh.near_search(terms, window=window, k=k, idfs=idfs)
+            if res.num_rows:
+                parts.append(res)
+        if not parts:
+            return pa.table(
+                {"rank": pa.array([], pa.int32()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64()),
+                 "url": pa.array([], pa.string())}, schema=RESULT_SCHEMA)
+        merged = pa.concat_tables(parts)
+        ids = merged.column("doc_id").to_numpy()
+        scs = merged.column("score").to_numpy()
+        top = _topk_indices(ids, scs, k)
+        out = merged.take(pa.array(top))
+        return pa.table(
+            {"rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int32)),
+             "doc_id": out.column("doc_id"),
+             "score": out.column("score"),
+             "url": out.column("url")}, schema=RESULT_SCHEMA)
+
     def bool_search(self, query: str, k: int = 10) -> pa.Table:
         """Boolean query across doc shards — exact, rank-identical to an
         unsharded index: membership in any boolean set (complement

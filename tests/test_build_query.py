@@ -310,3 +310,31 @@ def test_wildcard_trigram_equals_linear_scan(searcher):
     for pat in patterns:
         want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
         assert searcher.expand([pat], "wildcard") == want, pat
+
+
+def test_near_search_matches_oracle(searcher, small_oracle):
+    """NEAR/window proximity: engine (candidate walk over decoded
+    positions) == oracle (matched_rows + the shared minimal-cover
+    predicate) for several windows, including order-independence and a
+    window too small to cover."""
+    cases = [(["mama", "mila"], 1), (["mila", "mama"], 1),
+             (["mila", "doma"], 1), (["doma", "mila"], 1),
+             (["mama", "here"], 3), (["mama", "here"], 50),
+             (["mama", "mila", "doma"], 2), (["ruka", "ram"], 4),
+             (["zzz_missing", "mila"], 8)]
+    for terms, w in cases:
+        eng = searcher.near_search(terms, window=w, k=50)
+        want = [d for d, _, _ in small_oracle.near_search(terms, window=w,
+                                                          k=50)]
+        assert eng.column("doc_id").to_pylist() == want, (terms, w)
+    # parity doc "mama mila doma hi mama i am here": positions store CHAR
+    # columns (mila@5, doma@10 -> span 5); unordered NEAR hits in BOTH
+    # orders (phrase only in one), and a window below the span misses
+    for terms in (["mila", "doma"], ["doma", "mila"]):
+        hits = searcher.near_search(terms, window=5, k=10)
+        assert "https://example.org/parity/00000002" in \
+            hits.column("url").to_pylist(), terms
+        assert searcher.near_search(terms, window=4, k=10).num_rows == 0
+    # window 0 demands the same column — never true for distinct terms
+    assert searcher.near_search(["mama", "mila"], window=0,
+                                k=10).num_rows == 0

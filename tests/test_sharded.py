@@ -256,3 +256,24 @@ def test_shard_doc_counts_sum(sharded_root, built_index):
     assert sharded.n_docs == single.n_docs
     assert sum(sh.stats["n_docs"] if False else
                len(sh.ords()) for sh in sharded.shards) == single.n_docs
+
+
+def test_sharded_near_matches_unsharded(sharded_root, built_index):
+    """near_search across doc shards (global-idf injection + merge) is
+    rank- and score-identical to the single index, incl. DocShardServer."""
+    from search_engine_ray.serve import DocShardServer
+
+    sharded = ShardedSearcher(sharded_root)
+    single = LocalSearcher(built_index)
+    cases = [(["mama", "mila"], 1), (["mila", "doma"], 1),
+             (["mama", "here"], 50), (["zzz_missing", "mila"], 8)]
+    for terms, w in cases:
+        assert sharded.near_search(terms, window=w, k=20).equals(
+            single.near_search(terms, window=w, k=20)), (terms, w)
+    srv = DocShardServer(sharded_root)
+    try:
+        for terms, w in cases:
+            assert srv.near_search(terms, window=w, k=20).equals(
+                single.near_search(terms, window=w, k=20)), (terms, w)
+    finally:
+        srv.shutdown()

@@ -208,6 +208,9 @@ def test_replica_pool_phrase_and_suggest(built_index):
         want2 = SuggestionExpander(s).search_with_suggestions("mila", k=10)
         got2 = pool.search_with_suggestions("mila", k=10)
         assert got2.equals(want2)
+        want3 = s.near_search(["doma", "mila"], window=5, k=10)
+        got3 = pool.near_search(["doma", "mila"], window=5, k=10)
+        assert got3.equals(want3) and want3.num_rows > 0
     finally:
         pool.shutdown()
 
