@@ -115,6 +115,18 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_mlt(args) -> int:
+    """More-like-this: find documents similar to a given url/doc_id."""
+    from search_engine_ray.idhash import doc_id_for_url
+    from search_engine_ray.search import LocalSearcher
+
+    s = LocalSearcher(args.index)
+    doc_id = doc_id_for_url(args.url) if args.url else args.doc_id
+    res = s.more_like_this(doc_id, k=args.k, max_terms=args.max_terms)
+    print(json.dumps(res.to_pylist()))
+    return 0
+
+
 def cmd_merge(args) -> int:
     from search_engine_ray.incremental import merge_indexes
 
@@ -708,6 +720,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--delete-urls-file", default=None)
     d.set_defaults(fn=cmd_delta)
+
+    ml = sub.add_parser("mlt", help="more-like-this: top tf*idf terms of "
+                        "a document as a disjunctive BM25 query")
+    ml.add_argument("--index", required=True)
+    g = ml.add_mutually_exclusive_group(required=True)
+    g.add_argument("--url")
+    g.add_argument("--doc-id", type=int)
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=10)
+    ml.set_defaults(fn=cmd_mlt)
 
     mg = sub.add_parser("merge", help="segment-merge two index snapshots "
                         "into a new index (no re-tokenization; byte-"

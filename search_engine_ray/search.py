@@ -844,6 +844,33 @@ class LocalSearcher:
             counts[tok] = counts.get(tok, 0) + 1
         return sorted(counts.items())
 
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_terms: int = 10,
+                       with_urls: bool = True) -> pa.Table:
+        """Lucene MoreLikeThis analogue: select the source doc's
+        ``max_terms`` highest tf*idf terms (forward walk ``doc_terms``;
+        ties break term-ascending), run them as a disjunctive BM25 query,
+        and drop the source doc from the hits. Deterministic: term
+        selection and ranking share the engine's float64 conventions."""
+        tf_terms = [(t, tf) for t, tf in self.doc_terms(doc_id)
+                    if self._has_term(t)]
+        if not tf_terms:
+            return self.search([], "or", k=0, with_urls=with_urls)
+        scored = []
+        for t, tf in tf_terms:
+            rec = self._posting_for(t)
+            scored.append((-(tf * bm25_idf(self.n_docs, rec["df"])), t))
+        sel = [t for _, t in sorted(scored)[:max_terms]]
+        res = self.search(sel, "or", k=k + 1, with_urls=with_urls)
+        keep = [i for i, d in enumerate(res.column("doc_id").to_pylist())
+                if d != doc_id][:k]
+        out = res.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {"rank": pa.array(np.arange(1, len(keep) + 1, dtype=np.int32)),
+             "doc_id": out.column("doc_id"),
+             "score": out.column("score"),
+             "url": out.column("url")}, schema=RESULT_SCHEMA)
+
     # --- per-doc rescan (reference Q3/M9) --------------------------------
 
     def matched_rows(self, doc_id: int, term: str) -> dict[int, list[int]]:

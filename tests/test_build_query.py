@@ -338,3 +338,24 @@ def test_near_search_matches_oracle(searcher, small_oracle):
     # window 0 demands the same column — never true for distinct terms
     assert searcher.near_search(["mama", "mila"], window=0,
                                 k=10).num_rows == 0
+
+
+def test_more_like_this_matches_oracle(searcher, small_oracle):
+    """MLT == an independently computed reference: top tf*idf doc terms
+    (tie term-asc) -> oracle OR search minus the source doc."""
+    from search_engine_ray.codec import bm25_idf
+
+    for doc_id in list(small_oracle.url_of)[:8]:
+        tfs = {t: e[doc_id][0]
+               for t, e in small_oracle.postings.items() if doc_id in e}
+        sel = [t for _, t in sorted(
+            (-(tf * bm25_idf(small_oracle.n_docs,
+                             len(small_oracle.postings[t]))), t)
+            for t, tf in tfs.items())[:10]]
+        want = [d for d, _, _ in small_oracle.search(sel, "or", k=11)
+                if d != doc_id][:10]
+        got = searcher.more_like_this(doc_id, k=10, max_terms=10)
+        assert got.column("doc_id").to_pylist() == want, doc_id
+        assert doc_id not in got.column("doc_id").to_pylist()
+    # unknown doc -> empty
+    assert searcher.more_like_this(999_999_999, k=5).num_rows == 0
