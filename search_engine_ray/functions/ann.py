@@ -562,3 +562,85 @@ def semantic_dedup(ds, n_clusters: int = 16, threshold: float = 0.95,
     return (assign_clusters(ds, C, batch_size)
             .groupby("cluster")
             .map_groups(per_cluster, batch_format="pandas"))
+
+
+def knn_join(ds_left, ds_right, k: int = 10, batch_size: int = 1024,
+             block_rows: int = 4096, round_to: int = 6,
+             exclude_self: bool = False):
+    """Exact cosine kNN JOIN: for every left vector, its ``k`` nearest
+    right vectors -> (left_id, right_id, rank, cos); ties break
+    (cos desc, right_id asc) after 6-dp rounding, the repo convention.
+
+    Scale shape: the RIGHT side snapshots once into normalized
+    object-store blocks (one streaming pass; each worker ray.get is a
+    zero-copy shared-memory read, so the right side lives in plasma
+    ONCE per node, not per actor); the LEFT side streams through
+    map_batches, each batch keeping a bounded candidate set (k per
+    right block) and selecting its final top-k locally — NO shuffle and
+    no groupby: a batch's output is final. O(|L| x |R|) FLOPs by
+    definition — the exactness anchor; when the right side outgrows
+    plasma, the IVF path (train_codebook + probe the nearest lists,
+    ``ivf_topk``) is the approximate scale twin. ``exclude_self=True``
+    drops left_id == right_id matches (kNN-graph over one corpus)."""
+    import ray
+    import ray.data as rd
+
+    refs = []
+    for b in ds_right.iter_batches(batch_format="pyarrow",
+                                   batch_size=block_rows):
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        refs.append(ray.put((ids, _normalize(_matrix(b.column("embedding"))))))
+
+    if not refs:
+        return rd.from_arrow(pa.table(
+            {"left_id": pa.array([], pa.int64()),
+             "right_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int32()),
+             "cos": pa.array([], pa.float64())}))
+
+    class KnnJoinBatch:
+        def __init__(self):
+            self._refs = refs
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lids = batch.column("vec_id").to_numpy().astype(np.int64)
+            L = _normalize(_matrix(batch.column("embedding")))
+            na = len(lids)
+            cand_s, cand_i = [], []
+            for ref in self._refs:
+                rids, R = ray.get(ref)  # zero-copy plasma read
+                sims = np.round(L @ R.T, round_to)
+                if exclude_self:
+                    eq = lids[:, None] == rids[None, :]
+                    sims = np.where(eq, -np.inf, sims)
+                kk = min(k, sims.shape[1])
+                # per-row top-kk by (cos desc, right_id asc): a plain
+                # argpartition keeps ARBITRARY members of a cos-tie at
+                # the boundary and could drop the lowest-id candidate
+                rmat = np.broadcast_to(rids, sims.shape)
+                part = np.lexsort((rmat, -sims), axis=1)[:, :kk]
+                cand_s.append(np.take_along_axis(sims, part, axis=1))
+                cand_i.append(rids[part])
+            S = np.concatenate(cand_s, axis=1)   # (na, k*n_blocks)
+            Ids = np.concatenate(cand_i, axis=1)
+            # final per-row selection: (cos desc, right_id asc)
+            order = np.lexsort((Ids, -S), axis=1)
+            kk = min(k, S.shape[1])
+            sel = order[:, :kk]
+            s_out = np.take_along_axis(S, sel, axis=1)
+            i_out = np.take_along_axis(Ids, sel, axis=1)
+            good = np.isfinite(s_out)            # exclude_self leftovers
+            rank = np.broadcast_to(np.arange(1, kk + 1, dtype=np.int32),
+                                   s_out.shape)
+            lrep = np.repeat(lids, kk).reshape(na, kk)
+            return pa.table(
+                {"left_id": pa.array(lrep[good], pa.int64()),
+                 "right_id": pa.array(i_out[good], pa.int64()),
+                 "rank": pa.array(rank[good], pa.int32()),
+                 "cos": pa.array(s_out[good], pa.float64())})
+
+    from search_engine_ray.pool import actor_pool_size
+
+    return ds_left.map_batches(
+        KnnJoinBatch, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=actor_pool_size())

@@ -347,6 +347,24 @@ def cmd_ann_delta(args) -> int:
     return 0
 
 
+def cmd_knn_join(args) -> int:
+    """Exact cosine kNN join (left x right) -> partitioned parquet of
+    (left_id, right_id, rank, cos); --self drops left_id == right_id
+    (kNN graph over one corpus)."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.ann import knn_join
+
+    left = rd.read_parquet(args.left, columns=["vec_id", "embedding"])
+    right = rd.read_parquet(args.right or args.left,
+                            columns=["vec_id", "embedding"])
+    res = knn_join(left, right, k=args.k,
+                   exclude_self=args.self or args.right is None)
+    res.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "k": args.k}))
+    return 0
+
+
 def cmd_ann_query(args) -> int:
     """Query the persisted IVF index: reads ONLY the probed list
     partitions. ``--queries`` is a (vec_id, embedding) parquet; results
@@ -801,6 +819,19 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("-k", type=int, default=10)
     aq.add_argument("--n-probe", type=int, default=4)
     aq.set_defaults(fn=cmd_ann_query)
+
+    kj = sub.add_parser("knn-join", help="exact cosine kNN join: each "
+                        "left vector's top-k right neighbors")
+    kj.add_argument("--left", required=True,
+                    help="parquet of (vec_id, embedding)")
+    kj.add_argument("--right", default=None,
+                    help="right-side parquet (default: --left, i.e. a "
+                         "self kNN graph with self-matches dropped)")
+    kj.add_argument("--out", required=True)
+    kj.add_argument("-k", type=int, default=10)
+    kj.add_argument("--self", action="store_true",
+                    help="drop left_id == right_id matches")
+    kj.set_defaults(fn=cmd_knn_join)
 
     ad = sub.add_parser("ann-delta")
     ad.add_argument("--root", required=True)
