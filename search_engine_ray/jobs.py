@@ -128,9 +128,27 @@ def cmd_mlt(args) -> int:
 
 
 def cmd_merge(args) -> int:
+    """Segment-merge 2+ index snapshots. More than two inputs fold
+    left-to-right through pairwise merges (the compaction ladder: each
+    level moves every postings byte once); intermediate levels live
+    under OUT/_merge_tmp and are removed on success."""
+    import os
+    import shutil
+
     from search_engine_ray.incremental import merge_indexes
 
-    m = merge_indexes(args.index_a, args.index_b, args.out)
+    inputs = [args.index_a, args.index_b] + (args.more or [])
+    tmp_root = os.path.join(args.out + "_merge_tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    acc = inputs[0]
+    m = {}
+    for i, nxt in enumerate(inputs[1:]):
+        dest = (args.out if i == len(inputs) - 2
+                else os.path.join(tmp_root, f"level{i}"))
+        m = merge_indexes(acc, nxt, dest)
+        acc = dest
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    m["n_inputs"] = len(inputs)
     print(json.dumps(m))
     return 0
 
@@ -754,6 +772,8 @@ def main(argv: list[str] | None = None) -> int:
                         "identical to a scratch build over A+B pages)")
     mg.add_argument("--index-a", required=True)
     mg.add_argument("--index-b", required=True)
+    mg.add_argument("more", nargs="*",
+                    help="additional index roots (folded pairwise)")
     mg.add_argument("--out", required=True)
     mg.set_defaults(fn=cmd_merge)
 
