@@ -115,6 +115,15 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Index integrity check; exit 1 on any violated invariant."""
+    from search_engine_ray.fsck import verify_index
+
+    rep = verify_index(args.index, deep=args.deep)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def cmd_mlt(args) -> int:
     """More-like-this: find documents similar to a given url/doc_id."""
     from search_engine_ray.idhash import doc_id_for_url
@@ -756,6 +765,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--delete-urls-file", default=None)
     d.set_defaults(fn=cmd_delta)
+
+    fs = sub.add_parser("fsck", help="verify index artifact integrity "
+                        "(structural; --deep adds full postings-decode "
+                        "invariants incl. per-doc tf sums == doc_len)")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--deep", action="store_true")
+    fs.set_defaults(fn=cmd_fsck)
 
     ml = sub.add_parser("mlt", help="more-like-this: top tf*idf terms of "
                         "a document as a disjunctive BM25 query")
