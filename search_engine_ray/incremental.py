@@ -220,6 +220,7 @@ def apply_delta(
     delta_pages_path: str | list[str] | None,
     deleted_urls: list[str] | None = None,
     config: BuildConfig | None = None,
+    deleted_ids: np.ndarray | None = None,
 ) -> dict:
     """Apply a delta snapshot (new/changed pages) + deletions to an index.
 
@@ -283,6 +284,11 @@ def apply_delta(
 
     tomb_ids = (doc_ids_for_urls(deleted_urls)
                 if deleted_urls else np.empty(0, dtype=np.int64))
+    if deleted_ids is not None and len(deleted_ids):
+        # id-level tombstones (sync_index computes the removed set as ids
+        # from the diff exchange — no url round-trip at corpus scale)
+        tomb_ids = np.union1d(tomb_ids,
+                              np.asarray(deleted_ids, dtype=np.int64))
     affected = np.unique(np.concatenate((delta_ids, tomb_ids)))
 
     # ---- 2. rewrite docs_clean (old - affected + delta) ------------------
@@ -317,6 +323,9 @@ def apply_delta(
         "base": root_manifest.get("config_hash"),
         "gen": gen_id, "inputs": inputs,
         "deleted": sorted(deleted_urls or []),
+        "deleted_ids": sorted(int(i) for i in (deleted_ids
+                                               if deleted_ids is not None
+                                               else [])),
     })
     stats = {"n_docs": int(n_docs), "total_tokens": int(total_tokens),
              "avgdl": avgdl, "run_hash": run_hash}
@@ -584,3 +593,145 @@ def merge_indexes(root_a: str, root_b: str, out_root: str) -> dict:
          "metrics": metrics},
     )
     return metrics
+
+
+def sync_index(index_root: str, pages_path: str | list[str]) -> dict:
+    """Reconcile a committed index with a NEW full page snapshot
+    (reference U5 "startup diff" at corpus scale): clean the snapshot
+    (same stage as a build), diff it against the index's docs_clean on
+    ``(md5(text), warc_ts)`` per doc_id — a metadata-only tagged-union
+    exchange (~40 B/doc, never text; the functions/dedup.corpus_diff
+    shape), then apply exactly the changed slice via ``apply_delta``:
+    added/changed docs as delta pages, vanished docs as id tombstones.
+    Result: byte-identical to ``build_index(snapshot)`` (pinned); an
+    unchanged snapshot touches NOTHING (no apply_delta call, artifacts
+    bit-stable).
+
+    At 100 TB this is the recrawl loop: each crawl snapshot syncs in
+    O(changed docs) tokenize + the fixed per-bucket re-encode, instead
+    of an O(corpus) rebuild."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    t_start = time.monotonic()
+    docs_clean = os.path.join(index_root, "docs_clean")
+    sync_root = os.path.join(index_root, "_sync_tmp")
+    shutil.rmtree(sync_root, ignore_errors=True)
+    os.makedirs(sync_root)
+    try:
+        with open(os.path.join(index_root, "_manifest.json")) as f:
+            root_manifest = json.load(f)
+        from dataclasses import fields as _dc_fields
+
+        stored_cfg = root_manifest.get("config") or {}
+        known = {f.name for f in _dc_fields(BuildConfig)}
+        cfg = BuildConfig(**{k: v for k, v in stored_cfg.items()
+                             if k in known})
+
+        # ---- 1. canonicalize the snapshot (the build's own clean stage:
+        # extract + per-url winner) -----------------------------------
+        clean_new = os.path.join(sync_root, "clean")
+        inputs = input_fingerprint(_expand_inputs(pages_path))
+        ds = rd.read_parquet(
+            [f["path"] for f in inputs],
+            columns=["url", "warc_ts", "html", "text", "lang"],
+        )
+        ds = ds.map_batches(CleanBatch(cfg.dedup_buckets, cfg.tokenizer),
+                            batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+        ds = ds.groupby("dedup_bucket").map_groups(dedup_group,
+                                                   batch_format="pandas")
+        ds.write_parquet(clean_new)
+
+        # ---- 2. metadata diff: (doc_id, md5, warc_ts) per side --------
+        def project(side: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                texts = batch.column("text").to_pylist()
+                ts = batch.column("warc_ts").cast(pa.int64())
+                import hashlib as _h
+
+                return pa.table({
+                    "doc_id": batch.column("doc_id"),
+                    "md5": pa.array(
+                        [_h.md5((t or "").encode()).hexdigest()
+                         for t in texts], pa.string()),
+                    "ts": ts,
+                    "side": pa.array(
+                        np.full(len(texts), side, dtype=np.int8)),
+                })
+
+            return fn
+
+        cols = ["doc_id", "warc_ts", "text"]
+        both = rd.read_parquet(_expand_inputs(docs_clean), columns=cols) \
+            .map_batches(project(0), batch_format="pyarrow") \
+            .union(rd.read_parquet(_expand_inputs(clean_new), columns=cols)
+                   .map_batches(project(1), batch_format="pyarrow"))
+
+        def compare(g: pd.DataFrame) -> pd.DataFrame:
+            key = g["md5"] + "@" + g["ts"].astype(str)
+            piv = pd.DataFrame({"doc_id": g["doc_id"], "side": g["side"],
+                                "key": key}).pivot_table(
+                index="doc_id", columns="side", values="key",
+                aggfunc="first")
+            old = piv[0] if 0 in piv.columns else pd.Series(
+                index=piv.index, dtype=object)
+            new = piv[1] if 1 in piv.columns else pd.Series(
+                index=piv.index, dtype=object)
+            status = np.where(
+                old.isna(), "added",
+                np.where(new.isna(), "removed",
+                         np.where(old != new, "changed", "")))
+            out = pd.DataFrame({"doc_id": piv.index.to_numpy(np.int64),
+                                "status": status})
+            return out[out["status"] != ""]
+
+        diff = bucketed_group_agg(both, ["doc_id"], compare, 64) \
+            .to_pandas()
+        added = diff.loc[diff.status == "added", "doc_id"].to_numpy()
+        changed = diff.loc[diff.status == "changed", "doc_id"].to_numpy()
+        removed = diff.loc[diff.status == "removed", "doc_id"].to_numpy()
+        metrics = {"n_added": int(added.size),
+                   "n_changed": int(changed.size),
+                   "n_removed": int(removed.size)}
+        if not (added.size or changed.size or removed.size):
+            metrics["seconds"] = round(time.monotonic() - t_start, 3)
+            metrics["applied"] = False
+            return metrics  # bit-stable no-op: never touch the index
+
+        # ---- 3. delta pages = clean_new rows of added ∪ changed -------
+        delta_dir = os.path.join(sync_root, "delta_pages")
+        upd = np.sort(np.concatenate((added, changed)))
+        upd_ref = ray.put(upd)
+
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            u = ray.get(upd_ref)
+            pos = np.minimum(np.searchsorted(u, ids), u.size - 1) \
+                if u.size else np.zeros(len(ids), dtype=np.int64)
+            keep = (u[pos] == ids) if u.size else np.zeros(len(ids),
+                                                           dtype=bool)
+            t = t.filter(pa.array(keep))
+            n = t.num_rows
+            return pa.table({
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "html": pa.array([b""] * n, pa.binary()),
+                "text": t.column("text"),
+                "lang": t.column("lang"),
+            })
+
+        rd.read_parquet(_expand_inputs(clean_new),
+                        columns=["doc_id", "url", "warc_ts", "text",
+                                 "lang"]) \
+            .map_batches(to_pages, batch_format="pyarrow") \
+            .write_parquet(delta_dir)
+
+        m = apply_delta(index_root, delta_dir if upd.size else None,
+                        deleted_ids=removed)
+        metrics.update({k: v for k, v in m.items()
+                        if k in ("n_docs", "avgdl", "buckets_merged")})
+        metrics["applied"] = True
+        metrics["seconds"] = round(time.monotonic() - t_start, 3)
+        return metrics
+    finally:
+        shutil.rmtree(sync_root, ignore_errors=True)

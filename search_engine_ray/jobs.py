@@ -115,6 +115,15 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """Reconcile an index with a new full page snapshot (diff + delta)."""
+    from search_engine_ray.incremental import sync_index
+
+    m = sync_index(args.index, args.input)
+    print(json.dumps(m))
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Index integrity check; exit 1 on any violated invariant."""
     from search_engine_ray.fsck import verify_index
@@ -765,6 +774,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--delete-urls-file", default=None)
     d.set_defaults(fn=cmd_delta)
+
+    sy = sub.add_parser("sync", help="reconcile an index with a NEW full "
+                        "page snapshot: metadata diff, then apply only "
+                        "the changed slice (O(changed) tokenize; "
+                        "byte-identical to a scratch build of the "
+                        "snapshot; unchanged snapshot = no-op)")
+    sy.add_argument("--index", required=True)
+    sy.add_argument("--input", required=True,
+                    help="full pages snapshot (parquet dir/file)")
+    sy.set_defaults(fn=cmd_sync)
 
     fs = sub.add_parser("fsck", help="verify index artifact integrity "
                         "(structural; --deep adds full postings-decode "
