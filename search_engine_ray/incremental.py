@@ -687,6 +687,10 @@ def sync_index(index_root: str, pages_path: str | list[str]) -> dict:
 
         diff = bucketed_group_agg(both, ["doc_id"], compare, 64) \
             .to_pandas()
+        if diff.empty or "status" not in diff.columns:
+            # an all-empty map_groups output loses its schema entirely
+            diff = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "status": pd.Series(dtype=object)})
         added = diff.loc[diff.status == "added", "doc_id"].to_numpy()
         changed = diff.loc[diff.status == "changed", "doc_id"].to_numpy()
         removed = diff.loc[diff.status == "removed", "doc_id"].to_numpy()
