@@ -196,3 +196,80 @@ def verify_index(index_root: str, deep: bool = False) -> dict:
         checks["deep_tf_vs_doclen"] = n_docs
 
     return {"ok": not errors, "errors": errors, "checks": checks}
+
+
+def verify_sharded(root: str, deep: bool = False) -> dict:
+    """fsck for a doc-sharded root: every shard passes ``verify_index``,
+    the root stats equal the shard sums, and the term-stats sidecar's
+    df(term) equals the cross-shard df sum per bucket (the invariant the
+    query path's global-idf injection relies on)."""
+    errors: list[str] = []
+    checks: dict[str, int] = {}
+    try:
+        with open(os.path.join(root, "global_stats.json")) as f:
+            stats = json.load(f)
+        n_shards = int(stats["num_doc_shards"])
+        n_docs = int(stats["n_docs"])
+    except Exception as e:  # noqa: BLE001
+        return {"ok": False, "errors": [f"root stats unreadable: {e}"],
+                "checks": {}}
+
+    shard_docs = 0
+    shard_tokens = 0
+    nb = 0
+    for s in range(n_shards):
+        sroot = os.path.join(root, f"shard={s}")
+        rep = verify_index(sroot, deep=deep)
+        if not rep["ok"]:
+            errors.extend(f"shard {s}: {e}" for e in rep["errors"])
+        try:
+            with open(os.path.join(sroot, "global_stats.json")) as f:
+                ss = json.load(f)
+            shard_docs += int(ss["n_docs"])
+            shard_tokens += int(ss["total_tokens"])
+            with open(os.path.join(sroot, "_manifest.json")) as f:
+                nb = int(json.load(f)["config"]["num_buckets"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"shard {s} stats unreadable: {e}")
+    if shard_docs != n_docs:
+        errors.append(f"root n_docs {n_docs} != shard sum {shard_docs}")
+    if int(stats.get("total_tokens", shard_tokens)) != shard_tokens:
+        errors.append(f"root total_tokens {stats.get('total_tokens')} "
+                      f"!= shard sum {shard_tokens}")
+    checks["shards"] = n_shards
+
+    sidecar = os.path.join(root, "term_stats")
+    if os.path.isdir(sidecar) and nb:
+        import pandas as pd
+
+        for b in range(nb):
+            try:
+                side = pq.read_table(
+                    os.path.join(sidecar, f"bucket={b}", "df.parquet")
+                ).to_pandas()
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"sidecar bucket {b} unreadable: {e}")
+                continue
+            parts = []
+            for s in range(n_shards):
+                p = os.path.join(root, f"shard={s}", "buckets",
+                                 f"bucket={b}", "postings.parquet")
+                try:
+                    parts.append(pq.read_table(
+                        p, columns=["term", "df"]).to_pandas())
+                except Exception:  # noqa: BLE001 - empty shard bucket ok
+                    continue
+            want = (pd.concat(parts).groupby("term", as_index=False)
+                    ["df"].sum().sort_values("term")
+                    if parts else pd.DataFrame({"term": [], "df": []}))
+            got = side.sort_values("term").reset_index(drop=True)
+            want = want.reset_index(drop=True)
+            if not (len(got) == len(want)
+                    and (got["term"].to_numpy() ==
+                         want["term"].to_numpy()).all()
+                    and (got["df"].to_numpy(dtype=np.int64) ==
+                         want["df"].to_numpy(dtype=np.int64)).all()):
+                errors.append(f"sidecar bucket {b}: df != cross-shard sum")
+        checks["sidecar_buckets"] = nb
+
+    return {"ok": not errors, "errors": errors, "checks": checks}

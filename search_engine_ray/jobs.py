@@ -125,10 +125,17 @@ def cmd_sync(args) -> int:
 
 
 def cmd_fsck(args) -> int:
-    """Index integrity check; exit 1 on any violated invariant."""
-    from search_engine_ray.fsck import verify_index
+    """Index integrity check; exit 1 on any violated invariant.
+    Doc-sharded roots (a ``shard=0`` subdir) are detected and get the
+    per-shard + sidecar-df-sum checks too."""
+    import os
 
-    rep = verify_index(args.index, deep=args.deep)
+    from search_engine_ray.fsck import verify_index, verify_sharded
+
+    if os.path.isdir(os.path.join(args.index, "shard=0")):
+        rep = verify_sharded(args.index, deep=args.deep)
+    else:
+        rep = verify_index(args.index, deep=args.deep)
     print(json.dumps(rep))
     return 0 if rep["ok"] else 1
 

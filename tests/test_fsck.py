@@ -64,3 +64,31 @@ def test_detects_missing_docmap(idx):
     rep = verify_index(idx)
     assert not rep["ok"]
     assert any("docmap" in e for e in rep["errors"])
+
+
+def test_sharded_fsck(ray_session, tmp_path):
+    """Sharded root passes (incl. sidecar df == cross-shard sum); a
+    tampered sidecar df is caught."""
+    from search_engine_ray.fsck import verify_sharded
+    from search_engine_ray.sharded import build_sharded
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(generate_pages(50, seed=13), str(pdir / "p.parquet"))
+    root = str(tmp_path / "sharded")
+    build_sharded(str(pdir), root, num_doc_shards=3,
+                  config=BuildConfig(num_buckets=4))
+    rep = verify_sharded(root, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["checks"]["shards"] == 3
+    assert rep["checks"]["sidecar_buckets"] == 4
+    # tamper: bump one sidecar df
+    p = os.path.join(root, "term_stats", "bucket=0", "df.parquet")
+    t = pq.read_table(p).to_pandas()
+    t.loc[0, "df"] += 1
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), p)
+    rep = verify_sharded(root)
+    assert not rep["ok"]
+    assert any("sidecar" in e for e in rep["errors"])
