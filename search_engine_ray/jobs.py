@@ -64,6 +64,7 @@ def cmd_query(args) -> int:
     extensions)."""
     from search_engine_ray.search import LocalSearcher
 
+    where = _parse_where(getattr(args, "where", None))
     if args.sharded:
         from search_engine_ray.sharded import ShardedSearcher
 
@@ -83,7 +84,7 @@ def cmd_query(args) -> int:
             res = SuggestionExpander(s).search_with_suggestions(
                 args.terms[0], k=args.k)
         else:
-            res = s.search(args.terms, args.type, k=args.k)
+            res = s.search(args.terms, args.type, k=args.k, where=where)
         print(json.dumps(res.to_pylist()))
         return 0
     s = LocalSearcher(args.index)
@@ -110,7 +111,38 @@ def cmd_query(args) -> int:
         print(json.dumps(res.to_pylist()))
         return 0
     else:
-        res = s.search(args.terms, args.type, k=args.k, scorer=args.scorer)
+        res = s.search(args.terms, args.type, k=args.k, scorer=args.scorer,
+                       where=where)
+    print(json.dumps(res.to_pylist()))
+    return 0
+
+
+def _parse_where(pairs: list[str] | None) -> dict[str, str] | None:
+    """--where col=value [col=value ...] -> predicate dict (None if
+    absent)."""
+    if not pairs:
+        return None
+    out = {}
+    for p in pairs:
+        col, sep, val = p.partition("=")
+        if not sep or not col:
+            raise SystemExit(f"--where expects col=value, got {p!r}")
+        out[col] = val
+    return out
+
+
+def cmd_facets(args) -> int:
+    """Facet counts: distinct matching docs per attribute value."""
+    if args.sharded:
+        from search_engine_ray.sharded import ShardedSearcher
+
+        s = ShardedSearcher(args.index)
+    else:
+        from search_engine_ray.search import LocalSearcher
+
+        s = LocalSearcher(args.index)
+    res = s.facet_counts(args.terms, args.type, by=args.by,
+                         where=_parse_where(args.where))
     print(json.dumps(res.to_pylist()))
     return 0
 
@@ -774,7 +806,23 @@ def main(argv: list[str] | None = None) -> int:
                         "index only)")
     q.add_argument("--sharded", action="store_true",
                    help="--index is a doc-sharded root (sharded-build)")
+    q.add_argument("--where", nargs="+", default=None, metavar="COL=VAL",
+                   help="attribute equality filter(s), ANDed — filtered "
+                        "top-k over docs_clean metadata (e.g. lang=en)")
     q.set_defaults(fn=cmd_query)
+
+    fc = sub.add_parser("facets", help="facet counts: distinct matching "
+                        "docs per value of an attribute column, over the "
+                        "query's full match set")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--terms", nargs="+", required=True)
+    fc.add_argument("--type", default="or",
+                    choices=["exact", "or", "and", "prefix", "contains",
+                             "wildcard", "fuzzy", "fuzzy2"])
+    fc.add_argument("--by", default="lang")
+    fc.add_argument("--where", nargs="+", default=None, metavar="COL=VAL")
+    fc.add_argument("--sharded", action="store_true")
+    fc.set_defaults(fn=cmd_facets)
 
     d = sub.add_parser("delta")
     d.add_argument("--input", default=None)

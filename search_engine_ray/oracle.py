@@ -97,6 +97,9 @@ class OracleIndex:
         self.postings: dict[str, dict[int, tuple[int, list[int]]]] = {}
         self.doc_len: dict[int, int] = {}
         self.url_of: dict[int, str] = {}
+        # doc_id -> {column: value} for every non-core page column
+        # (metadata attributes: filtered search / facets ground truth)
+        self.attr_of: dict[int, dict[str, str]] = {}
         self.n_docs = 0
         self.avgdl = 0.0
 
@@ -115,6 +118,9 @@ class OracleIndex:
                 per_doc[tok] = (tf + 1, poss)
             self.doc_len[doc_id] = n_tok
             self.url_of[doc_id] = row["url"]
+            self.attr_of[doc_id] = {
+                c: ("" if v is None else str(v)) for c, v in row.items()
+                if c not in ("url", "warc_ts", "html", "text")}
             for tok, (tf, poss) in per_doc.items():
                 self.postings.setdefault(tok, {})[doc_id] = (tf, poss)
         self.n_docs = len(self.doc_len)
@@ -173,17 +179,50 @@ class OracleIndex:
             raise ValueError(f"unknown search_type {search_type!r}")
         return sorted(set(terms))
 
+    def _matches_where(self, doc_id: int,
+                       where: dict[str, str] | None) -> bool:
+        if where is None:
+            return True
+        attrs = self.attr_of.get(doc_id, {})
+        return all(attrs.get(c) == str(v) for c, v in where.items())
+
+    def facet_counts(self, queries: list[str], search_type: str = "or",
+                     by: str = "lang",
+                     where: dict[str, str] | None = None
+                     ) -> list[tuple[str, int]]:
+        """Distinct matching docs per ``by``-attribute value over the
+        query's full match set (match semantics, not top-k), ordered
+        (count desc, value asc) — the engine facet_counts twin."""
+        terms = self.expand(queries, search_type)
+        docs: set[int] = set()
+        for t in terms:
+            docs |= set(self.postings[t])
+        if search_type == "and":
+            for t in terms:
+                docs &= set(self.postings[t])
+        from collections import Counter
+
+        counts = Counter(
+            self.attr_of[d].get(by, "") for d in docs
+            if self._matches_where(d, where))
+        return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
     def search(
         self, queries: list[str], search_type: str = "exact", k: int = 10,
         k1: float = BM25_K1, b: float = BM25_B,
+        where: dict[str, str] | None = None,
     ) -> list[tuple[int, float, str]]:
-        """BM25 top-k over the expanded term set; returns (doc_id, score, url)."""
+        """BM25 top-k over the expanded term set; returns (doc_id, score,
+        url). ``where``: AND of attribute equality predicates, filtering
+        documents BEFORE ranking (the filtered-top-k twin)."""
         terms = self.expand(queries, search_type)
         acc: dict[int, float] = {}
         for t in terms:  # lexicographic order — float-add order invariant
             plist = self.postings[t]
             idf = bm25_idf(self.n_docs, len(plist))
             for doc_id in sorted(plist):
+                if not self._matches_where(doc_id, where):
+                    continue
                 tf, _ = plist[doc_id]
                 partial = bm25_partial(
                     np.array([tf]), np.array([self.doc_len[doc_id]]),

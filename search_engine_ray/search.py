@@ -412,6 +412,83 @@ class LocalSearcher:
                 out.append((t, rec, bm25_idf(self.n_docs, rec["df"])))
         return out
 
+    # --- document attributes (doc-values: filtered search + facets) -------
+
+    def attrs(self, column: str) -> tuple[np.ndarray, list[str]]:
+        """Per-ordinal dictionary codes + sorted categories for one
+        ``docs_clean`` attribute column (state/attrs.py), loaded lazily
+        ONCE per searcher. Raises KeyError for a column the build did
+        not persist."""
+        if not hasattr(self, "_attr_cache"):
+            self._attr_cache = {}
+        hit = self._attr_cache.get(column)
+        if hit is None:
+            from search_engine_ray.state.attrs import attrs_by_ordinal
+
+            try:
+                hit = attrs_by_ordinal(
+                    os.path.join(self.index_root, "docs_clean"), column)
+            except Exception as e:  # noqa: BLE001 - parquet error shapes vary
+                raise KeyError(
+                    f"attribute column {column!r} is not stored in this "
+                    f"index's docs_clean ({e})") from e
+            self._attr_cache[column] = hit
+        return hit
+
+    def ordinal_mask(self, where: dict[str, str]) -> np.ndarray:
+        """Boolean keep-mask over ordinals for an AND of equality
+        predicates ({column: value}). A value absent from a column's
+        category set yields an all-False mask (0 hits, not an error)."""
+        mask = np.ones(len(self.ords()), dtype=bool)
+        for col, val in sorted(where.items()):
+            codes, cats = self.attrs(col)
+            i = bisect_left(cats, str(val))
+            if i < len(cats) and cats[i] == str(val):
+                mask &= codes == np.int32(i)
+            else:
+                mask[:] = False
+        return mask
+
+    def facet_counts(self, queries: list[str], search_type: str = "or",
+                     by: str = "lang",
+                     where: dict[str, str] | None = None,
+                     terms: list[str] | None = None) -> pa.Table:
+        """Facet counting (Lucene facets analogue): distinct matching
+        documents per value of attribute ``by``, over the query's full
+        match set (the UNION of the expanded terms' postings — match
+        semantics, not top-k truncation), optionally pre-filtered by
+        ``where``. Returns (value, n_docs) ordered (n_docs desc, value
+        asc). Cost: one posting decode per term + one bincount — no
+        scoring, no url resolution. ``terms``: pre-expanded term list
+        override (doc-sharded serving expands against the GLOBAL sidecar
+        vocabulary and injects the result here)."""
+        codes, cats = self.attrs(by)
+        if terms is None:
+            terms = self.expand(queries, search_type)
+        gathered = self._gather(terms)
+        if search_type == "and" and len(gathered) < len(terms):
+            gathered = []  # conjunctive: a term absent HERE empties this
+        if gathered:
+            cand = np.unique(np.concatenate(
+                [self._decode(t, rec)["docids"] for t, rec, _ in gathered]))
+            if search_type == "and":
+                for t, rec, _ in gathered:
+                    d = self._decode(t, rec)["docids"]
+                    cand = cand[np.isin(cand, d, assume_unique=True)]
+            if where is not None:
+                cand = cand[self.ordinal_mask(where)[cand]]
+        else:
+            cand = np.empty(0, np.int64)
+        counts = np.bincount(codes[cand], minlength=len(cats)).astype(
+            np.int64)
+        nz = np.flatnonzero(counts)
+        order = nz[np.lexsort((np.array(cats, dtype=object)[nz],
+                               -counts[nz]))]
+        return pa.table({
+            "value": pa.array([cats[i] for i in order], pa.string()),
+            "n_docs": pa.array(counts[order], pa.int64()),
+        })
+
     def search(
         self,
         queries: list[str],
@@ -419,13 +496,22 @@ class LocalSearcher:
         k: int = 10,
         scorer: str = "taat",
         with_urls: bool = True,
+        where: dict[str, str] | None = None,
     ) -> pa.Table:
+        """``where`` ({column: value}, ANDed equality over docs_clean
+        attributes, e.g. {"lang": "en"}) filters documents BEFORE
+        ranking — the filtered top-k, not a post-filter of the unfiltered
+        top-k. Filtering masks each term's decoded postings, so it rides
+        the TAAT kernel (bit-identical to BMW by the scorer-parity
+        invariant); an explicit scorer="bmw" with ``where`` therefore
+        also scores via the masked TAAT path."""
         terms = self.expand(queries, search_type)
         gathered = self._gather(terms)
+        mask = self.ordinal_mask(where) if where is not None else None
         if search_type == "and":
-            doc_ids, scores = self._score_and(gathered, k)
-        elif scorer == "taat":
-            doc_ids, scores = self._score_taat(gathered, k)
+            doc_ids, scores = self._score_and(gathered, k, mask=mask)
+        elif mask is not None or scorer == "taat":
+            doc_ids, scores = self._score_taat(gathered, k, mask=mask)
         elif scorer == "bmw":
             doc_ids, scores = self._score_bmw(gathered, k)
         else:
@@ -443,13 +529,22 @@ class LocalSearcher:
             schema=RESULT_SCHEMA,
         )
 
-    def _score_taat(self, gathered, k: int):
+    def _score_taat(self, gathered, k: int, mask: np.ndarray | None = None):
+        """``mask``: optional per-ordinal keep filter (filtered search) —
+        applied to each term's postings BEFORE accumulation, so the
+        addition order over surviving docs is unchanged (bit-identical
+        to scoring a corpus that never contained the masked docs)."""
         if not gathered:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         id_parts, sc_parts = [], []
         for t, rec, idf in gathered:  # lexicographic term order
             dec = self._decode(t, rec)
             partial = dec["partial"]
+            if mask is not None:
+                keep = mask[dec["docids"]]
+                id_parts.append(dec["docids"][keep])
+                sc_parts.append(idf * partial[keep])
+                continue
             id_parts.append(dec["docids"])
             sc_parts.append(idf * partial)
         if len(id_parts) == 1:
@@ -462,10 +557,12 @@ class LocalSearcher:
         # and would allocate 8 B x global-N per shard per query.
         return _accumulate_topk(id_parts, sc_parts, k, len(self.ords()))
 
-    def _score_and(self, gathered, k: int):
+    def _score_and(self, gathered, k: int, mask: np.ndarray | None = None):
         """Conjunctive BM25: posting-list intersection (sorted-array
         intersect, smallest list first), then per-term score gathers at the
-        surviving doc ids — in lexicographic term order, as always."""
+        surviving doc ids — in lexicographic term order, as always.
+        ``mask``: optional per-ordinal keep filter (filtered search),
+        applied to the intersection before the score gathers."""
         if not gathered:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         decs = [(t, self._decode(t, rec), idf) for t, rec, idf in gathered]
@@ -473,6 +570,10 @@ class LocalSearcher:
         for _, dec, _ in sorted(decs, key=lambda x: x[1]["docids"].size):
             ids = dec["docids"] if ids is None else np.intersect1d(
                 ids, dec["docids"], assume_unique=True)
+            if ids.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        if mask is not None:
+            ids = ids[mask[ids]]
             if ids.size == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
         totals = np.zeros(ids.size, dtype=np.float64)

@@ -50,9 +50,14 @@ class _Replica:
         self.searcher = LocalSearcher(index_root)
         self._expander = None  # vocabulary loaded once, on first suggest
 
-    def search(self, queries, search_type, k, scorer):
-        t = self.searcher.search(queries, search_type, k=k, scorer=scorer)
+    def search(self, queries, search_type, k, scorer, where=None):
+        t = self.searcher.search(queries, search_type, k=k, scorer=scorer,
+                                 where=where)
         return t
+
+    def facets(self, queries, search_type, by, where):
+        return self.searcher.facet_counts(queries, search_type, by=by,
+                                          where=where)
 
     def phrase(self, terms, k):
         return self.searcher.phrase_search(terms, k=k)
@@ -82,13 +87,21 @@ class SearcherReplicaPool:
         self._next = 0
 
     def search_async(self, queries, search_type="exact", k=10,
-                     scorer="taat"):
+                     scorer="taat", where=None):
         r = self._replicas[self._next % len(self._replicas)]
         self._next += 1
-        return r.search.remote(queries, search_type, k, scorer)
+        return r.search.remote(queries, search_type, k, scorer, where)
 
-    def search(self, queries, search_type="exact", k=10, scorer="taat"):
-        return ray.get(self.search_async(queries, search_type, k, scorer))
+    def search(self, queries, search_type="exact", k=10, scorer="taat",
+               where=None):
+        return ray.get(self.search_async(queries, search_type, k, scorer,
+                                         where))
+
+    def facet_counts(self, queries, search_type="or", by="lang",
+                     where=None):
+        r = self._replicas[self._next % len(self._replicas)]
+        self._next += 1
+        return ray.get(r.facets.remote(queries, search_type, by, where))
 
     def cancel(self, ref) -> None:
         """Cancel a pending search (reference Q5:
@@ -198,18 +211,19 @@ class _DocShardReplica:
                                 stats_override=stats_override)
 
     def topk(self, terms: list[str], idfs: dict[str, float],
-             search_type: str, k: int, with_urls: bool):
+             search_type: str, k: int, with_urls: bool, where=None):
         gathered = []
         for t in terms:  # terms arrive sorted (lex float-order invariant)
             rec = self._s._posting_for(t)
             if rec is not None:
                 gathered.append((t, rec, idfs[t]))
+        mask = self._s.ordinal_mask(where) if where is not None else None
         if search_type == "and":
             if len(gathered) < len(terms):
                 return (np.empty(0, np.int64), np.empty(0, np.float64), [])
-            ids, scs = self._s._score_and(gathered, k)
+            ids, scs = self._s._score_and(gathered, k, mask=mask)
         else:
-            ids, scs = self._s._score_taat(gathered, k)
+            ids, scs = self._s._score_taat(gathered, k, mask=mask)
         real = self._s.ords()[ids] if len(ids) else ids
         urls: list[str] = []
         if with_urls and len(real):
@@ -231,6 +245,13 @@ class _DocShardReplica:
         return (t.column("doc_id").to_numpy(zero_copy_only=False),
                 t.column("score").to_numpy(zero_copy_only=False),
                 t.column("url").to_pylist())
+
+    def facet_topk(self, terms: list[str], search_type: str, by: str,
+                   where):
+        t = self._s.facet_counts([], search_type, by=by, where=where,
+                                 terms=terms)
+        return (t.column("value").to_pylist(),
+                t.column("n_docs").to_numpy(zero_copy_only=False))
 
     def bool_topk(self, query: str, idfs: dict[str, float],
                   k: int, with_urls: bool):
@@ -290,15 +311,38 @@ class DocShardServer:
         return sorted(present)
 
     def search(self, queries: list[str], search_type: str = "exact",
-               k: int = 10, with_urls: bool = True) -> pa.Table:
+               k: int = 10, with_urls: bool = True,
+               where: dict[str, str] | None = None) -> pa.Table:
         terms = self._expand(queries, search_type)
         idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
                 for t in terms}
         parts = ray.get([
-            sh.topk.remote(terms, idfs, search_type, k, with_urls)
+            sh.topk.remote(terms, idfs, search_type, k, with_urls, where)
             for sh in self._shards
         ]) if terms else []
         return self._merge(parts, k, with_urls)
+
+    def facet_counts(self, queries: list[str], search_type: str = "or",
+                     by: str = "lang",
+                     where: dict[str, str] | None = None) -> pa.Table:
+        """Facets across doc shards: terms expand against the GLOBAL
+        sidecar vocabulary, each shard counts its own matching docs per
+        value (a doc's match and attribute are shard-local), the driver
+        sums — exact, identical to an unsharded facet_counts."""
+        terms = self._expand(queries, search_type)
+        agg: dict[str, int] = {}
+        if terms:
+            for vals, cnts in ray.get([
+                sh.facet_topk.remote(terms, search_type, by, where)
+                for sh in self._shards
+            ]):
+                for v, c in zip(vals, cnts):
+                    agg[v] = agg.get(v, 0) + int(c)
+        order = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table({
+            "value": pa.array([v for v, _ in order], pa.string()),
+            "n_docs": pa.array([c for _, c in order], pa.int64()),
+        })
 
     def phrase_search(self, terms: list[str], k: int = 10,
                       with_urls: bool = True) -> pa.Table:
@@ -403,7 +447,8 @@ class BucketShardServer:
         return by_shard
 
     def search(self, queries: list[str], search_type: str = "exact",
-               k: int = 10) -> pa.Table:
+               k: int = 10,
+               where: dict[str, str] | None = None) -> pa.Table:
         if search_type == "exact":
             terms = queries[:1]
         elif search_type in ("or", "and"):
@@ -439,10 +484,17 @@ class BucketShardServer:
             merged.update(f)
         if search_type == "and" and len(merged) < len(set(terms)):
             merged = {}  # a conjunctive term is missing entirely
-        # accumulate in lexicographic term order (float-order invariant)
+        # accumulate in lexicographic term order (float-order invariant).
+        # `where`: fragments carry ordinals into the shared doc space, so
+        # the driver masks each term's fragment exactly like the masked
+        # local TAAT kernel (attribute codes load once via self._local)
+        mask = self._local.ordinal_mask(where) if where is not None else None
         id_parts, sc_parts = [], []
         for t in sorted(merged):
             ids, scs = merged[t]
+            if mask is not None:
+                keep = mask[ids]
+                ids, scs = ids[keep], scs[keep]
             id_parts.append(ids)
             sc_parts.append(scs)
         if not id_parts:

@@ -511,9 +511,30 @@ class ShardedSearcher:
              "score": out.column("score"),
              "url": out.column("url")}, schema=RESULT_SCHEMA)
 
+    def facet_counts(self, queries: list[str], search_type: str = "or",
+                     by: str = "lang",
+                     where: dict[str, str] | None = None) -> pa.Table:
+        """Facets across doc shards (exact: a doc's match set and
+        attribute live in its own shard; terms expand globally, counts
+        sum)."""
+        terms = self._expand(queries, search_type)
+        agg: dict[str, int] = {}
+        for sh in self.shards:
+            t = sh.facet_counts([], search_type, by=by, where=where,
+                                terms=terms)
+            for v, c in zip(t.column("value").to_pylist(),
+                            t.column("n_docs").to_pylist()):
+                agg[v] = agg.get(v, 0) + int(c)
+        order = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table({
+            "value": pa.array([v for v, _ in order], pa.string()),
+            "n_docs": pa.array([c for _, c in order], pa.int64()),
+        })
+
     def search(self, queries: list[str], search_type: str = "exact",
                k: int = 10, with_urls: bool = True,
-               scorer: str = "taat") -> pa.Table:
+               scorer: str = "taat",
+               where: dict[str, str] | None = None) -> pa.Table:
         if scorer != "taat":
             raise ValueError(
                 "ShardedSearcher scores TAAT only (the per-shard kernel "
@@ -527,12 +548,13 @@ class ShardedSearcher:
                 rec = sh._posting_for(t)
                 if rec is not None:
                     gathered.append((t, rec, idfs[t]))
+            mask = sh.ordinal_mask(where) if where is not None else None
             if search_type == "and":
                 if len(gathered) < len(terms):
                     continue  # a required term is absent from this shard
-                ids, scs = sh._score_and(gathered, k)
+                ids, scs = sh._score_and(gathered, k, mask=mask)
             else:
-                ids, scs = sh._score_taat(gathered, k)
+                ids, scs = sh._score_taat(gathered, k, mask=mask)
             if len(ids):
                 parts.append((sh.ords()[ids], scs, sh))
         if parts:

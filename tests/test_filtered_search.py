@@ -1,0 +1,207 @@
+"""Filtered top-k search (metadata `where` predicates) + facet counts.
+
+Rank identity for the filtered paths is established against
+OracleIndex.search(where=)/facet_counts — an independent dict/set
+evaluation — across every serving topology: LocalSearcher,
+ShardedSearcher, DocShardServer, BucketShardServer, SearcherReplicaPool
+and the CLI. The predicate semantics: AND of attribute equality over
+docs_clean columns, applied BEFORE ranking (filtered top-k, not a
+post-filter of the unfiltered top-k).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.build import BuildConfig, build_index
+from search_engine_ray.corpus import generate_pages
+from search_engine_ray.oracle import OracleIndex
+from search_engine_ray.search import LocalSearcher
+
+WHERES = [None, {"lang": "en"}, {"lang": "de"}, {"lang": ""},
+          {"lang": "xx"}]
+QUERIES = [("or", ["mama", "doma"]), ("and", ["mama", "rama"]),
+           ("exact", ["mila"]), ("prefix", ["mi"]), ("fuzzy", ["milo"]),
+           # head zipf terms: present in every lang class (non-vacuous
+           # filtered paths — 'mama'-family terms only occur in the en
+           # parity docs)
+           ("or", ["baba", "koba"]), ("and", ["baba", "riba"]),
+           ("exact", ["baba"]), ("prefix", ["ko"])]
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("filtered")
+    pages = generate_pages(400, seed=33)
+    os.makedirs(root / "pages")
+    pq.write_table(pages, str(root / "pages" / "p.parquet"))
+    build_index(str(root / "pages"), str(root / "index"),
+                BuildConfig(num_buckets=8))
+    return {"pages": pages, "root": root,
+            "searcher": LocalSearcher(str(root / "index")),
+            "oracle": OracleIndex.build(pages)}
+
+
+def _assert_matches_oracle(table, orc_rows):
+    assert table.column("doc_id").to_pylist() == [d for d, _, _ in orc_rows]
+    assert table.column("score").to_pylist() == [s for _, s, _ in orc_rows]
+
+
+def test_local_filtered_rank_identity(corpus):
+    s, o = corpus["searcher"], corpus["oracle"]
+    nonempty_filtered = 0
+    for st, qs in QUERIES:
+        for where in WHERES:
+            eng = s.search(qs, st, k=12, where=where)
+            _assert_matches_oracle(eng, o.search(qs, st, k=12, where=where))
+            if where == {"lang": "en"} and eng.num_rows:
+                nonempty_filtered += 1
+    assert nonempty_filtered > 0  # the filter exercise isn't vacuous
+
+
+def test_filter_is_not_a_post_filter(corpus):
+    """The filtered top-k must contain low-unfiltered-rank docs of the
+    filtered class, not merely drop rows from the unfiltered top-k."""
+    s, o = corpus["searcher"], corpus["oracle"]
+    full = s.search(["baba"], "exact", k=s.n_docs, where=None)
+    de = s.search(["baba"], "exact", k=s.n_docs, where={"lang": "de"})
+    assert de.num_rows > 0
+    de_ids = set(de.column("doc_id").to_pylist())
+    # every de hit appears in the full list, and the filtered list is
+    # exactly the de-subsequence of the full ranking
+    full_de = [d for d in full.column("doc_id").to_pylist() if d in de_ids]
+    assert full_de == de.column("doc_id").to_pylist()
+    assert all(o.attr_of[d]["lang"] == "de" for d in de_ids)
+
+
+def test_where_multi_column_and_semantics(corpus):
+    s, o = corpus["searcher"], corpus["oracle"]
+    got = s.search(["baba"], "exact", k=20, where={"lang": "en"})
+    assert got.num_rows > 0
+    # multi-predicate AND: an impossible combination yields 0 rows
+    both = s.search(["baba"], "exact", k=20,
+                    where={"lang": "en", "url": "zzz"})
+    assert both.num_rows == 0
+    # multi-predicate AND: a satisfiable combination isolates one doc
+    hit = s.search(["baba"], "exact", k=1, where={"lang": "de"})
+    the_url = hit.column("url")[0].as_py()
+    one = s.search(["baba"], "exact", k=5,
+                   where={"lang": "de", "url": the_url})
+    assert one.num_rows == 1 and one.column("url")[0].as_py() == the_url
+
+
+def test_bmw_scorer_with_where_matches_taat(corpus):
+    s = corpus["searcher"]
+    a = s.search(["mama", "doma"], "or", k=10, scorer="taat",
+                 where={"lang": "en"})
+    b = s.search(["mama", "doma"], "or", k=10, scorer="bmw",
+                 where={"lang": "en"})
+    assert a.equals(b)
+
+
+def test_unknown_attribute_column_raises(corpus):
+    with pytest.raises(KeyError):
+        corpus["searcher"].search(["mama"], "exact", where={"nope": "x"})
+
+
+def test_facet_counts_match_oracle(corpus):
+    s, o = corpus["searcher"], corpus["oracle"]
+    for st, qs in [("or", ["mama", "doma"]), ("and", ["mama"]),
+                   ("prefix", ["mi"])]:
+        for where in (None, {"lang": "de"}):
+            t = s.facet_counts(qs, st, by="lang", where=where)
+            want = o.facet_counts(qs, st, by="lang", where=where)
+            assert list(zip(t.column("value").to_pylist(),
+                            t.column("n_docs").to_pylist())) == want
+    # facet by a high-cardinality column still works (url: all count 1)
+    t = s.facet_counts(["mila"], "exact", by="url")
+    assert set(t.column("n_docs").to_pylist()) == {1}
+
+
+def test_sharded_filtered_matches_local(ray_session, corpus, tmp_path):
+    from search_engine_ray.sharded import ShardedSearcher, build_sharded
+
+    root = str(tmp_path / "sharded")
+    build_sharded(str(corpus["root"] / "pages"), root, num_doc_shards=3,
+                  config=BuildConfig(num_buckets=8))
+    sh = ShardedSearcher(root)
+    s = corpus["searcher"]
+    for st, qs in QUERIES:
+        for where in WHERES:
+            a = s.search(qs, st, k=12, where=where)
+            b = sh.search(qs, st, k=12, where=where)
+            assert a.equals(b), (st, where)
+    for where in (None, {"lang": "de"}):
+        fa = s.facet_counts(["mama", "doma"], "or", by="lang", where=where)
+        fb = sh.facet_counts(["mama", "doma"], "or", by="lang", where=where)
+        assert fa.equals(fb)
+
+    # actor topologies over the same artifacts
+    from search_engine_ray.serve import DocShardServer
+
+    srv = DocShardServer(root)
+    try:
+        for st, qs in QUERIES:
+            for where in (None, {"lang": "de"}, {"lang": "xx"}):
+                a = s.search(qs, st, k=12, where=where)
+                b = srv.search(qs, st, k=12, where=where)
+                assert a.column("doc_id").equals(b.column("doc_id")), \
+                    (st, where)
+                assert a.column("score").equals(b.column("score"))
+        fa = s.facet_counts(["mama"], "exact", by="lang")
+        fb = srv.facet_counts(["mama"], "exact", by="lang")
+        assert fa.equals(fb)
+    finally:
+        srv.shutdown()
+
+
+def test_bucket_shard_and_pool_filtered(ray_session, corpus):
+    from search_engine_ray.serve import BucketShardServer, SearcherReplicaPool
+
+    s = corpus["searcher"]
+    idx = str(corpus["root"] / "index")
+    srv = BucketShardServer(idx, num_shards=3)
+    pool = SearcherReplicaPool(idx, num_replicas=2)
+    try:
+        for st, qs in [("or", ["mama", "doma"]), ("and", ["mama", "rama"]),
+                       ("exact", ["mila"])]:
+            for where in (None, {"lang": "de"}, {"lang": "xx"}):
+                a = s.search(qs, st, k=12, where=where, with_urls=False)
+                b = srv.search(qs, st, k=12, where=where)
+                assert a.column("doc_id").equals(b.column("doc_id")), \
+                    (st, where)
+                assert a.column("score").equals(b.column("score"))
+                c = pool.search(qs, st, k=12, where=where)
+                assert c.column("doc_id").equals(a.column("doc_id"))
+        fp = pool.facet_counts(["mama"], "exact", by="lang")
+        assert fp.equals(s.facet_counts(["mama"], "exact", by="lang"))
+    finally:
+        srv.shutdown()
+        pool.shutdown()
+
+
+def test_cli_where_and_facets(corpus):
+    idx = str(corpus["root"] / "index")
+    env = {**os.environ, "RAY_GRAFT_CPUS": "2"}
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "query",
+         "--index", idx, "--terms", "mama", "--type", "exact",
+         "-k", "5", "--where", "lang=de"],
+        capture_output=True, text=True, env=env, check=True)
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    want = corpus["searcher"].search(["mama"], "exact", k=5,
+                                     where={"lang": "de"})
+    assert [r["doc_id"] for r in rows] == want.column("doc_id").to_pylist()
+
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "facets",
+         "--index", idx, "--terms", "mama", "doma", "--type", "or",
+         "--by", "lang"],
+        capture_output=True, text=True, env=env, check=True)
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    want = corpus["searcher"].facet_counts(["mama", "doma"], "or", by="lang")
+    assert rows == want.to_pylist()
