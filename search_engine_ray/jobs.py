@@ -147,6 +147,28 @@ def cmd_facets(args) -> int:
     return 0
 
 
+def cmd_train_bpe(args) -> int:
+    """Train a BPE subword tokenizer over a documents corpus (Sennrich
+    2016): one corpus pass for word counts, then the tiered merge loop;
+    writes the rank-ordered merge table to ``--out`` and prints a
+    summary."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from search_engine_ray.functions.bpe import learn_bpe
+
+    ds = rd.read_parquet(args.input, columns=["text"])
+    merges = learn_bpe(ds, k_merges=args.k, min_count=args.min_count,
+                       tier=args.tier)
+    pq_.write_table(merges, args.out)
+    print(json.dumps({
+        "n_merges": merges.num_rows,
+        "out": args.out,
+        "top": merges.slice(0, 5).to_pylist(),
+    }))
+    return 0
+
+
 def cmd_sync(args) -> int:
     """Reconcile an index with a new full page snapshot (diff + delta)."""
     from search_engine_ray.incremental import sync_index
@@ -829,6 +851,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--delete-urls-file", default=None)
     d.set_defaults(fn=cmd_delta)
+
+    tb = sub.add_parser("train-bpe", help="train BPE subword merges over "
+                        "a documents corpus (one corpus pass + tiered "
+                        "merge loop); writes (rank, left, right, "
+                        "pair_count) parquet")
+    tb.add_argument("--input", required=True,
+                    help="documents parquet (text column)")
+    tb.add_argument("--out", required=True, help="merge-table parquet path")
+    tb.add_argument("-k", type=int, default=50, help="number of merges")
+    tb.add_argument("--min-count", type=int, default=2)
+    tb.add_argument("--tier", default="auto",
+                    choices=["auto", "local", "distributed"])
+    tb.set_defaults(fn=cmd_train_bpe)
 
     sy = sub.add_parser("sync", help="reconcile an index with a NEW full "
                         "page snapshot: metadata diff, then apply only "
