@@ -134,6 +134,32 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def _bigram_surprisal_sql() -> str:
+    """Conditional bigram NLL in SQL: train c1/c2 counts over lockstep-
+    unnested adjacent pairs (pairs never cross docs) and score every doc
+    as avg(ln(c1(w1)+V) - ln(c2(w1,w2)+1)) — the BigramSurprisalBatch
+    expression; 6-dp rounding absorbs sum order as everywhere."""
+    return f"""
+WITH toksl AS (SELECT doc_id, regexp_extract_all(text, '{TOK}') AS ts
+               FROM documents),
+uni AS (SELECT unnest(ts) AS term FROM toksl),
+c1 AS (SELECT term, count(*)::DOUBLE AS c FROM uni GROUP BY term),
+vs AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM uni),
+bi AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1,
+              unnest(ts[2:len(ts)]) AS w2
+       FROM toksl WHERE len(ts) >= 2),
+c2 AS (SELECT w1, w2, count(*)::DOUBLE AS c FROM bi GROUP BY w1, w2),
+per AS (SELECT bi.doc_id, count(*)::BIGINT AS n,
+               avg(ln(c1.c + vs.v) - ln(c2.c + 1)) AS nll
+        FROM bi JOIN c1 ON bi.w1 = c1.term
+                JOIN c2 USING (w1, w2) CROSS JOIN vs
+        GROUP BY bi.doc_id)
+SELECT d.doc_id, coalesce(per.n, 0) AS n_bigrams,
+       round(coalesce(per.nll, 0.0), 6) AS mean_bi_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def _quality_buckets_sql(n_buckets=3) -> str:
     """CCNet bucketing in SQL: the SAME surprisal CTEs as
     _surprisal_sql, then ntile(n) per source ordered by the 6-dp-rounded
@@ -996,10 +1022,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM sess GROUP BY user_id, sid
         """,
-        # repetition + surprisal per-doc signal oracles joined on doc_id
+        # repetition + unigram + bigram surprisal oracles joined on doc_id
         "doc_lm_signals": f"""
             SELECT * FROM ({_repetition_sql()}) r
             JOIN ({_surprisal_sql()}) s USING (doc_id)
+            JOIN ({_bigram_surprisal_sql()}) b USING (doc_id)
         """,
         "source_stats": """
             SELECT source,

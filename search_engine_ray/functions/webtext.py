@@ -263,6 +263,132 @@ def unigram_surprisal(ds, batch_size: int = 1024):
     )
 
 
+class BigramCountBatch:
+    """(text) -> map-side-combined (w1, w2, c) adjacent-pair partials
+    (pairs never cross document boundaries)."""
+
+    def __init__(self):
+        self._re = token_regex()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        findall = self._re.findall
+        for t in batch.column("text").to_pylist():
+            toks = findall(t) if t else []
+            cnt.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([p[0] for p in cnt], pa.string()),
+            "w2": pa.array([p[1] for p in cnt], pa.string()),
+            "c": pa.array(np.fromiter(cnt.values(), dtype=np.int64,
+                                      count=len(cnt))),
+        })
+
+
+def _bigram_model(ds, num_buckets: int = 64, min_count: int = 1):
+    """Corpus bigram LM -> (sorted composite-key ndarray, c2 counts) plus
+    the unigram model it backs off to. Composite key = w1 + " " + w2
+    (space is a STANDARD_SEPARATORS member, so it cannot occur inside a
+    token — collision-free; NUL would be cleaner but pandas str concat
+    silently truncates at NUL). ``min_count`` prunes rare bigrams from the
+    broadcast table (KenLM-style pruning; pruned pairs score as unseen) —
+    the lever when the distinct-bigram table outgrows broadcast at
+    corpus scale. The documented evolution past pruning is a w1-bucketed
+    co-located join (two corpus-sized exchanges) — not built, pruning
+    covers the realistic range."""
+    from search_engine_ray.stages.agg import bucketed_group_agg
+
+    partials = ds.map_batches(BigramCountBatch(), batch_format="pyarrow",
+                              batch_size=2048)
+    counts = bucketed_group_agg(
+        partials, ["w1", "w2"],
+        lambda g: g.groupby(["w1", "w2"], as_index=False).agg(c=("c",
+                                                                 "sum")),
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if not len(counts) or "w1" not in counts.columns:
+        # zero-bigram corpus: all-empty map_groups output loses schema
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+    if min_count > 1:
+        counts = counts[counts["c"] >= min_count]
+    if len(counts) > BROADCAST_VOCAB_WARN:
+        log.warning("bigram vocabulary %d exceeds broadcast advisory %d "
+                    "— raise min_count", len(counts), BROADCAST_VOCAB_WARN)
+    keys = (counts["w1"] + " " + counts["w2"]).to_numpy(dtype=object)
+    c2 = counts["c"].to_numpy(dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], c2[order]
+
+
+class BigramSurprisalBatch:
+    """Per-doc mean conditional bigram NLL under add-one smoothing:
+    nll(w2|w1) = ln(c1(w1) + V) - ln(c2(w1,w2) + 1), averaged over the
+    doc's len-1 adjacent positions (0.0 for docs with < 2 tokens).
+    Both models arrive as ONE ray.put ref each, fetched once per actor;
+    per-batch lookup is one vectorized searchsorted per model over the
+    batch's concatenated pair stream."""
+
+    def __init__(self, uni_ref, bi_ref):
+        self._re = token_regex()
+        terms, c1, _total, vocab = ray.get(uni_ref)
+        self._terms = terms
+        self._c1 = c1.astype(np.float64)
+        self._v = float(vocab)
+        keys, c2 = ray.get(bi_ref)
+        self._keys = keys
+        self._logc21 = np.log(c2.astype(np.float64) + 1.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        findall = self._re.findall
+        per_doc = [findall(t) if t else [] for t in texts]
+        n_bi = np.fromiter((max(len(p) - 1, 0) for p in per_doc),
+                           dtype=np.int64, count=len(per_doc))
+        w1 = np.array([w for p in per_doc for w in p[:-1]], dtype=object)
+        pairs = np.array([a + " " + b for p in per_doc
+                          for a, b in zip(p, p[1:])], dtype=object)
+        mean_bi_nll = np.zeros(len(texts))
+        if pairs.size:
+            i1 = np.searchsorted(self._terms, w1)
+            i1c = np.clip(i1, 0, len(self._terms) - 1)
+            hit1 = self._terms[i1c] == w1
+            # unseen w1 (cannot happen when the models share one corpus,
+            # but the kernel stays total): c1 = 0
+            c1 = np.where(hit1, self._c1[i1c], 0.0)
+            if len(self._keys):
+                i2 = np.searchsorted(self._keys, pairs)
+                i2c = np.clip(i2, 0, len(self._keys) - 1)
+                hit2 = self._keys[i2c] == pairs
+                log_c21 = np.where(hit2, self._logc21[i2c], 0.0)  # ln1=0
+            else:  # fully pruned / zero-bigram model: everything unseen
+                log_c21 = np.zeros(pairs.size)
+            nll = np.log(c1 + self._v) - log_c21
+            starts = np.concatenate([[0], np.cumsum(n_bi)[:-1]])
+            sums = np.add.reduceat(np.concatenate([nll, [0.0]]),
+                                   starts)[:len(per_doc)]
+            nz = n_bi > 0
+            mean_bi_nll[nz] = sums[nz] / n_bi[nz]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": pa.array(n_bi),
+            "mean_bi_nll": pa.array(
+                [round_half_away(x) for x in mean_bi_nll], pa.float64()),
+        })
+
+
+def bigram_surprisal(ds, batch_size: int = 1024, min_count: int = 1):
+    """Interpolation-free conditional bigram LM score (the unigram
+    surprisal's stronger sibling): pass 1 trains unigram + bigram counts
+    (two vocabulary-sized bucketed aggregates over one corpus read
+    each), pass 2 scores every doc against the broadcast models."""
+    uni_ref = ray.put(_unigram_model(ds))
+    bi_ref = ray.put(_bigram_model(ds, min_count=min_count))
+    return ds.map_batches(
+        BigramSurprisalBatch, fn_constructor_args=(uni_ref, bi_ref),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=actor_pool_size(),
+    )
+
+
 def eval_shingle_set(ds, eval_mod: int = 10, eval_rem: int = 7,
                      k: int = 8) -> np.ndarray:
     """Distinct k-gram shingle hashes of the held-out eval slice

@@ -858,36 +858,45 @@ def doc_signals(sf_dir: str):
 
 
 def doc_lm_signals(sf_dir: str):
-    """repetition_scores + unigram_surprisal in ONE scoring scan (the
-    model-training aggregate still runs first, as in the standalone
-    pipeline): (doc_id, dup_line_frac, dup_line_char_frac,
-    dup_3gram_frac, top_2gram_frac, n_tokens, mean_nll)."""
+    """repetition_scores + unigram_surprisal + bigram_surprisal in ONE
+    scoring scan (the model-training aggregates still run first, as in
+    the standalone pipelines): (doc_id, dup_line_frac,
+    dup_line_char_frac, dup_3gram_frac, top_2gram_frac, n_tokens,
+    mean_nll, n_bigrams, mean_bi_nll)."""
     import ray
 
     from search_engine_ray.functions.webtext import (
+        BigramSurprisalBatch,
         RepetitionStatsBatch,
         SurprisalBatch,
+        _bigram_model,
         _unigram_model,
     )
     from search_engine_ray.pool import actor_pool_size
 
     ds = load_documents(sf_dir)
     model_ref = ray.put(_unigram_model(ds))
+    bi_ref = ray.put(_bigram_model(ds))
 
     class Fused:
-        def __init__(self, ref):
+        def __init__(self, ref, bref):
             self._rep = RepetitionStatsBatch()
             self._sur = SurprisalBatch(ref)
+            self._bi = BigramSurprisalBatch(ref, bref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = self._rep(batch)
             sur = self._sur(batch)
             for col in ("n_tokens", "mean_nll"):
                 out = out.append_column(col, sur.column(col))
+            bi = self._bi(batch)
+            for col in ("n_bigrams", "mean_bi_nll"):
+                out = out.append_column(col, bi.column(col))
             return out
 
     return ds.map_batches(
-        Fused, fn_constructor_args=(model_ref,), batch_format="pyarrow",
+        Fused, fn_constructor_args=(model_ref, bi_ref),
+        batch_format="pyarrow",
         batch_size=1024, concurrency=actor_pool_size())
 
 

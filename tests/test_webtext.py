@@ -61,6 +61,35 @@ def test_unigram_surprisal_maths(ray_session):
     assert out.loc[1, "mean_nll"] > out.loc[0, "mean_nll"]
 
 
+def test_bigram_surprisal_maths(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import bigram_surprisal
+
+    # corpus: doc0 'a b a b', doc1 'a a'. Unigram: c(a)=4, c(b)=2, V=2.
+    # Bigrams (within docs): (a,b)x2, (b,a)x1, (a,a)x1.
+    ds = rd.from_arrow(_tbl(["a b a b", "a a"]))
+    out = bigram_surprisal(ds).to_pandas().set_index("doc_id")
+    nll_ab = math.log(4 + 2) - math.log(2 + 1)
+    nll_ba = math.log(2 + 2) - math.log(1 + 1)
+    nll_aa = math.log(4 + 2) - math.log(1 + 1)
+    assert out.loc[0, "n_bigrams"] == 3
+    assert out.loc[0, "mean_bi_nll"] == pytest.approx(
+        (2 * nll_ab + nll_ba) / 3, abs=1e-6)
+    assert out.loc[1, "n_bigrams"] == 1
+    assert out.loc[1, "mean_bi_nll"] == pytest.approx(nll_aa, abs=1e-6)
+    # single-token / empty docs score 0 with n_bigrams 0
+    out2 = bigram_surprisal(rd.from_arrow(_tbl(["solo", ""]))) \
+        .to_pandas().set_index("doc_id")
+    assert out2["n_bigrams"].tolist() == [0, 0]
+    assert out2["mean_bi_nll"].tolist() == [0.0, 0.0]
+    # min_count pruning: every bigram below the cut scores as unseen
+    # (ln(c2+1) term drops to 0) -> strictly higher surprisal
+    pruned = bigram_surprisal(rd.from_arrow(_tbl(["a b a b", "a a"])),
+                              min_count=5).to_pandas().set_index("doc_id")
+    assert pruned.loc[0, "mean_bi_nll"] > out.loc[0, "mean_bi_nll"]
+
+
 def test_decontaminate_flags_only_real_overlap(ray_session):
     import ray.data as rd
 
