@@ -65,6 +65,9 @@ def cmd_query(args) -> int:
     from search_engine_ray.search import LocalSearcher
 
     where = _parse_where(getattr(args, "where", None))
+    after = getattr(args, "after", None)
+    if after is not None:
+        after = (float(after[0]), int(after[1]))
     if args.sharded:
         from search_engine_ray.sharded import ShardedSearcher
 
@@ -84,7 +87,8 @@ def cmd_query(args) -> int:
             res = SuggestionExpander(s).search_with_suggestions(
                 args.terms[0], k=args.k)
         else:
-            res = s.search(args.terms, args.type, k=args.k, where=where)
+            res = s.search(args.terms, args.type, k=args.k, where=where,
+                           search_after=after)
         print(json.dumps(res.to_pylist()))
         return 0
     s = LocalSearcher(args.index)
@@ -112,7 +116,7 @@ def cmd_query(args) -> int:
         return 0
     else:
         res = s.search(args.terms, args.type, k=args.k, scorer=args.scorer,
-                       where=where)
+                       where=where, search_after=after)
     print(json.dumps(res.to_pylist()))
     return 0
 
@@ -831,6 +835,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--where", nargs="+", default=None, metavar="COL=VAL",
                    help="attribute equality filter(s), ANDed — filtered "
                         "top-k over docs_clean metadata (e.g. lang=en)")
+    q.add_argument("--after", nargs=2, default=None,
+                   metavar=("SCORE", "DOC_ID"),
+                   help="cursor pagination: (score, doc_id) of the last "
+                        "hit of the previous page; returns the next k")
     q.set_defaults(fn=cmd_query)
 
     fc = sub.add_parser("facets", help="facet counts: distinct matching "

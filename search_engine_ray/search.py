@@ -489,6 +489,16 @@ class LocalSearcher:
             "n_docs": pa.array(counts[order], pa.int64()),
         })
 
+    def _after_key(self, search_after) -> tuple[float, int] | None:
+        """(score, doc_id) cursor -> (score, min_ordinal): the smallest
+        ordinal strictly after the cursor doc (ordinal order == doc_id
+        order), so the scorers compare ordinals only."""
+        if search_after is None:
+            return None
+        s, d = search_after
+        return (float(s),
+                int(np.searchsorted(self.ords(), int(d), side="right")))
+
     def search(
         self,
         queries: list[str],
@@ -497,6 +507,7 @@ class LocalSearcher:
         scorer: str = "taat",
         with_urls: bool = True,
         where: dict[str, str] | None = None,
+        search_after: tuple[float, int] | None = None,
     ) -> pa.Table:
         """``where`` ({column: value}, ANDed equality over docs_clean
         attributes, e.g. {"lang": "en"}) filters documents BEFORE
@@ -504,14 +515,24 @@ class LocalSearcher:
         top-k. Filtering masks each term's decoded postings, so it rides
         the TAAT kernel (bit-identical to BMW by the scorer-parity
         invariant); an explicit scorer="bmw" with ``where`` therefore
-        also scores via the masked TAAT path."""
+        also scores via the masked TAAT path.
+
+        ``search_after`` ((score, doc_id) of the LAST hit of the previous
+        page — the Elasticsearch cursor contract) returns the next k hits
+        strictly after the cursor in (score desc, doc_id asc) rank order:
+        deep paging without re-materializing earlier pages, stable
+        because scores are deterministic float64 across topologies. Also
+        rides the TAAT kernel."""
         terms = self.expand(queries, search_type)
         gathered = self._gather(terms)
         mask = self.ordinal_mask(where) if where is not None else None
+        after = self._after_key(search_after)
         if search_type == "and":
-            doc_ids, scores = self._score_and(gathered, k, mask=mask)
-        elif mask is not None or scorer == "taat":
-            doc_ids, scores = self._score_taat(gathered, k, mask=mask)
+            doc_ids, scores = self._score_and(gathered, k, mask=mask,
+                                              after=after)
+        elif mask is not None or after is not None or scorer == "taat":
+            doc_ids, scores = self._score_taat(gathered, k, mask=mask,
+                                               after=after)
         elif scorer == "bmw":
             doc_ids, scores = self._score_bmw(gathered, k)
         else:
@@ -529,11 +550,14 @@ class LocalSearcher:
             schema=RESULT_SCHEMA,
         )
 
-    def _score_taat(self, gathered, k: int, mask: np.ndarray | None = None):
+    def _score_taat(self, gathered, k: int, mask: np.ndarray | None = None,
+                    after: tuple[float, int] | None = None):
         """``mask``: optional per-ordinal keep filter (filtered search) —
         applied to each term's postings BEFORE accumulation, so the
         addition order over surviving docs is unchanged (bit-identical
-        to scoring a corpus that never contained the masked docs)."""
+        to scoring a corpus that never contained the masked docs).
+        ``after``: cursor-pagination predicate (see _after_filter),
+        applied to the accumulated candidates before top-k selection."""
         if not gathered:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         id_parts, sc_parts = [], []
@@ -549,20 +573,24 @@ class LocalSearcher:
             sc_parts.append(idf * partial)
         if len(id_parts) == 1:
             # single term: docids are already unique+sorted — no merge pass
-            top = _topk_indices(id_parts[0], sc_parts[0], k)
-            return id_parts[0][top], sc_parts[0][top]
+            ids1, scs1 = _after_filter(id_parts[0], sc_parts[0], after)
+            top = _topk_indices(ids1, scs1, k)
+            return ids1[top], scs1[top]
         # dense-accumulator bound = LOCAL ordinal-space size (postings hold
         # ordinals into this index's ordinal map) — NOT stats n_docs, which
         # under ShardedSearcher's stats_override is the GLOBAL corpus size
         # and would allocate 8 B x global-N per shard per query.
-        return _accumulate_topk(id_parts, sc_parts, k, len(self.ords()))
+        return _accumulate_topk(id_parts, sc_parts, k, len(self.ords()),
+                                after=after)
 
-    def _score_and(self, gathered, k: int, mask: np.ndarray | None = None):
+    def _score_and(self, gathered, k: int, mask: np.ndarray | None = None,
+                   after: tuple[float, int] | None = None):
         """Conjunctive BM25: posting-list intersection (sorted-array
         intersect, smallest list first), then per-term score gathers at the
         surviving doc ids — in lexicographic term order, as always.
         ``mask``: optional per-ordinal keep filter (filtered search),
-        applied to the intersection before the score gathers."""
+        applied to the intersection before the score gathers. ``after``:
+        cursor-pagination predicate, applied before top-k selection."""
         if not gathered:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         decs = [(t, self._decode(t, rec), idf) for t, rec, idf in gathered]
@@ -580,6 +608,7 @@ class LocalSearcher:
         for _, dec, idf in decs:  # lexicographic (gathered is term-sorted)
             pos = np.searchsorted(dec["docids"], ids)
             totals += idf * dec["partial"][pos]
+        ids, totals = _after_filter(ids, totals, after)
         top = _topk_indices(ids, totals, k)
         return ids[top], totals[top]
 
@@ -1005,8 +1034,27 @@ class LocalSearcher:
 DENSE_ACC_MAX_DOCS = 50_000_000
 
 
+def _after_filter(ids: np.ndarray, totals: np.ndarray,
+                  after: tuple[float, int] | None
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Cursor pagination predicate: keep rows STRICTLY after the cursor
+    in (score desc, ordinal asc) rank order. ``after`` = (score,
+    min_ordinal): a row survives when its score is lower, or equal with
+    ordinal >= min_ordinal (the caller pre-translates the cursor doc_id
+    to the first strictly-greater ordinal via searchsorted, so float
+    equality compares the SAME deterministic float64 the engine
+    returned)."""
+    if after is None:
+        return ids, totals
+    s, o_min = after
+    keep = (totals < s) | ((totals == s) & (ids >= o_min))
+    return ids[keep], totals[keep]
+
+
 def _accumulate_topk(id_parts: list, sc_parts: list, k: int,
-                     n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+                     n_docs: int,
+                     after: tuple[float, int] | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
     """Sum per-doc contributions over the per-term arrays (given in
     lexicographic term order) and take the exact (score desc, ordinal asc)
     top-k.
@@ -1022,6 +1070,7 @@ def _accumulate_topk(id_parts: list, sc_parts: list, k: int,
             acc[ids_t] += scs_t  # ids unique within a term
         cand = np.flatnonzero(acc > 0)
         totals = acc[cand]
+        cand, totals = _after_filter(cand, totals, after)
         top = _topk_indices(cand, totals, k)
         return cand[top], totals[top]
     # sparse fallback: compress doc ids to slots, then the SAME per-term
@@ -1031,6 +1080,7 @@ def _accumulate_topk(id_parts: list, sc_parts: list, k: int,
     totals = np.zeros(uids.size, dtype=np.float64)
     for ids_t, scs_t in zip(id_parts, sc_parts):  # term lex order
         totals[np.searchsorted(uids, ids_t)] += scs_t
+    uids, totals = _after_filter(uids, totals, after)
     top = _topk_indices(uids, totals, k)
     return uids[top], totals[top]
 

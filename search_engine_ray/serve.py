@@ -50,9 +50,10 @@ class _Replica:
         self.searcher = LocalSearcher(index_root)
         self._expander = None  # vocabulary loaded once, on first suggest
 
-    def search(self, queries, search_type, k, scorer, where=None):
+    def search(self, queries, search_type, k, scorer, where=None,
+               search_after=None):
         t = self.searcher.search(queries, search_type, k=k, scorer=scorer,
-                                 where=where)
+                                 where=where, search_after=search_after)
         return t
 
     def facets(self, queries, search_type, by, where):
@@ -87,15 +88,16 @@ class SearcherReplicaPool:
         self._next = 0
 
     def search_async(self, queries, search_type="exact", k=10,
-                     scorer="taat", where=None):
+                     scorer="taat", where=None, search_after=None):
         r = self._replicas[self._next % len(self._replicas)]
         self._next += 1
-        return r.search.remote(queries, search_type, k, scorer, where)
+        return r.search.remote(queries, search_type, k, scorer, where,
+                               search_after)
 
     def search(self, queries, search_type="exact", k=10, scorer="taat",
-               where=None):
+               where=None, search_after=None):
         return ray.get(self.search_async(queries, search_type, k, scorer,
-                                         where))
+                                         where, search_after))
 
     def facet_counts(self, queries, search_type="or", by="lang",
                      where=None):
@@ -211,19 +213,23 @@ class _DocShardReplica:
                                 stats_override=stats_override)
 
     def topk(self, terms: list[str], idfs: dict[str, float],
-             search_type: str, k: int, with_urls: bool, where=None):
+             search_type: str, k: int, with_urls: bool, where=None,
+             search_after=None):
         gathered = []
         for t in terms:  # terms arrive sorted (lex float-order invariant)
             rec = self._s._posting_for(t)
             if rec is not None:
                 gathered.append((t, rec, idfs[t]))
         mask = self._s.ordinal_mask(where) if where is not None else None
+        after = self._s._after_key(search_after)
         if search_type == "and":
             if len(gathered) < len(terms):
                 return (np.empty(0, np.int64), np.empty(0, np.float64), [])
-            ids, scs = self._s._score_and(gathered, k, mask=mask)
+            ids, scs = self._s._score_and(gathered, k, mask=mask,
+                                          after=after)
         else:
-            ids, scs = self._s._score_taat(gathered, k, mask=mask)
+            ids, scs = self._s._score_taat(gathered, k, mask=mask,
+                                           after=after)
         real = self._s.ords()[ids] if len(ids) else ids
         urls: list[str] = []
         if with_urls and len(real):
@@ -312,12 +318,14 @@ class DocShardServer:
 
     def search(self, queries: list[str], search_type: str = "exact",
                k: int = 10, with_urls: bool = True,
-               where: dict[str, str] | None = None) -> pa.Table:
+               where: dict[str, str] | None = None,
+               search_after: tuple[float, int] | None = None) -> pa.Table:
         terms = self._expand(queries, search_type)
         idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
                 for t in terms}
         parts = ray.get([
-            sh.topk.remote(terms, idfs, search_type, k, with_urls, where)
+            sh.topk.remote(terms, idfs, search_type, k, with_urls, where,
+                           search_after)
             for sh in self._shards
         ]) if terms else []
         return self._merge(parts, k, with_urls)
@@ -448,7 +456,8 @@ class BucketShardServer:
 
     def search(self, queries: list[str], search_type: str = "exact",
                k: int = 10,
-               where: dict[str, str] | None = None) -> pa.Table:
+               where: dict[str, str] | None = None,
+               search_after: tuple[float, int] | None = None) -> pa.Table:
         if search_type == "exact":
             terms = queries[:1]
         elif search_type in ("or", "and"):
@@ -501,6 +510,8 @@ class BucketShardServer:
             ids = np.empty(0, np.int64)
             scores = np.empty(0, np.float64)
         elif search_type == "and":
+            from search_engine_ray.search import _after_filter
+
             # intersect then per-term sequential adds (bit-exact with
             # LocalSearcher._score_and / the oracle)
             cand = id_parts[0]
@@ -509,6 +520,8 @@ class BucketShardServer:
             totals = np.zeros(cand.size, dtype=np.float64)
             for ids_t, scs_t in zip(id_parts, sc_parts):  # term lex order
                 totals += scs_t[np.searchsorted(ids_t, cand)]
+            cand, totals = _after_filter(
+                cand, totals, self._local._after_key(search_after))
             top = _topk_indices(cand, totals, k)
             # fragments carry ordinals; translate to real doc ids here
             ids, scores = self._local.ords()[cand[top]], totals[top]
@@ -517,8 +530,9 @@ class BucketShardServer:
 
             # dense-accumulator bound = local ordinal-space size (fragments
             # carry ordinals), not collection n_docs
-            uids, totals = _accumulate_topk(id_parts, sc_parts, k,
-                                            len(self._local.ords()))
+            uids, totals = _accumulate_topk(
+                id_parts, sc_parts, k, len(self._local.ords()),
+                after=self._local._after_key(search_after))
             ids, scores = self._local.ords()[uids], totals
         return pa.table(
             {

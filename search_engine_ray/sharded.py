@@ -534,7 +534,8 @@ class ShardedSearcher:
     def search(self, queries: list[str], search_type: str = "exact",
                k: int = 10, with_urls: bool = True,
                scorer: str = "taat",
-               where: dict[str, str] | None = None) -> pa.Table:
+               where: dict[str, str] | None = None,
+               search_after: tuple[float, int] | None = None) -> pa.Table:
         if scorer != "taat":
             raise ValueError(
                 "ShardedSearcher scores TAAT only (the per-shard kernel "
@@ -549,12 +550,17 @@ class ShardedSearcher:
                 if rec is not None:
                     gathered.append((t, rec, idfs[t]))
             mask = sh.ordinal_mask(where) if where is not None else None
+            # cursor translates to each shard's own ordinal space; the
+            # per-shard filtered top-k union contains the global one
+            after = sh._after_key(search_after)
             if search_type == "and":
                 if len(gathered) < len(terms):
                     continue  # a required term is absent from this shard
-                ids, scs = sh._score_and(gathered, k, mask=mask)
+                ids, scs = sh._score_and(gathered, k, mask=mask,
+                                         after=after)
             else:
-                ids, scs = sh._score_taat(gathered, k, mask=mask)
+                ids, scs = sh._score_taat(gathered, k, mask=mask,
+                                          after=after)
             if len(ids):
                 parts.append((sh.ords()[ids], scs, sh))
         if parts:

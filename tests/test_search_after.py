@@ -1,0 +1,148 @@
+"""Cursor pagination (search_after): page concatenation equals the full
+ranking, exact across every topology, composes with `where`."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.build import BuildConfig, build_index
+from search_engine_ray.corpus import generate_pages
+from search_engine_ray.search import LocalSearcher
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("after")
+    pages = generate_pages(400, seed=77)
+    os.makedirs(root / "pages")
+    pq.write_table(pages, str(root / "pages" / "p.parquet"))
+    build_index(str(root / "pages"), str(root / "index"),
+                BuildConfig(num_buckets=8))
+    return {"root": root, "searcher": LocalSearcher(str(root / "index"))}
+
+
+def _paginate(searcher, qs, st, page, n_pages, **kw):
+    out, cursor = [], None
+    for _ in range(n_pages):
+        t = searcher.search(qs, st, k=page, search_after=cursor, **kw)
+        if not t.num_rows:
+            break
+        out.extend(zip(t.column("doc_id").to_pylist(),
+                       t.column("score").to_pylist()))
+        cursor = out[-1][1], out[-1][0]
+    return out
+
+
+def test_pages_concat_equals_full_ranking(corpus):
+    s = corpus["searcher"]
+    for st, qs in [("or", ["baba", "koba"]), ("and", ["baba", "riba"]),
+                   ("exact", ["baba"]), ("prefix", ["ko"])]:
+        full = s.search(qs, st, k=s.n_docs)
+        want = list(zip(full.column("doc_id").to_pylist(),
+                        full.column("score").to_pylist()))
+        got = _paginate(s, qs, st, page=7, n_pages=60)
+        assert got == want, (st, len(got), len(want))
+
+
+def test_search_after_composes_with_where(corpus):
+    s = corpus["searcher"]
+    full = s.search(["baba"], "exact", k=s.n_docs, where={"lang": "en"})
+    want = list(zip(full.column("doc_id").to_pylist(),
+                    full.column("score").to_pylist()))
+    got = _paginate(s, ["baba"], "exact", page=5, n_pages=80,
+                    where={"lang": "en"})
+    assert got == want
+
+
+def test_cursor_past_end_returns_empty(corpus):
+    s = corpus["searcher"]
+    full = s.search(["baba"], "exact", k=s.n_docs)
+    last = (full.column("score")[-1].as_py(),
+            full.column("doc_id")[-1].as_py())
+    assert s.search(["baba"], "exact", k=5, search_after=last).num_rows == 0
+
+
+def test_score_tie_pages_split_correctly(corpus):
+    """Synthetic tie block: identical docs -> identical scores; the
+    cursor must walk the tie group by doc_id without skips or repeats."""
+    import pyarrow as pa
+
+    from search_engine_ray.oracle import OracleIndex
+
+    rows = {"url": [f"https://t/{i}" for i in range(30)],
+            "warc_ts": pa.array([1_000_000 + i for i in range(30)],
+                                pa.timestamp("us")),
+            "html": pa.array([None] * 30, pa.binary()),
+            "text": ["tie tie word"] * 25 + ["word other filler x"] * 5,
+            "lang": ["en"] * 30}
+    pages = pa.table(rows)
+    import ray
+
+    tmp = "/tmp/after_tie"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/pages")
+    pq.write_table(pages, tmp + "/pages/p.parquet")
+    build_index(tmp + "/pages", tmp + "/index", BuildConfig(num_buckets=4))
+    s = LocalSearcher(tmp + "/index")
+    full = s.search(["tie"], "exact", k=30)
+    assert len(set(full.column("score").to_pylist())) == 1  # one tie group
+    got = _paginate(s, ["tie"], "exact", page=4, n_pages=10)
+    assert got == list(zip(full.column("doc_id").to_pylist(),
+                           full.column("score").to_pylist()))
+
+
+def test_all_topologies_agree(ray_session, corpus, tmp_path):
+    from search_engine_ray.serve import (
+        BucketShardServer,
+        DocShardServer,
+        SearcherReplicaPool,
+    )
+    from search_engine_ray.sharded import ShardedSearcher, build_sharded
+
+    s = corpus["searcher"]
+    idx = str(corpus["root"] / "index")
+    sroot = str(tmp_path / "sharded")
+    build_sharded(str(corpus["root"] / "pages"), sroot, num_doc_shards=3,
+                  config=BuildConfig(num_buckets=8))
+    sh = ShardedSearcher(sroot)
+    dss = DocShardServer(sroot)
+    bss = BucketShardServer(idx, num_shards=3)
+    pool = SearcherReplicaPool(idx, num_replicas=2)
+    try:
+        page1 = s.search(["baba", "koba"], "or", k=6)
+        cursor = (page1.column("score")[-1].as_py(),
+                  page1.column("doc_id")[-1].as_py())
+        want = s.search(["baba", "koba"], "or", k=6, search_after=cursor)
+        for surface in (sh, dss, bss, pool):
+            got = surface.search(["baba", "koba"], "or", k=6,
+                                 search_after=cursor)
+            assert got.column("doc_id").equals(want.column("doc_id")), \
+                type(surface).__name__
+            assert got.column("score").equals(want.column("score"))
+    finally:
+        dss.shutdown()
+        bss.shutdown()
+        pool.shutdown()
+
+
+def test_cli_after(corpus):
+    idx = str(corpus["root"] / "index")
+    env = {**os.environ, "RAY_GRAFT_CPUS": "2"}
+    s = corpus["searcher"]
+    p1 = s.search(["baba"], "exact", k=4)
+    cursor = (p1.column("score")[-1].as_py(),
+              p1.column("doc_id")[-1].as_py())
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "query",
+         "--index", idx, "--terms", "baba", "--type", "exact", "-k", "4",
+         "--after", repr(cursor[0]), str(cursor[1])],
+        capture_output=True, text=True, env=env, check=True)
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    want = s.search(["baba"], "exact", k=4, search_after=cursor)
+    assert [r["doc_id"] for r in rows] == want.column("doc_id").to_pylist()
