@@ -151,6 +151,34 @@ def cmd_facets(args) -> int:
     return 0
 
 
+def cmd_dsir(args) -> int:
+    """DSIR data selection (Xie 2023): score every doc's hashed-n-gram
+    importance weight against the holdout target slice, Gumbel-top-k
+    resample, write the per-doc weight table (with the ``selected``
+    flag) as parquet, print a summary."""
+    import duckdb
+    import ray.data as rd
+
+    from search_engine_ray.functions.dsir import dsir_select
+
+    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    out = dsir_select(ds, k=args.k, n_buckets=args.buckets,
+                      eval_mod=args.eval_mod, eval_rem=args.eval_rem)
+    out.write_parquet(args.out)
+    rep = duckdb.sql(f"""
+        SELECT count(*) FILTER (selected = 1) AS n_selected,
+               round(avg(log_iw) FILTER (selected = 1), 6) AS mean_iw_sel,
+               round(avg(log_iw) FILTER (selected = 0 AND is_target = 0),
+                     6) AS mean_iw_rest
+        FROM read_parquet('{args.out}/*.parquet')
+    """).df().iloc[0]
+    print(json.dumps({"n_selected": int(rep["n_selected"]),
+                      "mean_iw_selected": float(rep["mean_iw_sel"]),
+                      "mean_iw_rest": float(rep["mean_iw_rest"]),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_train_bpe(args) -> int:
     """Train a BPE subword tokenizer over a documents corpus (Sennrich
     2016): one corpus pass for word counts, then the tiered merge loop;
@@ -859,6 +887,17 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--delete-urls-file", default=None)
     d.set_defaults(fn=cmd_delta)
+
+    dr = sub.add_parser("dsir", help="DSIR importance resampling: select "
+                        "k raw docs whose hashed-n-gram distribution "
+                        "matches the holdout target slice (Xie 2023)")
+    dr.add_argument("--input", required=True)
+    dr.add_argument("--out", required=True)
+    dr.add_argument("-k", type=int, required=True)
+    dr.add_argument("--buckets", type=int, default=4096)
+    dr.add_argument("--eval-mod", type=int, default=10)
+    dr.add_argument("--eval-rem", type=int, default=7)
+    dr.set_defaults(fn=cmd_dsir)
 
     tb = sub.add_parser("train-bpe", help="train BPE subword merges over "
                         "a documents corpus (one corpus pass + tiered "
