@@ -44,11 +44,44 @@ from search_engine_ray.search import (
 from search_engine_ray.stages.tokenize import term_bucket
 
 
+def snapshot_fingerprint(index_root: str) -> str:
+    """Change signal for hot reload: md5 over the committed manifest and
+    global stats bytes. Every mutation path (apply_delta, merge_indexes,
+    sync_index, rebuild) rewrites at least one of them; a no-op sync
+    leaves both bit-stable, so reload correctly does nothing."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for name in ("_manifest.json", "global_stats.json"):
+        try:
+            with open(os.path.join(index_root, name), "rb") as f:
+                h.update(f.read())
+        except FileNotFoundError:
+            h.update(b"-")
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
 @ray.remote
 class _Replica:
     def __init__(self, index_root: str):
+        self._root = index_root
+        self._fp = snapshot_fingerprint(index_root)
         self.searcher = LocalSearcher(index_root)
         self._expander = None  # vocabulary loaded once, on first suggest
+
+    def reload(self) -> bool:
+        """Swap in the current on-disk snapshot if it changed since load
+        (U4/ST5 serving-side: pick up delta/merge/sync results without an
+        actor restart). Returns whether a swap happened."""
+        fp = snapshot_fingerprint(self._root)
+        if fp == self._fp:
+            return False
+        self.searcher = LocalSearcher(self._root)
+        self._expander = None
+        self._fp = fp
+        return True
 
     def search(self, queries, search_type, k, scorer, where=None,
                search_after=None):
@@ -140,6 +173,11 @@ class SearcherReplicaPool:
         self._next += 1
         return ray.get(r.suggest.remote(word, k, scorer))
 
+    def reload(self) -> int:
+        """Hot snapshot reload on every replica; returns how many
+        actually swapped (0 when the index is unchanged)."""
+        return sum(ray.get([r.reload.remote() for r in self._replicas]))
+
     def shutdown(self):
         for r in self._replicas:
             ray.kill(r)
@@ -151,10 +189,22 @@ class _BucketShard:
     """Owns a contiguous group of term buckets; loads them once."""
 
     def __init__(self, index_root: str, buckets: list[int]):
+        self._root = index_root
+        self._fp = snapshot_fingerprint(index_root)
         self._s = LocalSearcher(index_root, load_docmap=False)
         self.buckets = set(buckets)
         for b in buckets:  # eager load: the 'stateful actor' cost paid once
             self._s.bucket(b)
+
+    def reload(self) -> bool:
+        fp = snapshot_fingerprint(self._root)
+        if fp == self._fp:
+            return False
+        self._s = LocalSearcher(self._root, load_docmap=False)
+        for b in self.buckets:
+            self._s.bucket(b)
+        self._fp = fp
+        return True
 
     def fragments(self, terms: list[str]):
         """(term -> (docids, scores)) for the owned terms present here."""
@@ -209,8 +259,22 @@ class _DocShardReplica:
     scoring with injected GLOBAL stats + per-term global idf."""
 
     def __init__(self, shard_root: str, stats_override: dict):
+        self._root = shard_root
+        self._fp = snapshot_fingerprint(shard_root)
         self._s = LocalSearcher(shard_root, load_docmap=False,
                                 stats_override=stats_override)
+
+    def reload(self, stats_override: dict) -> bool:
+        """Swap in the current shard snapshot and/or new GLOBAL stats
+        (deltas change n_docs/avgdl even for untouched shards)."""
+        fp = snapshot_fingerprint(self._root)
+        cur = {"n_docs": self._s.n_docs, "avgdl": self._s.avgdl}
+        if fp == self._fp and cur == stats_override:
+            return False
+        self._s = LocalSearcher(self._root, load_docmap=False,
+                                stats_override=stats_override)
+        self._fp = fp
+        return True
 
     def topk(self, terms: list[str], idfs: dict[str, float],
              search_type: str, k: int, with_urls: bool, where=None,
@@ -283,10 +347,12 @@ class DocShardServer:
 
         with open(_os.path.join(root, "global_stats.json")) as f:
             self.stats = _json.load(f)
+        self._root = root
         self.n_docs = int(self.stats["n_docs"])
         self.num_doc_shards = int(self.stats["num_doc_shards"])
         with open(_os.path.join(root, "shard=0", "_manifest.json")) as f:
             num_buckets = int(_json.load(f)["config"]["num_buckets"])
+        self._num_buckets = num_buckets
         self._sidecar = TermStatsSidecar(root, num_buckets)
         if not self._sidecar.present:
             raise FileNotFoundError(
@@ -424,6 +490,28 @@ class DocShardServer:
             schema=RESULT_SCHEMA,
         )
 
+    def reload(self) -> int:
+        """Hot reload after apply_delta_sharded: re-read the merged root
+        stats + term-stats sidecar on the driver, push the new GLOBAL
+        stats override to every shard actor (a delta moves n_docs/avgdl
+        for ALL shards, not just touched ones). Returns the number of
+        shard actors that swapped."""
+        import json as _json
+        import os as _os
+
+        from search_engine_ray.sharded import TermStatsSidecar
+
+        with open(_os.path.join(self._root, "global_stats.json")) as f:
+            self.stats = _json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        if int(self.stats["num_doc_shards"]) != self.num_doc_shards:
+            raise ValueError("num_doc_shards changed; restart the server")
+        self._sidecar = TermStatsSidecar(self._root, self._num_buckets)
+        override = {"n_docs": self.stats["n_docs"],
+                    "avgdl": self.stats["avgdl"]}
+        return sum(ray.get([sh.reload.remote(override)
+                            for sh in self._shards]))
+
     def shutdown(self):
         for s in self._shards:
             ray.kill(s)
@@ -446,6 +534,15 @@ class BucketShardServer:
             for b in g:
                 self._bucket_to_shard[b] = si
         self._local = probe  # for docmap-free metadata
+        self._root = index_root
+
+    def reload(self) -> int:
+        """Hot snapshot reload on every bucket-shard actor + the local
+        metadata probe; returns how many actors swapped."""
+        n = sum(ray.get([s.reload.remote() for s in self._shards]))
+        if n:
+            self._local = LocalSearcher(self._root, load_docmap=False)
+        return n
 
     def _route(self, terms: list[str]) -> dict[int, list[str]]:
         by_shard: dict[int, list[str]] = {}

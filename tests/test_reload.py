@@ -1,0 +1,120 @@
+"""Hot snapshot reload on serving actors: apply a delta under a live
+server, reload(), and the served results must equal a fresh searcher
+over the updated artifacts. A no-op reload swaps nothing."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.build import BuildConfig, build_index
+from search_engine_ray.corpus import generate_pages
+from search_engine_ray.incremental import apply_delta
+from search_engine_ray.search import LocalSearcher
+
+CFG = BuildConfig(num_buckets=8)
+
+
+def _delta_pages(tmp, n0=400):
+    """3 new docs sharing a fresh sentinel term."""
+    rows = {"url": [f"https://new/{i}" for i in range(3)],
+            "warc_ts": pa.array([9_000_000 + i for i in range(3)],
+                                pa.timestamp("us")),
+            "html": pa.array([None] * 3, pa.binary()),
+            "text": ["freshterm alpha one", "freshterm beta two",
+                     "freshterm gamma three"],
+            "lang": ["en", "de", "en"]}
+    p = str(tmp / "delta")
+    os.makedirs(p, exist_ok=True)
+    pq.write_table(pa.table(rows), p + "/d.parquet")
+    return p
+
+
+@pytest.fixture()
+def idx(ray_session, tmp_path):
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(generate_pages(400, seed=99), str(pdir / "p.parquet"))
+    root = str(tmp_path / "index")
+    build_index(str(pdir), root, CFG)
+    return root, tmp_path
+
+
+def test_replica_pool_reload(idx):
+    from search_engine_ray.serve import SearcherReplicaPool
+
+    root, tmp = idx
+    pool = SearcherReplicaPool(root, num_replicas=2)
+    try:
+        assert pool.search(["freshterm"], "exact", k=5).num_rows == 0
+        assert pool.reload() == 0  # unchanged snapshot: no swap
+        apply_delta(root, _delta_pages(tmp), config=CFG)
+        # replicas still serve the OLD loaded snapshot until reload
+        assert pool.reload() == 2
+        fresh = LocalSearcher(root)
+        want = fresh.search(["freshterm"], "exact", k=5)
+        assert want.num_rows == 3
+        # both replicas serve the new snapshot
+        for _ in range(2):
+            got = pool.search(["freshterm"], "exact", k=5)
+            assert got.equals(want)
+        # filtered search sees the new docs' attributes too
+        de = pool.search(["freshterm"], "exact", k=5, where={"lang": "de"})
+        assert de.equals(fresh.search(["freshterm"], "exact", k=5,
+                                      where={"lang": "de"}))
+        assert de.num_rows == 1
+    finally:
+        pool.shutdown()
+
+
+def test_bucket_shard_server_reload(idx):
+    from search_engine_ray.serve import BucketShardServer
+
+    root, tmp = idx
+    srv = BucketShardServer(root, num_shards=3)
+    try:
+        assert srv.reload() == 0
+        apply_delta(root, _delta_pages(tmp), config=CFG)
+        assert srv.reload() == 3
+        fresh = LocalSearcher(root)
+        got = srv.search(["freshterm"], "exact", k=5)
+        want = fresh.search(["freshterm"], "exact", k=5, with_urls=False)
+        assert got.column("doc_id").equals(want.column("doc_id"))
+        assert got.column("score").equals(want.column("score"))
+    finally:
+        srv.shutdown()
+
+
+def test_doc_shard_server_reload(ray_session, tmp_path):
+    from search_engine_ray.serve import DocShardServer
+    from search_engine_ray.sharded import (
+        ShardedSearcher,
+        apply_delta_sharded,
+        build_sharded,
+    )
+
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(generate_pages(300, seed=31), str(pdir / "p.parquet"))
+    root = str(tmp_path / "sharded")
+    build_sharded(str(pdir), root, num_doc_shards=3, config=CFG)
+    srv = DocShardServer(root)
+    try:
+        assert srv.search(["freshterm"], "exact", k=5).num_rows == 0
+        assert srv.reload() == 0
+        apply_delta_sharded(root, _delta_pages(tmp_path))
+        assert srv.reload() > 0
+        fresh = ShardedSearcher(root)
+        got = srv.search(["freshterm"], "exact", k=5)
+        want = fresh.search(["freshterm"], "exact", k=5)
+        assert got.column("doc_id").equals(want.column("doc_id"))
+        assert got.column("score").equals(want.column("score"))
+        assert got.num_rows == 3
+        # global stats (idf/avgdl) refreshed: an OLD term's scores match
+        # the fresh sharded searcher bit-for-bit after reload
+        g2 = srv.search(["baba"], "exact", k=10)
+        w2 = fresh.search(["baba"], "exact", k=10)
+        assert g2.column("score").equals(w2.column("score"))
+    finally:
+        srv.shutdown()
