@@ -121,18 +121,44 @@ def cmd_query(args) -> int:
     return 0
 
 
-def _parse_where(pairs: list[str] | None) -> dict[str, str] | None:
+def _parse_where(pairs: list[str] | None) -> dict | None:
     """--where col=value [col=value ...] -> predicate dict (None if
-    absent)."""
+    absent). ``col=lo..hi`` is an inclusive numeric range (either side
+    may be empty for an open end, e.g. doc_len=100..); anything else is
+    a string equality."""
     if not pairs:
         return None
-    out = {}
+
+    def num(s: str):
+        if not s:
+            return None
+        return float(s) if "." in s else int(s)
+
+    out: dict = {}
     for p in pairs:
         col, sep, val = p.partition("=")
         if not sep or not col:
             raise SystemExit(f"--where expects col=value, got {p!r}")
-        out[col] = val
+        if ".." in val:
+            lo, _, hi = val.partition("..")
+            out[col] = (num(lo), num(hi))
+        else:
+            out[col] = val
     return out
+
+
+def cmd_complete(args) -> int:
+    """df-ranked autocomplete over the index vocabulary."""
+    if args.sharded:
+        from search_engine_ray.sharded import ShardedSearcher
+
+        s = ShardedSearcher(args.index)
+    else:
+        from search_engine_ray.search import LocalSearcher
+
+        s = LocalSearcher(args.index)
+    print(json.dumps(s.complete(args.prefix, k=args.k).to_pylist()))
+    return 0
 
 
 def cmd_facets(args) -> int:
@@ -868,6 +894,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="cursor pagination: (score, doc_id) of the last "
                         "hit of the previous page; returns the next k")
     q.set_defaults(fn=cmd_query)
+
+    cp = sub.add_parser("complete", help="df-ranked autocomplete: top-k "
+                        "vocabulary terms with a prefix")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--prefix", required=True)
+    cp.add_argument("-k", type=int, default=10)
+    cp.add_argument("--sharded", action="store_true")
+    cp.set_defaults(fn=cmd_complete)
 
     fc = sub.add_parser("facets", help="facet counts: distinct matching "
                         "docs per value of an attribute column, over the "

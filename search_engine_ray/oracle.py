@@ -26,6 +26,7 @@ ref: tree/SearchEngineConcurrentTree.java:176-195), ``or``
 from __future__ import annotations
 
 from bisect import bisect_left
+from datetime import datetime, timedelta
 
 import numpy as np
 import pyarrow as pa
@@ -100,6 +101,8 @@ class OracleIndex:
         # doc_id -> {column: value} for every non-core page column
         # (metadata attributes: filtered search / facets ground truth)
         self.attr_of: dict[int, dict[str, str]] = {}
+        # doc_id -> {column: numeric value} (range-predicate ground truth)
+        self.attr_num: dict[int, dict] = {}
         self.n_docs = 0
         self.avgdl = 0.0
 
@@ -121,6 +124,19 @@ class OracleIndex:
             self.attr_of[doc_id] = {
                 c: ("" if v is None else str(v)) for c, v in row.items()
                 if c not in ("url", "warc_ts", "html", "text")}
+            # numeric attribute ground truth (range predicates):
+            # timestamps as int64 microseconds (the Arrow storage unit)
+            ts = row["warc_ts"]
+            self.attr_num[doc_id] = {
+                "doc_len": n_tok,
+                "warc_ts": (ts - datetime(1970, 1, 1))
+                // timedelta(microseconds=1) if ts is not None else None,
+            }
+            for c, v in row.items():
+                if c not in self.attr_num[doc_id] and \
+                        isinstance(v, (int, float)) and \
+                        not isinstance(v, bool):
+                    self.attr_num[doc_id][c] = v
             for tok, (tf, poss) in per_doc.items():
                 self.postings.setdefault(tok, {})[doc_id] = (tf, poss)
         self.n_docs = len(self.doc_len)
@@ -179,12 +195,32 @@ class OracleIndex:
             raise ValueError(f"unknown search_type {search_type!r}")
         return sorted(set(terms))
 
-    def _matches_where(self, doc_id: int,
-                       where: dict[str, str] | None) -> bool:
+    def _matches_where(self, doc_id: int, where: dict | None) -> bool:
         if where is None:
             return True
         attrs = self.attr_of.get(doc_id, {})
-        return all(attrs.get(c) == str(v) for c, v in where.items())
+        nums = self.attr_num.get(doc_id, {})
+        for c, v in where.items():
+            if isinstance(v, (tuple, list)):
+                lo, hi = v
+                x = nums.get(c)
+                if x is None or (lo is not None and x < lo) or \
+                        (hi is not None and x > hi):
+                    return False
+            elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                if nums.get(c) != v:
+                    return False
+            elif attrs.get(c) != str(v):
+                return False
+        return True
+
+    def complete(self, prefix: str, k: int = 10
+                 ) -> list[tuple[str, int]]:
+        """df-ranked autocomplete twin: (term, df) ordered
+        (df desc, term asc)."""
+        cands = [(t, len(self.postings[t])) for t in self.expand(
+            [prefix], "prefix")]
+        return sorted(cands, key=lambda td: (-td[1], td[0]))[:k]
 
     def facet_counts(self, queries: list[str], search_type: str = "or",
                      by: str = "lang",

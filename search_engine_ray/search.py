@@ -435,19 +435,75 @@ class LocalSearcher:
             self._attr_cache[column] = hit
         return hit
 
-    def ordinal_mask(self, where: dict[str, str]) -> np.ndarray:
-        """Boolean keep-mask over ordinals for an AND of equality
-        predicates ({column: value}). A value absent from a column's
-        category set yields an all-False mask (0 hits, not an error)."""
+    def numeric_attrs(self, column: str) -> np.ndarray:
+        """Per-ordinal numeric attribute values (state/attrs.py), loaded
+        lazily once per searcher — range predicates and histograms."""
+        if not hasattr(self, "_numattr_cache"):
+            self._numattr_cache = {}
+        hit = self._numattr_cache.get(column)
+        if hit is None:
+            from search_engine_ray.state.attrs import numeric_by_ordinal
+
+            try:
+                hit = numeric_by_ordinal(
+                    os.path.join(self.index_root, "docs_clean"), column)
+            except Exception as e:  # noqa: BLE001
+                raise KeyError(
+                    f"numeric attribute column {column!r} unavailable in "
+                    f"this index's docs_clean ({e})") from e
+            self._numattr_cache[column] = hit
+        return hit
+
+    def ordinal_mask(self, where: dict) -> np.ndarray:
+        """Boolean keep-mask over ordinals for an AND of predicates
+        ({column: value}). Value forms:
+
+        * ``str``                 — dictionary equality (a value absent
+          from the column's category set yields an all-False mask);
+        * ``(lo, hi)`` tuple/list — inclusive numeric range over a
+          numeric column (None = open end; timestamps compare as int64
+          microseconds);
+        * ``int`` / ``float``     — numeric equality."""
         mask = np.ones(len(self.ords()), dtype=bool)
         for col, val in sorted(where.items()):
-            codes, cats = self.attrs(col)
-            i = bisect_left(cats, str(val))
-            if i < len(cats) and cats[i] == str(val):
-                mask &= codes == np.int32(i)
+            if isinstance(val, (tuple, list)):
+                lo, hi = val
+                vals = self.numeric_attrs(col)
+                if lo is not None:
+                    mask &= vals >= lo
+                if hi is not None:
+                    mask &= vals <= hi
+            elif isinstance(val, (int, float)) and not isinstance(val,
+                                                                  bool):
+                mask &= self.numeric_attrs(col) == val
             else:
-                mask[:] = False
+                codes, cats = self.attrs(col)
+                i = bisect_left(cats, str(val))
+                if i < len(cats) and cats[i] == str(val):
+                    mask &= codes == np.int32(i)
+                else:
+                    mask[:] = False
         return mask
+
+    def complete(self, prefix: str, k: int = 10) -> pa.Table:
+        """df-ranked autocomplete (Lucene suggester analogue): the top-k
+        vocabulary terms with this prefix ordered (df desc, term asc).
+        Footer-light: prefix_range bisects each bucket's sorted term
+        list; df comes from the already-loaded per-bucket column — no
+        posting decode."""
+        terms: list[str] = []
+        dfs: list[int] = []
+        for b in range(self.num_buckets):
+            bk = self.bucket(b)
+            for i in bk.prefix_range(prefix):
+                terms.append(bk.terms[i])
+                dfs.append(int(bk.df[i]))
+        order = sorted(range(len(terms)),
+                       key=lambda i: (-dfs[i], terms[i]))[:k]
+        return pa.table({
+            "term": pa.array([terms[i] for i in order], pa.string()),
+            "df": pa.array([dfs[i] for i in order], pa.int64()),
+        })
 
     def facet_counts(self, queries: list[str], search_type: str = "or",
                      by: str = "lang",

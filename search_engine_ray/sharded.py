@@ -511,6 +511,23 @@ class ShardedSearcher:
              "score": out.column("score"),
              "url": out.column("url")}, schema=RESULT_SCHEMA)
 
+    def complete(self, prefix: str, k: int = 10) -> pa.Table:
+        """df-ranked autocomplete with GLOBAL dfs: terms from the merged
+        sidecar (or shard fan-out), df summed across shards — identical
+        to the unsharded complete()."""
+        terms = self._expand([prefix], "prefix")
+        if self._has_sidecar:
+            dfs = [self._sidecar_df(t) for t in terms]
+        else:
+            dfs = [sum((sh._posting_for(t) or {"df": 0})["df"]
+                       for sh in self.shards) for t in terms]
+        order = sorted(range(len(terms)),
+                       key=lambda i: (-dfs[i], terms[i]))[:k]
+        return pa.table({
+            "term": pa.array([terms[i] for i in order], pa.string()),
+            "df": pa.array([int(dfs[i]) for i in order], pa.int64()),
+        })
+
     def facet_counts(self, queries: list[str], search_type: str = "or",
                      by: str = "lang",
                      where: dict[str, str] | None = None) -> pa.Table:

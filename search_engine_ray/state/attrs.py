@@ -45,3 +45,22 @@ def attrs_by_ordinal(docs_clean_dir: str, column: str
     rank[cat_order] = np.arange(len(cats), dtype=np.int32)
     order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")
     return rank[idx][order], [cats[i] for i in cat_order]
+
+
+def numeric_by_ordinal(docs_clean_dir: str, column: str) -> np.ndarray:
+    """``values[ord]`` for one NUMERIC attribute column as int64/float64
+    (timestamps read as int64 microseconds since epoch — the Arrow
+    storage unit, so range bounds can be given in either datetimes cast
+    by the caller or raw microseconds). Same resident cost and lazy
+    once-per-searcher load as the dictionary codes above."""
+    import pyarrow as pa
+
+    t = pq.read_table(docs_clean_dir, columns=["doc_id", column])
+    col = t.column(column)
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.int64())
+    vals = col.to_numpy(zero_copy_only=False)
+    if not np.issubdtype(vals.dtype, np.number):
+        raise KeyError(f"attribute column {column!r} is not numeric")
+    order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")
+    return vals[order]

@@ -14,6 +14,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
@@ -106,6 +107,61 @@ def test_bmw_scorer_with_where_matches_taat(corpus):
 def test_unknown_attribute_column_raises(corpus):
     with pytest.raises(KeyError):
         corpus["searcher"].search(["mama"], "exact", where={"nope": "x"})
+
+
+def test_numeric_range_where_matches_oracle(corpus):
+    s, o = corpus["searcher"], corpus["oracle"]
+    cases = [
+        {"doc_len": (5, 60)},
+        {"doc_len": (None, 40)},
+        {"doc_len": (100, None)},
+        {"lang": "en", "doc_len": (10, 80)},  # mixed string + range
+    ]
+    nonempty = 0
+    for where in cases:
+        eng = s.search(["baba", "koba"], "or", k=15, where=where)
+        orc = o.search(["baba", "koba"], "or", k=15, where=where)
+        _assert_matches_oracle(eng, orc)
+        nonempty += eng.num_rows > 0
+    assert nonempty >= 2
+    # range on a timestamp column (int64 microseconds)
+    ts_all = s.numeric_attrs("warc_ts")
+    mid = int(np.median(ts_all))
+    eng = s.search(["baba"], "exact", k=400, where={"warc_ts": (None, mid)})
+    orc = o.search(["baba"], "exact", k=400, where={"warc_ts": (None, mid)})
+    _assert_matches_oracle(eng, orc)
+    assert 0 < eng.num_rows
+    # numeric range on a string column raises
+    with pytest.raises(KeyError):
+        s.search(["baba"], "exact", where={"lang": (1, 2)})
+
+
+def test_complete_matches_oracle(corpus):
+    s, o = corpus["searcher"], corpus["oracle"]
+    for prefix in ("ba", "ko", "m", "zzzz"):
+        t = s.complete(prefix, k=8)
+        want = o.complete(prefix, k=8)
+        assert list(zip(t.column("term").to_pylist(),
+                        t.column("df").to_pylist())) == want, prefix
+    assert s.complete("ba", k=3).num_rows <= 3
+
+
+def test_sharded_complete_and_range(ray_session, corpus, tmp_path):
+    from search_engine_ray.sharded import ShardedSearcher, build_sharded
+
+    root = str(tmp_path / "sharded_c")
+    build_sharded(str(corpus["root"] / "pages"), root, num_doc_shards=3,
+                  config=BuildConfig(num_buckets=8))
+    sh = ShardedSearcher(root)
+    s = corpus["searcher"]
+    assert sh.complete("ba", k=8).equals(s.complete("ba", k=8))
+    # sidecar-less fallback path agrees too
+    sh._has_sidecar = False
+    assert sh.complete("ba", k=8).equals(s.complete("ba", k=8))
+    sh._has_sidecar = True
+    a = s.search(["baba"], "exact", k=12, where={"doc_len": (10, 80)})
+    b = sh.search(["baba"], "exact", k=12, where={"doc_len": (10, 80)})
+    assert a.equals(b)
 
 
 def test_facet_counts_match_oracle(corpus):
