@@ -197,6 +197,36 @@ def run_bench() -> dict:
     extras["bm25_p50_ms"] = round(float(np.percentile(per_query, 50)), 3)
     extras["bm25_p95_ms"] = round(float(np.percentile(per_query, 95)), 3)
 
+    # --- session-3 query features: filtered / paged / facets / complete --
+    # warm per-op latencies; the attrs column loads once (untimed, like
+    # every other once-per-searcher artifact)
+    head_q = qs[0][0]
+    s.search(head_q, "or", k=10, where={"lang": "en"}, with_urls=False)
+    _p1 = s.search(head_q, "or", k=10, with_urls=False)
+    cursor = ((_p1.column("score")[-1].as_py(),
+               _p1.column("doc_id")[-1].as_py())
+              if _p1.num_rows else (0.0, 0))
+    for name, fn in (
+        ("bm25_filtered_p50_ms",
+         lambda: s.search(head_q, "or", k=10, where={"lang": "en"},
+                          with_urls=False)),
+        ("bm25_range_p50_ms",
+         lambda: s.search(head_q, "or", k=10,
+                          where={"doc_len": (50, 400)}, with_urls=False)),
+        ("facets_p50_ms", lambda: s.facet_counts(head_q, "or", by="lang")),
+        ("search_after_p50_ms",
+         lambda: s.search(head_q, "or", k=10,
+                          search_after=cursor, with_urls=False)),
+        ("complete_p50_ms", lambda: s.complete("c", k=10)),
+    ):
+        fn()  # warm
+        flat = []
+        for _ in range(9):
+            tq = time.monotonic()
+            fn()
+            flat.append((time.monotonic() - tq) * 1000)
+        extras[name] = round(float(np.percentile(flat, 50)), 3)
+
     # --- scorer comparison: TAAT (default) vs block-max WAND -------------
     # same disjunctive query subset under both scorers; documents WHY taat
     # is the default (see search.py docstring: in-memory postings favour
