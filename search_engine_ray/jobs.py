@@ -171,8 +171,13 @@ def cmd_facets(args) -> int:
         from search_engine_ray.search import LocalSearcher
 
         s = LocalSearcher(args.index)
-    res = s.facet_counts(args.terms, args.type, by=args.by,
-                         where=_parse_where(args.where))
+    if getattr(args, "bins", None):
+        edges = [float(x) for x in args.bins.split(",")]
+        res = s.facet_histogram(args.terms, edges, args.type, by=args.by,
+                                where=_parse_where(args.where))
+    else:
+        res = s.facet_counts(args.terms, args.type, by=args.by,
+                             where=_parse_where(args.where))
     print(json.dumps(res.to_pylist()))
     return 0
 
@@ -913,6 +918,9 @@ def main(argv: list[str] | None = None) -> int:
                              "wildcard", "fuzzy", "fuzzy2"])
     fc.add_argument("--by", default="lang")
     fc.add_argument("--where", nargs="+", default=None, metavar="COL=VAL")
+    fc.add_argument("--bins", default=None, metavar="E0,E1,...",
+                    help="ascending edges -> numeric range facets over "
+                         "--by (half-open [lo, hi) bins)")
     fc.add_argument("--sharded", action="store_true")
     fc.set_defaults(fn=cmd_facets)
 

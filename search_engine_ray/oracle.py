@@ -214,6 +214,31 @@ class OracleIndex:
                 return False
         return True
 
+    def _match_docs(self, queries: list[str], search_type: str,
+                    where: dict | None) -> set[int]:
+        terms = self.expand(queries, search_type)
+        docs: set[int] = set()
+        for t in terms:
+            docs |= set(self.postings[t])
+        if search_type == "and":
+            for t in terms:
+                docs &= set(self.postings[t])
+        return {d for d in docs if self._matches_where(d, where)}
+
+    def facet_histogram(self, queries: list[str], edges: list[float],
+                        search_type: str = "or", by: str = "doc_len",
+                        where: dict | None = None
+                        ) -> list[tuple[float, float, int]]:
+        """Numeric range facet twin: half-open [lo, hi) bins."""
+        vals = [self.attr_num[d].get(by)
+                for d in self._match_docs(queries, search_type, where)]
+        out = []
+        for lo, hi in zip(edges, edges[1:]):
+            out.append((float(lo), float(hi),
+                        sum(1 for v in vals
+                            if v is not None and lo <= v < hi)))
+        return out
+
     def complete(self, prefix: str, k: int = 10
                  ) -> list[tuple[str, int]]:
         """df-ranked autocomplete twin: (term, df) ordered
@@ -229,18 +254,11 @@ class OracleIndex:
         """Distinct matching docs per ``by``-attribute value over the
         query's full match set (match semantics, not top-k), ordered
         (count desc, value asc) — the engine facet_counts twin."""
-        terms = self.expand(queries, search_type)
-        docs: set[int] = set()
-        for t in terms:
-            docs |= set(self.postings[t])
-        if search_type == "and":
-            for t in terms:
-                docs &= set(self.postings[t])
         from collections import Counter
 
         counts = Counter(
-            self.attr_of[d].get(by, "") for d in docs
-            if self._matches_where(d, where))
+            self.attr_of[d].get(by, "")
+            for d in self._match_docs(queries, search_type, where))
         return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
 
     def search(

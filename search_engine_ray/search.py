@@ -519,22 +519,7 @@ class LocalSearcher:
         override (doc-sharded serving expands against the GLOBAL sidecar
         vocabulary and injects the result here)."""
         codes, cats = self.attrs(by)
-        if terms is None:
-            terms = self.expand(queries, search_type)
-        gathered = self._gather(terms)
-        if search_type == "and" and len(gathered) < len(terms):
-            gathered = []  # conjunctive: a term absent HERE empties this
-        if gathered:
-            cand = np.unique(np.concatenate(
-                [self._decode(t, rec)["docids"] for t, rec, _ in gathered]))
-            if search_type == "and":
-                for t, rec, _ in gathered:
-                    d = self._decode(t, rec)["docids"]
-                    cand = cand[np.isin(cand, d, assume_unique=True)]
-            if where is not None:
-                cand = cand[self.ordinal_mask(where)[cand]]
-        else:
-            cand = np.empty(0, np.int64)
+        cand = self._match_ordinals(queries, search_type, where, terms)
         counts = np.bincount(codes[cand], minlength=len(cats)).astype(
             np.int64)
         nz = np.flatnonzero(counts)
@@ -554,6 +539,51 @@ class LocalSearcher:
         s, d = search_after
         return (float(s),
                 int(np.searchsorted(self.ords(), int(d), side="right")))
+
+    def _match_ordinals(self, queries: list[str], search_type: str,
+                        where: dict | None,
+                        terms: list[str] | None) -> np.ndarray:
+        """The query's full match set as ordinals (facet kernels share
+        this): union of the expanded terms' postings, intersected for
+        'and', masked by ``where``."""
+        if terms is None:
+            terms = self.expand(queries, search_type)
+        gathered = self._gather(terms)
+        if search_type == "and" and len(gathered) < len(terms):
+            gathered = []
+        if not gathered:
+            return np.empty(0, np.int64)
+        cand = np.unique(np.concatenate(
+            [self._decode(t, rec)["docids"] for t, rec, _ in gathered]))
+        if search_type == "and":
+            for t, rec, _ in gathered:
+                d = self._decode(t, rec)["docids"]
+                cand = cand[np.isin(cand, d, assume_unique=True)]
+        if where is not None:
+            cand = cand[self.ordinal_mask(where)[cand]]
+        return cand
+
+    def facet_histogram(self, queries: list[str], edges: list[float],
+                        search_type: str = "or", by: str = "doc_len",
+                        where: dict | None = None,
+                        terms: list[str] | None = None) -> pa.Table:
+        """Numeric range facets (Lucene range-facet analogue): matching-
+        doc counts per half-open bin [edges[i], edges[i+1]) over a
+        numeric attribute; values outside [edges[0], edges[-1]) are
+        excluded. Returns every bin (zeros included) in edge order."""
+        if sorted(edges) != list(edges) or len(edges) < 2:
+            raise ValueError("edges must be ascending with >= 2 entries")
+        vals = self.numeric_attrs(by)[
+            self._match_ordinals(queries, search_type, where, terms)]
+        e = np.asarray(edges, dtype=np.float64)
+        idx = np.searchsorted(e, vals, side="right") - 1
+        ok = (idx >= 0) & (idx < len(e) - 1) & (vals < e[-1])
+        counts = np.bincount(idx[ok], minlength=len(e) - 1)
+        return pa.table({
+            "bin_lo": pa.array(e[:-1], pa.float64()),
+            "bin_hi": pa.array(e[1:], pa.float64()),
+            "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
+        })
 
     def search(
         self,

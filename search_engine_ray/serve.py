@@ -396,6 +396,18 @@ class DocShardServer:
         ]) if terms else []
         return self._merge(parts, k, with_urls)
 
+    def complete(self, prefix: str, k: int = 10) -> pa.Table:
+        """df-ranked autocomplete straight off the term-stats sidecar
+        (terms + GLOBAL dfs live there; no shard actor round-trip)."""
+        terms = self._sidecar.expand_prefix(prefix)
+        dfs = [self._sidecar.df(t) for t in terms]
+        order = sorted(range(len(terms)),
+                       key=lambda i: (-dfs[i], terms[i]))[:k]
+        return pa.table({
+            "term": pa.array([terms[i] for i in order], pa.string()),
+            "df": pa.array([int(dfs[i]) for i in order], pa.int64()),
+        })
+
     def facet_counts(self, queries: list[str], search_type: str = "or",
                      by: str = "lang",
                      where: dict[str, str] | None = None) -> pa.Table:

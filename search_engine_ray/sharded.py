@@ -548,6 +548,27 @@ class ShardedSearcher:
             "n_docs": pa.array([c for _, c in order], pa.int64()),
         })
 
+    def facet_histogram(self, queries: list[str], edges: list[float],
+                        search_type: str = "or", by: str = "doc_len",
+                        where: dict | None = None) -> pa.Table:
+        """Numeric range facets across doc shards: global term expansion,
+        per-shard bin counts, element-wise sum (bins are fixed, so the
+        merge is exact)."""
+        terms = self._expand(queries, search_type)
+        total = None
+        out = None
+        for sh in self.shards:
+            t = sh.facet_histogram([], edges, search_type, by=by,
+                                   where=where, terms=terms)
+            c = t.column("n_docs").to_numpy()
+            total = c.copy() if total is None else total + c
+            out = t
+        return pa.table({
+            "bin_lo": out.column("bin_lo"),
+            "bin_hi": out.column("bin_hi"),
+            "n_docs": pa.array(total, pa.int64()),
+        })
+
     def search(self, queries: list[str], search_type: str = "exact",
                k: int = 10, with_urls: bool = True,
                scorer: str = "taat",

@@ -162,6 +162,10 @@ def test_sharded_complete_and_range(ray_session, corpus, tmp_path):
     a = s.search(["baba"], "exact", k=12, where={"doc_len": (10, 80)})
     b = sh.search(["baba"], "exact", k=12, where={"doc_len": (10, 80)})
     assert a.equals(b)
+    edges = [0, 50, 100, 200, 400]
+    ha = s.facet_histogram(["baba", "koba"], edges, "or", by="doc_len")
+    hb = sh.facet_histogram(["baba", "koba"], edges, "or", by="doc_len")
+    assert ha.equals(hb)
 
 
 def test_facet_counts_match_oracle(corpus):
@@ -176,6 +180,42 @@ def test_facet_counts_match_oracle(corpus):
     # facet by a high-cardinality column still works (url: all count 1)
     t = s.facet_counts(["mila"], "exact", by="url")
     assert set(t.column("n_docs").to_pylist()) == {1}
+
+
+def test_facet_histogram_matches_oracle(corpus):
+    s, o = corpus["searcher"], corpus["oracle"]
+    edges = [0, 50, 100, 200, 400]
+    for st, qs in [("or", ["baba", "koba"]), ("and", ["baba"])]:
+        for where in (None, {"lang": "en"}):
+            t = s.facet_histogram(qs, edges, st, by="doc_len", where=where)
+            want = o.facet_histogram(qs, edges, st, by="doc_len",
+                                     where=where)
+            got = list(zip(t.column("bin_lo").to_pylist(),
+                           t.column("bin_hi").to_pylist(),
+                           t.column("n_docs").to_pylist()))
+            assert got == want, (st, where)
+    # values at/above the last edge are excluded (half-open bins)
+    full = s.facet_histogram(["baba"], [0, 10_000], "or", by="doc_len")
+    tight = s.facet_histogram(["baba"], [0, 1], "or", by="doc_len")
+    assert full.column("n_docs")[0].as_py() > 0
+    assert tight.column("n_docs")[0].as_py() == 0
+    with pytest.raises(ValueError):
+        s.facet_histogram(["baba"], [5, 1], "or", by="doc_len")
+
+
+def test_doc_shard_complete(ray_session, corpus, tmp_path):
+    from search_engine_ray.serve import DocShardServer
+    from search_engine_ray.sharded import build_sharded
+
+    root = str(tmp_path / "sharded_dc")
+    build_sharded(str(corpus["root"] / "pages"), root, num_doc_shards=3,
+                  config=BuildConfig(num_buckets=8))
+    srv = DocShardServer(root)
+    try:
+        assert srv.complete("ba", k=8).equals(
+            corpus["searcher"].complete("ba", k=8))
+    finally:
+        srv.shutdown()
 
 
 def test_sharded_filtered_matches_local(ray_session, corpus, tmp_path):
