@@ -273,3 +273,100 @@ def verify_sharded(root: str, deep: bool = False) -> dict:
         checks["sidecar_buckets"] = nb
 
     return {"ok": not errors, "errors": errors, "checks": checks}
+
+
+def verify_vecindex(root: str, deep: bool = False) -> dict:
+    """fsck for a persisted IVF vector index (vecindex.py layout):
+
+    structural
+      * manifest.json parseable with config / n_vectors / dim / n_lists,
+      * centroids.npy shape == (n_lists, dim), all values finite,
+      * every ``lists/list_id=<c>`` partition id within [0, n_lists),
+      * total stored rows == manifest n_vectors (footer counts only),
+      * vec_id globally unique (deltas must not double-insert).
+
+    deep (--deep: full vector read)
+      * every embedding has dim values, all finite,
+      * every vector's nearest centroid (argmax of normalized cosine,
+        first-index tie-break — the _assign_lists kernel) IS its
+        partition's list_id: assignment survived build + deltas.
+    """
+    errors: list[str] = []
+    checks: dict[str, int] = {}
+    try:
+        with open(os.path.join(root, "manifest.json")) as f:
+            man = json.load(f)
+        n_vectors = int(man["n_vectors"])
+        dim = int(man["dim"])
+        n_lists = int(man["n_lists"])
+        man["config"]  # noqa: B018 - presence check
+    except Exception as e:  # noqa: BLE001
+        return {"ok": False, "errors": [f"manifest unreadable: {e}"],
+                "checks": {}}
+
+    try:
+        C = np.load(os.path.join(root, "centroids.npy"))
+    except Exception as e:  # noqa: BLE001
+        return {"ok": False, "errors": [f"centroids unreadable: {e}"],
+                "checks": {}}
+    if C.shape != (n_lists, dim):
+        errors.append(f"centroids shape {C.shape} != ({n_lists}, {dim})")
+    if not np.isfinite(C).all():
+        errors.append("centroids contain non-finite values")
+
+    lists_dir = os.path.join(root, "lists")
+    total = 0
+    all_ids: list[np.ndarray] = []
+    n_parts = 0
+    for d in sorted(os.listdir(lists_dir)) if os.path.isdir(lists_dir) \
+            else []:
+        if not d.startswith("list_id="):
+            continue
+        lid = int(d.split("=", 1)[1])
+        n_parts += 1
+        if not (0 <= lid < n_lists):
+            errors.append(f"partition {d}: list_id out of range")
+            continue
+        for fname in sorted(os.listdir(os.path.join(lists_dir, d))):
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(lists_dir, d, fname)
+            try:
+                md = pq.read_metadata(path)
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"{d}/{fname}: unreadable footer ({e})")
+                continue
+            total += md.num_rows
+            ids = pq.read_table(path, columns=["vec_id"]).column(
+                "vec_id").to_numpy(zero_copy_only=False)
+            all_ids.append(ids)
+            if deep:
+                emb = pq.read_table(path, columns=["embedding"]).column(
+                    "embedding")
+                m = np.array(emb.to_pylist(), dtype=np.float64) \
+                    if len(emb) else np.zeros((0, dim))
+                if m.size and m.shape[1] != dim:
+                    errors.append(f"{d}/{fname}: embedding dim "
+                                  f"{m.shape[1]} != {dim}")
+                    continue
+                if m.size and not np.isfinite(m).all():
+                    errors.append(f"{d}/{fname}: non-finite embedding")
+                if m.size:
+                    norms = np.linalg.norm(m, axis=1, keepdims=True)
+                    norms[norms == 0] = 1.0
+                    assign = np.argmax((m / norms) @ C.T, axis=1)
+                    bad = int((assign != lid).sum())
+                    if bad:
+                        errors.append(
+                            f"{d}/{fname}: {bad} vectors not nearest to "
+                            f"their list centroid")
+    checks["list_partitions"] = n_parts
+    checks["vectors"] = total
+    if total != n_vectors:
+        errors.append(f"manifest n_vectors {n_vectors} != stored {total}")
+    if all_ids:
+        ids = np.concatenate(all_ids)
+        if len(np.unique(ids)) != len(ids):
+            errors.append("duplicate vec_id across list files")
+
+    return {"ok": not errors, "errors": errors, "checks": checks}

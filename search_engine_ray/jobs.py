@@ -243,13 +243,20 @@ def cmd_sync(args) -> int:
 
 def cmd_fsck(args) -> int:
     """Index integrity check; exit 1 on any violated invariant.
-    Doc-sharded roots (a ``shard=0`` subdir) are detected and get the
-    per-shard + sidecar-df-sum checks too."""
+    Doc-sharded roots (a ``shard=0`` subdir) get the per-shard +
+    sidecar-df-sum checks; IVF vector-index roots (a ``centroids.npy``)
+    get the vector-assignment checks."""
     import os
 
-    from search_engine_ray.fsck import verify_index, verify_sharded
+    from search_engine_ray.fsck import (
+        verify_index,
+        verify_sharded,
+        verify_vecindex,
+    )
 
-    if os.path.isdir(os.path.join(args.index, "shard=0")):
+    if os.path.exists(os.path.join(args.index, "centroids.npy")):
+        rep = verify_vecindex(args.index, deep=args.deep)
+    elif os.path.isdir(os.path.join(args.index, "shard=0")):
         rep = verify_sharded(args.index, deep=args.deep)
     else:
         rep = verify_index(args.index, deep=args.deep)

@@ -280,3 +280,54 @@ def test_ann_delta_cli(ray_session, tmp_path):
     assert r.returncode == 0, r.stderr
     rows = json.loads(r.stdout.strip().splitlines()[-1])
     assert rows[0]["vec_id"] == 99_999 and rows[0]["cos"] == 1.0
+
+
+def test_fsck_vecindex_green_and_detects_tamper(built, tmp_path):
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.fsck import verify_vecindex
+
+    root, cfg, m = built
+    rep = verify_vecindex(root, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["checks"]["vectors"] == m["n_vectors"]
+
+    # tamper 1: move a list file into the WRONG partition -> deep
+    # assignment check + (possibly) structural counts flag it
+    bad = str(tmp_path / "bad1")
+    shutil.copytree(root, bad)
+    lists = sorted(d for d in os.listdir(os.path.join(bad, "lists"))
+                   if d.startswith("list_id="))
+    src = os.path.join(bad, "lists", lists[0])
+    dst = os.path.join(bad, "lists", lists[1])
+    fname = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    os.rename(os.path.join(src, fname),
+              os.path.join(dst, "smuggled-" + fname))
+    rep = verify_vecindex(bad, deep=True)
+    assert not rep["ok"]
+    assert any("not nearest" in e for e in rep["errors"])
+
+    # tamper 2: duplicate vec_id (a delta double-insert)
+    bad2 = str(tmp_path / "bad2")
+    shutil.copytree(root, bad2)
+    src = os.path.join(bad2, "lists", lists[0])
+    fname = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    t = pq_.read_table(os.path.join(src, fname))
+    pq_.write_table(t.slice(0, 1),
+                    os.path.join(src, "delta-999999.parquet"))
+    rep = verify_vecindex(bad2)
+    assert not rep["ok"]
+    assert any("duplicate vec_id" in e or "n_vectors" in e
+               for e in rep["errors"])
+
+    # CLI routing: a vecindex root goes through verify_vecindex
+    env = {**os.environ, "RAY_GRAFT_CPUS": "2"}
+    res = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "fsck",
+         "--index", root, "--deep"],
+        capture_output=True, text=True, env=env)
+    assert res.returncode == 0, res.stdout + res.stderr
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["ok"] and rep["checks"]["vectors"] == m["n_vectors"]
