@@ -76,11 +76,13 @@ def cmd_query(args) -> int:
         # fall through to search(), whose _expand would treat an unknown
         # type as an OR query and silently return disjunctive results.
         if args.type == "phrase":
-            res = s.phrase_search(args.terms, k=args.k)
+            res = s.phrase_search(args.terms, k=args.k, where=where)
         elif args.type == "near":
-            res = s.near_search(args.terms, window=args.slop, k=args.k)
+            res = s.near_search(args.terms, window=args.slop, k=args.k,
+                                where=where)
         elif args.type == "bool":
-            res = s.bool_search(" ".join(args.terms), k=args.k)
+            res = s.bool_search(" ".join(args.terms), k=args.k,
+                                where=where)
         elif args.type == "suggest":
             from search_engine_ray.suggest import SuggestionExpander
 
@@ -93,13 +95,14 @@ def cmd_query(args) -> int:
         return 0
     s = LocalSearcher(args.index)
     if args.type == "phrase":
-        res = s.phrase_search(args.terms, k=args.k)
+        res = s.phrase_search(args.terms, k=args.k, where=where)
     elif args.type == "near":
-        res = s.near_search(args.terms, window=args.slop, k=args.k)
+        res = s.near_search(args.terms, window=args.slop, k=args.k,
+                            where=where)
     elif args.type == "bool":
         # the expression is the space-joined terms: --terms "(a" OR "b)"
         # or a single quoted argument
-        res = s.bool_search(" ".join(args.terms), k=args.k)
+        res = s.bool_search(" ".join(args.terms), k=args.k, where=where)
     elif args.type == "suggest":
         from search_engine_ray.suggest import SuggestionExpander
 

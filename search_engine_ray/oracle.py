@@ -291,7 +291,8 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(d, s, self.url_of[d]) for d, s in ranked]
 
-    def bool_search(self, query: str, k: int = 10
+    def bool_search(self, query: str, k: int = 10,
+                    where: dict | None = None
                     ) -> list[tuple[int, float, str]]:
         """Boolean-query twin (boolquery grammar): INDEPENDENT Python-set
         evaluation (the engine uses sorted-ordinal numpy kernels — only
@@ -313,7 +314,7 @@ class OracleIndex:
                 out = (out & p) if kind == "and" else (out | p)
             return out
 
-        docs = ev(ast)
+        docs = {d for d in ev(ast) if self._matches_where(d, where)}
         acc = {d: 0.0 for d in docs}
         for t in sorted(positive_terms(ast)):
             plist = self.postings.get(t)
@@ -330,13 +331,15 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(d, s, self.url_of[d]) for d, s in ranked]
 
-    def phrase_search(self, terms: list[str], k: int = 10
+    def phrase_search(self, terms: list[str], k: int = 10,
+                      where: dict | None = None
                       ) -> list[tuple[int, float, str]]:
         """Ordered same-line proximity: docs where all terms occur on one
         line with strictly increasing columns, ranked by BM25 over the
         terms (the positions-aware analogue of the reference's per-row
         match lists, SimpleSearchManager.java:187-214)."""
-        base = self.search(terms, "and", k=self.n_docs or 1)
+        base = self.search(terms, "and", k=self.n_docs or 1,
+                           where=where)
         out = []
         for d, s, u in base:
             rows_per_term = [self.matched_rows(d, t) for t in terms]
@@ -348,14 +351,15 @@ class OracleIndex:
                 out.append((d, s, u))
         return out[:k]
 
-    def near_search(self, terms: list[str], window: int = 8, k: int = 10
+    def near_search(self, terms: list[str], window: int = 8, k: int = 10,
+                    where: dict | None = None
                     ) -> list[tuple[int, float, str]]:
         """Unordered same-line proximity (NEAR/window): docs where every
         DISTINCT query term occurs on one line within a ``window``-column
         span (columns = stored char offsets), ranked by conjunctive BM25 (the Lucene sloppy-PhraseQuery
         analogue, minus per-position scoring)."""
         uniq = sorted(set(terms))
-        base = self.search(uniq, "and", k=self.n_docs or 1)
+        base = self.search(uniq, "and", k=self.n_docs or 1, where=where)
         out = []
         for d, s, u in base:
             rows_per_term = [self.matched_rows(d, t) for t in uniq]

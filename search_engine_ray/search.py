@@ -722,7 +722,8 @@ class LocalSearcher:
 
     def phrase_search(self, terms: list[str], k: int = 10,
                       with_urls: bool = True,
-                      idfs: dict[str, float] | None = None) -> pa.Table:
+                      idfs: dict[str, float] | None = None,
+                      where: dict | None = None) -> pa.Table:
         """Ordered same-line proximity over stored positions: docs where
         the terms appear on one line in order (oracle.ordered_in_row),
         BM25-ranked. Requires a positions-bearing index.
@@ -753,8 +754,11 @@ class LocalSearcher:
             if dec is None:
                 return empty  # index built without positions
             pos_decs[t] = dec
-        # all AND candidates, ranked (score desc, ordinal asc)
-        ords, scores = self._score_and(gathered, k=self.n_docs or 1)
+        # all AND candidates, ranked (score desc, ordinal asc);
+        # `where` masks the candidates BEFORE the positions walk
+        mask = self.ordinal_mask(where) if where is not None else None
+        ords, scores = self._score_and(gathered, k=self.n_docs or 1,
+                                       mask=mask)
         keep_ords, keep_scores = [], []
         for o, sc in zip(ords.tolist(), scores.tolist()):
             rows_per_term = []
@@ -787,7 +791,8 @@ class LocalSearcher:
 
     def near_search(self, terms: list[str], window: int = 8, k: int = 10,
                     with_urls: bool = True,
-                    idfs: dict[str, float] | None = None) -> pa.Table:
+                    idfs: dict[str, float] | None = None,
+                    where: dict | None = None) -> pa.Table:
         """Unordered same-line proximity (NEAR/window, the Lucene sloppy-
         PhraseQuery analogue): docs where every DISTINCT query term
         occurs on one line within a ``window``-column span — columns
@@ -814,7 +819,9 @@ class LocalSearcher:
             if dec is None:
                 return empty  # index built without positions
             pos_decs[t] = dec
-        ords, scores = self._score_and(gathered, k=self.n_docs or 1)
+        mask = self.ordinal_mask(where) if where is not None else None
+        ords, scores = self._score_and(gathered, k=self.n_docs or 1,
+                                       mask=mask)
         keep_ords, keep_scores = [], []
         for o, sc in zip(ords.tolist(), scores.tolist()):
             rows_per_term = []
@@ -881,7 +888,8 @@ class LocalSearcher:
 
     def bool_search(self, query: str, k: int = 10,
                     with_urls: bool = True,
-                    idfs: dict[str, float] | None = None) -> pa.Table:
+                    idfs: dict[str, float] | None = None,
+                    where: dict | None = None) -> pa.Table:
         """Boolean query (boolquery.py grammar: AND/OR/NOT, parens):
         the predicate selects documents via sorted-ordinal set algebra;
         the score is the BM25 sum of the POSITIVE clauses each matching
@@ -904,6 +912,10 @@ class LocalSearcher:
         n = len(self.ords())
         final = eval_ordinals(
             ast, {t: d["docids"] for t, d in decs.items()}, n)
+        if where is not None:
+            # filtering the FINAL set == evaluating over a filtered
+            # corpus for any boolean formula (set algebra distributes)
+            final = final[self.ordinal_mask(where)[final]]
         totals = np.zeros(final.size, dtype=np.float64)
         for t in sorted(positive_terms(ast)):  # lexicographic float order
             d = decs.get(t)

@@ -93,14 +93,15 @@ class _Replica:
         return self.searcher.facet_counts(queries, search_type, by=by,
                                           where=where)
 
-    def phrase(self, terms, k):
-        return self.searcher.phrase_search(terms, k=k)
+    def phrase(self, terms, k, where=None):
+        return self.searcher.phrase_search(terms, k=k, where=where)
 
-    def near(self, terms, window, k):
-        return self.searcher.near_search(terms, window=window, k=k)
+    def near(self, terms, window, k, where=None):
+        return self.searcher.near_search(terms, window=window, k=k,
+                                         where=where)
 
-    def bool_q(self, query, k):
-        return self.searcher.bool_search(query, k=k)
+    def bool_q(self, query, k, where=None):
+        return self.searcher.bool_search(query, k=k, where=where)
 
     def suggest(self, word, k, scorer):
         if self._expander is None:
@@ -151,20 +152,20 @@ class SearcherReplicaPool:
         successfully cancelled ref raises ``TaskCancelledError``."""
         ray.cancel(ref, force=False)
 
-    def phrase_search(self, terms, k=10):
+    def phrase_search(self, terms, k=10, where=None):
         r = self._replicas[self._next % len(self._replicas)]
         self._next += 1
-        return ray.get(r.phrase.remote(terms, k))
+        return ray.get(r.phrase.remote(terms, k, where))
 
-    def near_search(self, terms, window=8, k=10):
+    def near_search(self, terms, window=8, k=10, where=None):
         r = self._replicas[self._next % len(self._replicas)]
         self._next += 1
-        return ray.get(r.near.remote(terms, window, k))
+        return ray.get(r.near.remote(terms, window, k, where))
 
-    def bool_search(self, query, k=10):
+    def bool_search(self, query, k=10, where=None):
         r = self._replicas[self._next % len(self._replicas)]
         self._next += 1
-        return ray.get(r.bool_q.remote(query, k))
+        return ray.get(r.bool_q.remote(query, k, where))
 
     def search_with_suggestions(self, word, k=10, scorer="taat"):
         """Reference WITH_SUGGESTIONS via the replica's once-loaded
@@ -301,17 +302,19 @@ class _DocShardReplica:
         return real, scs, urls
 
     def phrase_topk(self, terms: list[str], idfs: dict[str, float],
-                    k: int, with_urls: bool):
+                    k: int, with_urls: bool, where=None):
         t = self._s.phrase_search(terms, k=k, with_urls=with_urls,
-                                  idfs=idfs)
+                                  idfs=idfs, where=where)
         return (t.column("doc_id").to_numpy(zero_copy_only=False),
                 t.column("score").to_numpy(zero_copy_only=False),
                 t.column("url").to_pylist())
 
     def near_topk(self, terms: list[str], window: int,
-                  idfs: dict[str, float], k: int, with_urls: bool):
+                  idfs: dict[str, float], k: int, with_urls: bool,
+                  where=None):
         t = self._s.near_search(terms, window=window, k=k,
-                                with_urls=with_urls, idfs=idfs)
+                                with_urls=with_urls, idfs=idfs,
+                                where=where)
         return (t.column("doc_id").to_numpy(zero_copy_only=False),
                 t.column("score").to_numpy(zero_copy_only=False),
                 t.column("url").to_pylist())
@@ -324,9 +327,9 @@ class _DocShardReplica:
                 t.column("n_docs").to_numpy(zero_copy_only=False))
 
     def bool_topk(self, query: str, idfs: dict[str, float],
-                  k: int, with_urls: bool):
+                  k: int, with_urls: bool, where=None):
         t = self._s.bool_search(query, k=k, with_urls=with_urls,
-                                idfs=idfs)
+                                idfs=idfs, where=where)
         return (t.column("doc_id").to_numpy(zero_copy_only=False),
                 t.column("score").to_numpy(zero_copy_only=False),
                 t.column("url").to_pylist())
@@ -431,7 +434,8 @@ class DocShardServer:
         })
 
     def phrase_search(self, terms: list[str], k: int = 10,
-                      with_urls: bool = True) -> pa.Table:
+                      with_urls: bool = True,
+                      where: dict | None = None) -> pa.Table:
         """Exact sharded phrase search: every shard runs the positions
         walk with GLOBAL idfs and returns its local phrase top-k (a doc
         lives entirely in one shard), the driver merges."""
@@ -441,13 +445,14 @@ class DocShardServer:
         idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
                 for t in expand}
         parts = ray.get([
-            sh.phrase_topk.remote(terms, idfs, k, with_urls)
+            sh.phrase_topk.remote(terms, idfs, k, with_urls, where)
             for sh in self._shards
         ])
         return self._merge(parts, k, with_urls)
 
     def near_search(self, terms: list[str], window: int = 8, k: int = 10,
-                    with_urls: bool = True) -> pa.Table:
+                    with_urls: bool = True,
+                    where: dict | None = None) -> pa.Table:
         """Exact sharded proximity search (phrase_search's argument: a
         window match is decidable within one shard)."""
         expand = self._expand(sorted(set(terms)), "and")
@@ -456,13 +461,15 @@ class DocShardServer:
         idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
                 for t in expand}
         parts = ray.get([
-            sh.near_topk.remote(terms, window, idfs, k, with_urls)
+            sh.near_topk.remote(terms, window, idfs, k, with_urls,
+                                where)
             for sh in self._shards
         ])
         return self._merge(parts, k, with_urls)
 
     def bool_search(self, query: str, k: int = 10,
-                    with_urls: bool = True) -> pa.Table:
+                    with_urls: bool = True,
+                    where: dict | None = None) -> pa.Table:
         """Boolean query across the shard actors: set membership
         (complement included) is shard-local, so each shard evaluates
         with GLOBAL idfs and the driver merges (phrase_search's
@@ -472,7 +479,7 @@ class DocShardServer:
         idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
                 for t in sorted(term_leaves(parse(query)))}
         parts = ray.get([
-            sh.bool_topk.remote(query, idfs, k, with_urls)
+            sh.bool_topk.remote(query, idfs, k, with_urls, where)
             for sh in self._shards
         ])
         return self._merge(parts, k, with_urls)

@@ -420,7 +420,8 @@ class ShardedSearcher:
         )
         return bm25_idf(self.n_docs, df)
 
-    def phrase_search(self, terms: list[str], k: int = 10) -> pa.Table:
+    def phrase_search(self, terms: list[str], k: int = 10,
+                      where: dict | None = None) -> pa.Table:
         """Ordered same-line phrase search across doc shards — exact,
         rank-identical to an unsharded index: each shard runs the local
         phrase kernel with GLOBAL-df idfs injected (so scores agree), and
@@ -432,7 +433,7 @@ class ShardedSearcher:
         idfs = {t: self._global_idf(t) for t in uniq}
         parts = []
         for sh in self.shards:
-            res = sh.phrase_search(terms, k=k, idfs=idfs)
+            res = sh.phrase_search(terms, k=k, idfs=idfs, where=where)
             if res.num_rows:
                 parts.append(res)
         if not parts:
@@ -453,7 +454,7 @@ class ShardedSearcher:
              "url": out.column("url")}, schema=RESULT_SCHEMA)
 
     def near_search(self, terms: list[str], window: int = 8,
-                    k: int = 10) -> pa.Table:
+                    k: int = 10, where: dict | None = None) -> pa.Table:
         """Unordered proximity (NEAR/window) across doc shards — exact by
         phrase_search's argument: a doc's window match is shard-local,
         scores use injected GLOBAL-df idfs, per-shard top-k merge."""
@@ -461,7 +462,8 @@ class ShardedSearcher:
         idfs = {t: self._global_idf(t) for t in uniq}
         parts = []
         for sh in self.shards:
-            res = sh.near_search(terms, window=window, k=k, idfs=idfs)
+            res = sh.near_search(terms, window=window, k=k, idfs=idfs,
+                                 where=where)
             if res.num_rows:
                 parts.append(res)
         if not parts:
@@ -481,7 +483,8 @@ class ShardedSearcher:
              "score": out.column("score"),
              "url": out.column("url")}, schema=RESULT_SCHEMA)
 
-    def bool_search(self, query: str, k: int = 10) -> pa.Table:
+    def bool_search(self, query: str, k: int = 10,
+                    where: dict | None = None) -> pa.Table:
         """Boolean query across doc shards — exact, rank-identical to an
         unsharded index: membership in any boolean set (complement
         included) is decidable within a document's own shard, so each
@@ -492,7 +495,8 @@ class ShardedSearcher:
 
         idfs = {t: self._global_idf(t)
                 for t in sorted(term_leaves(parse(query)))}
-        parts = [r for r in (sh.bool_search(query, k=k, idfs=idfs)
+        parts = [r for r in (sh.bool_search(query, k=k, idfs=idfs,
+                                            where=where)
                              for sh in self.shards) if r.num_rows]
         if not parts:
             return pa.table(

@@ -182,6 +182,57 @@ def test_facet_counts_match_oracle(corpus):
     assert set(t.column("n_docs").to_pylist()) == {1}
 
 
+def test_phrase_near_bool_where_match_oracle(corpus):
+    s, o = corpus["searcher"], corpus["oracle"]
+    nonempty = 0
+    for where in (None, {"lang": "en"}, {"lang": "de"}, {"lang": "xx"}):
+        eng = s.phrase_search(["baba", "koba"], k=15, where=where)
+        orc = o.phrase_search(["baba", "koba"], k=15, where=where)
+        _assert_matches_oracle(eng, orc)
+        nonempty += eng.num_rows > 0
+        eng = s.near_search(["baba", "riba"], window=30, k=15, where=where)
+        orc = o.near_search(["baba", "riba"], window=30, k=15, where=where)
+        _assert_matches_oracle(eng, orc)
+        for q in ("baba AND koba", "baba AND NOT koba", "NOT baba"):
+            eng = s.bool_search(q, k=15, where=where)
+            orc = o.bool_search(q, k=15, where=where)
+            _assert_matches_oracle(eng, orc)
+    assert nonempty >= 1
+
+
+def test_phrase_near_bool_where_topologies(ray_session, corpus, tmp_path):
+    from search_engine_ray.serve import DocShardServer, SearcherReplicaPool
+    from search_engine_ray.sharded import ShardedSearcher, build_sharded
+
+    s = corpus["searcher"]
+    idx = str(corpus["root"] / "index")
+    root = str(tmp_path / "sharded_pnb")
+    build_sharded(str(corpus["root"] / "pages"), root, num_doc_shards=3,
+                  config=BuildConfig(num_buckets=8))
+    sh = ShardedSearcher(root)
+    srv = DocShardServer(root)
+    pool = SearcherReplicaPool(idx, num_replicas=2)
+    try:
+        where = {"lang": "en"}
+        for name, call in (
+            ("phrase", lambda t: t.phrase_search(["baba", "koba"], k=10,
+                                                 where=where)),
+            ("near", lambda t: t.near_search(["baba", "riba"], window=30,
+                                             k=10, where=where)),
+            ("bool", lambda t: t.bool_search("baba AND NOT koba", k=10,
+                                             where=where)),
+        ):
+            want = call(s)
+            for surface in (sh, srv, pool):
+                got = call(surface)
+                assert got.column("doc_id").equals(want.column("doc_id")), \
+                    (name, type(surface).__name__)
+                assert got.column("score").equals(want.column("score"))
+    finally:
+        srv.shutdown()
+        pool.shutdown()
+
+
 def test_facet_histogram_matches_oracle(corpus):
     s, o = corpus["searcher"], corpus["oracle"]
     edges = [0, 50, 100, 200, 400]

@@ -128,3 +128,69 @@ def test_funnel_bucket_vs_per_user_fold():
                 assert v == ts[i], (row["user_id"], i)
             else:
                 assert pd.isna(v), (row["user_id"], i)
+
+
+# --- BPE merge kernels (session-3) ------------------------------------------
+
+words_strategy = st.dictionaries(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=40),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=40, deadline=None)
+@given(words_strategy, st.integers(min_value=1, max_value=12))
+def test_bpe_incremental_equals_full_recount(wc, k):
+    from search_engine_ray.functions.bpe import (
+        learn_bpe_local,
+        reference_learn_bpe,
+    )
+
+    assert learn_bpe_local(wc, k, min_count=1) == \
+        reference_learn_bpe(wc, k, min_count=1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from("ab"), min_size=1, max_size=12))
+def test_merge_word_fixed_points_and_segmentation(symbols):
+    from search_engine_ray.functions.bpe import merge_word
+
+    sym = tuple(symbols)
+    out = merge_word(sym, ("a", "b"))
+    # merging never changes the underlying character string
+    assert "".join(out) == "".join(sym)
+    # result contains no adjacent ("a", "b") pair
+    assert all(not (x == "a" and y == "b") for x, y in zip(out, out[1:]))
+    # idempotent
+    assert merge_word(out, ("a", "b")) == out
+
+
+# --- cursor pagination predicate (session-3) --------------------------------
+
+scores_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.sampled_from([1.0, 2.0, 2.5, 3.0])),
+    min_size=1, max_size=40, unique_by=lambda t: t[0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(scores_strategy, st.integers(min_value=1, max_value=7))
+def test_after_filter_paginates_without_skips_or_repeats(rows, page):
+    from search_engine_ray.search import _after_filter, _topk_indices
+
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    scs = np.array([s for _, s in rows], dtype=np.float64)
+    full_order = np.lexsort((ids, -scs))
+    full = list(zip(ids[full_order].tolist(), scs[full_order].tolist()))
+    got, after = [], None
+    for _ in range(30):
+        fids, fscs = _after_filter(ids, scs, after)
+        top = _topk_indices(fids, fscs, page)
+        if not len(top):
+            break
+        chunk = list(zip(fids[top].tolist(), fscs[top].tolist()))
+        got.extend(chunk)
+        last_id, last_sc = chunk[-1][0], chunk[-1][1]
+        # the cursor contract: (score, first ordinal STRICTLY after id)
+        after = (last_sc, last_id + 1)
+    assert got == full
