@@ -893,7 +893,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="near type: same-line column window "
                         "(max - min <= slop over one position per term)")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--scorer", default="taat", choices=["taat", "bmw"])
+    q.add_argument("--scorer", default="taat",
+                   choices=["taat", "bmw", "auto"],
+                   help="auto = block-max past the measured ~1M-doc "
+                        "crossover, TAAT below (bit-identical results)")
     q.add_argument("--highlight", action="store_true",
                    help="emit matched lines + char spans per hit "
                         "(exact/or/and/prefix/contains/wildcard/fuzzy; "

@@ -613,6 +613,14 @@ class LocalSearcher:
         gathered = self._gather(terms)
         mask = self.ordinal_mask(where) if where is not None else None
         after = self._after_key(search_after)
+        if scorer == "auto":
+            # measured crossover (BASELINE.md 2M-doc probe): the dense
+            # TAAT accumulator is O(corpus) per disjunctive query, so
+            # past ~1M docs block-max range skipping wins (13 ms vs 56 ms
+            # p50 at 2M); below it TAAT's vectorized adds win. Both are
+            # bit-identical, so the switch is invisible to results.
+            scorer = "bmw" if len(self.ords()) >= SCORER_AUTO_BMW_DOCS \
+                else "taat"
         if search_type == "and":
             doc_ids, scores = self._score_and(gathered, k, mask=mask,
                                               after=after)
@@ -1130,6 +1138,9 @@ class LocalSearcher:
 # per-node shard (<= 50M docs -> 400 MB); beyond that fall back to the
 # sort-merge path (doc-space sharding keeps real deployments under this).
 DENSE_ACC_MAX_DOCS = 50_000_000
+# scorer="auto" switches to block-max scoring above this corpus size
+# (measured crossover — BASELINE.md round-4 2M-doc probe)
+SCORER_AUTO_BMW_DOCS = 1_000_000
 
 
 def _after_filter(ids: np.ndarray, totals: np.ndarray,

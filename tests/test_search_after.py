@@ -146,3 +146,28 @@ def test_cli_after(corpus):
     rows = json.loads(out.stdout.strip().splitlines()[-1])
     want = s.search(["baba"], "exact", k=4, search_after=cursor)
     assert [r["doc_id"] for r in rows] == want.column("doc_id").to_pylist()
+
+
+def test_scorer_auto_is_bit_identical_and_switches(corpus, monkeypatch):
+    """scorer='auto' returns bit-identical results to both kernels and
+    flips to bmw above the corpus-size threshold."""
+    import search_engine_ray.search as se
+
+    s = corpus["searcher"]
+    qs = (["baba", "koba"], "or")
+    want = s.search(*qs, k=10, scorer="taat")
+    assert s.search(*qs, k=10, scorer="auto").equals(want)
+    assert s.search(*qs, k=10, scorer="bmw").equals(want)
+    # force the threshold below this corpus: auto must route to bmw —
+    # observable only through bit-identity, so pin the dispatch instead
+    calls = []
+    orig = se.LocalSearcher._score_bmw
+
+    def spy(self, gathered, k):
+        calls.append(1)
+        return orig(self, gathered, k)
+
+    monkeypatch.setattr(se.LocalSearcher, "_score_bmw", spy)
+    monkeypatch.setattr(se, "SCORER_AUTO_BMW_DOCS", 1)
+    assert s.search(*qs, k=10, scorer="auto").equals(want)
+    assert calls, "auto did not route to the block-max kernel"
