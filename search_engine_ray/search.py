@@ -624,11 +624,12 @@ class LocalSearcher:
         if search_type == "and":
             doc_ids, scores = self._score_and(gathered, k, mask=mask,
                                               after=after)
-        elif mask is not None or after is not None or scorer == "taat":
+        elif scorer == "taat":
             doc_ids, scores = self._score_taat(gathered, k, mask=mask,
                                                after=after)
         elif scorer == "bmw":
-            doc_ids, scores = self._score_bmw(gathered, k)
+            doc_ids, scores = self._score_bmw(gathered, k, mask=mask,
+                                              after=after)
         else:
             raise ValueError(f"unknown scorer {scorer!r}")
         doc_ids = self.ords()[doc_ids] if len(doc_ids) else doc_ids
@@ -953,9 +954,20 @@ class LocalSearcher:
     # loop is O(n_docs/4096) at worst.
     _BMW_RANGE = 4096
 
-    def _score_bmw(self, gathered, k: int):
+    def _score_bmw(self, gathered, k: int,
+                   mask: np.ndarray | None = None,
+                   after: tuple[float, int] | None = None):
         """Exact block-max scoring, range-at-a-time; identical output to
         ``taat``.
+
+        ``mask`` / ``after`` (filtered search, cursor pagination): block
+        upper bounds stay VALID under any doc subset (they only grow
+        less tight), so the skip logic is unchanged; the predicate drops
+        candidates per range before the heap merge. A doc's score is the
+        sum of ITS postings only, so masked accumulation is bit-identical
+        to the masked TAAT kernel for every surviving doc. Selective
+        filters loosen the bounds (masked docs still inflate them) —
+        at worst this degrades to scoring every range, i.e. TAAT cost.
 
         The classic doc-at-a-time WAND pivot walk costs O(pivots) in the
         Python interpreter (~us each) and loses to TAAT's O(postings)
@@ -1047,6 +1059,13 @@ class LocalSearcher:
             cand = np.flatnonzero(acc[:width] > 0)
             totals = acc[cand]
             cand += base
+            if mask is not None:
+                keep = mask[cand]
+                cand, totals = cand[keep], totals[keep]
+            if after is not None:
+                cand, totals = _after_filter(cand, totals, after)
+            if cand.size == 0:
+                continue
             if top_ids.size == k:
                 keep = totals >= theta  # == theta can win the id tie-break
                 cand, totals = cand[keep], totals[keep]

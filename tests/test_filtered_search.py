@@ -96,12 +96,24 @@ def test_where_multi_column_and_semantics(corpus):
 
 
 def test_bmw_scorer_with_where_matches_taat(corpus):
+    """Masked block-max == masked TAAT, bit for bit — across filters,
+    cursors, and their composition (the bounds stay valid under any doc
+    subset; accumulation order per surviving doc is unchanged)."""
     s = corpus["searcher"]
-    a = s.search(["mama", "doma"], "or", k=10, scorer="taat",
-                 where={"lang": "en"})
-    b = s.search(["mama", "doma"], "or", k=10, scorer="bmw",
-                 where={"lang": "en"})
-    assert a.equals(b)
+    for qs in (["mama", "doma"], ["baba", "koba"], ["baba"]):
+        for where in (None, {"lang": "en"}, {"lang": "de"},
+                      {"doc_len": (10, 120)}, {"lang": "xx"}):
+            a = s.search(qs, "or", k=10, scorer="taat", where=where)
+            b = s.search(qs, "or", k=10, scorer="bmw", where=where)
+            assert a.equals(b), (qs, where)
+            if a.num_rows:
+                cur = (a.column("score")[-1].as_py(),
+                       a.column("doc_id")[-1].as_py())
+                a2 = s.search(qs, "or", k=10, scorer="taat", where=where,
+                              search_after=cur)
+                b2 = s.search(qs, "or", k=10, scorer="bmw", where=where,
+                              search_after=cur)
+                assert a2.equals(b2), (qs, where, "after")
 
 
 def test_unknown_attribute_column_raises(corpus):

@@ -163,9 +163,9 @@ def test_scorer_auto_is_bit_identical_and_switches(corpus, monkeypatch):
     calls = []
     orig = se.LocalSearcher._score_bmw
 
-    def spy(self, gathered, k):
+    def spy(self, gathered, k, **kw):
         calls.append(1)
-        return orig(self, gathered, k)
+        return orig(self, gathered, k, **kw)
 
     monkeypatch.setattr(se.LocalSearcher, "_score_bmw", spy)
     monkeypatch.setattr(se, "SCORER_AUTO_BMW_DOCS", 1)
