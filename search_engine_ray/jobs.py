@@ -90,7 +90,7 @@ def cmd_query(args) -> int:
                 args.terms[0], k=args.k)
         else:
             res = s.search(args.terms, args.type, k=args.k, where=where,
-                           search_after=after)
+                           search_after=after, scorer=args.scorer)
         print(json.dumps(res.to_pylist()))
         return 0
     s = LocalSearcher(args.index)

@@ -38,6 +38,7 @@ from search_engine_ray.build import BuildConfig, build_index
 from search_engine_ray.codec import bm25_idf
 from search_engine_ray.search import (
     RESULT_SCHEMA,
+    SCORER_AUTO_BMW_DOCS,
     LocalSearcher,
     _topk_indices,
 )
@@ -578,10 +579,8 @@ class ShardedSearcher:
                scorer: str = "taat",
                where: dict[str, str] | None = None,
                search_after: tuple[float, int] | None = None) -> pa.Table:
-        if scorer != "taat":
-            raise ValueError(
-                "ShardedSearcher scores TAAT only (the per-shard kernel "
-                "is in-memory; see search.py scorer rationale)")
+        if scorer not in ("taat", "bmw", "auto"):
+            raise ValueError(f"unknown scorer {scorer!r}")
         terms = self._expand(queries, search_type)
         idfs = {t: self._global_idf(t) for t in terms}
         parts = []  # (doc_id, score) per shard
@@ -595,10 +594,18 @@ class ShardedSearcher:
             # cursor translates to each shard's own ordinal space; the
             # per-shard filtered top-k union contains the global one
             after = sh._after_key(search_after)
+            # scorer resolves PER SHARD (auto: each shard's own size —
+            # both kernels are bit-identical, so mixing is invisible)
+            use_bmw = scorer == "bmw" or (
+                scorer == "auto"
+                and len(sh.ords()) >= SCORER_AUTO_BMW_DOCS)
             if search_type == "and":
                 if len(gathered) < len(terms):
                     continue  # a required term is absent from this shard
                 ids, scs = sh._score_and(gathered, k, mask=mask,
+                                         after=after)
+            elif use_bmw:
+                ids, scs = sh._score_bmw(gathered, k, mask=mask,
                                          after=after)
             else:
                 ids, scs = sh._score_taat(gathered, k, mask=mask,

@@ -178,6 +178,17 @@ def test_sharded_complete_and_range(ray_session, corpus, tmp_path):
     ha = s.facet_histogram(["baba", "koba"], edges, "or", by="doc_len")
     hb = sh.facet_histogram(["baba", "koba"], edges, "or", by="doc_len")
     assert ha.equals(hb)
+    # sharded bmw/auto scorers: bit-identical to taat (per-shard kernel
+    # choice is invisible — the restriction is gone)
+    base = sh.search(["baba", "koba"], "or", k=12, scorer="taat")
+    for scorer in ("bmw", "auto"):
+        assert sh.search(["baba", "koba"], "or", k=12,
+                         scorer=scorer).equals(base)
+    assert sh.search(["baba"], "exact", k=12, scorer="bmw",
+                     where={"lang": "en"}).equals(
+        sh.search(["baba"], "exact", k=12, where={"lang": "en"}))
+    with pytest.raises(ValueError):
+        sh.search(["baba"], "exact", scorer="nope")
 
 
 def test_facet_counts_match_oracle(corpus):
