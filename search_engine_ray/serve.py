@@ -279,7 +279,9 @@ class _DocShardReplica:
 
     def topk(self, terms: list[str], idfs: dict[str, float],
              search_type: str, k: int, with_urls: bool, where=None,
-             search_after=None):
+             search_after=None, scorer="taat"):
+        from search_engine_ray.search import SCORER_AUTO_BMW_DOCS
+
         gathered = []
         for t in terms:  # terms arrive sorted (lex float-order invariant)
             rec = self._s._posting_for(t)
@@ -287,10 +289,16 @@ class _DocShardReplica:
                 gathered.append((t, rec, idfs[t]))
         mask = self._s.ordinal_mask(where) if where is not None else None
         after = self._s._after_key(search_after)
+        use_bmw = scorer == "bmw" or (
+            scorer == "auto"
+            and len(self._s.ords()) >= SCORER_AUTO_BMW_DOCS)
         if search_type == "and":
             if len(gathered) < len(terms):
                 return (np.empty(0, np.int64), np.empty(0, np.float64), [])
             ids, scs = self._s._score_and(gathered, k, mask=mask,
+                                          after=after)
+        elif use_bmw:
+            ids, scs = self._s._score_bmw(gathered, k, mask=mask,
                                           after=after)
         else:
             ids, scs = self._s._score_taat(gathered, k, mask=mask,
@@ -388,13 +396,16 @@ class DocShardServer:
     def search(self, queries: list[str], search_type: str = "exact",
                k: int = 10, with_urls: bool = True,
                where: dict[str, str] | None = None,
-               search_after: tuple[float, int] | None = None) -> pa.Table:
+               search_after: tuple[float, int] | None = None,
+               scorer: str = "taat") -> pa.Table:
+        if scorer not in ("taat", "bmw", "auto"):
+            raise ValueError(f"unknown scorer {scorer!r}")
         terms = self._expand(queries, search_type)
         idfs = {t: bm25_idf(self.n_docs, self._sidecar.df(t))
                 for t in terms}
         parts = ray.get([
             sh.topk.remote(terms, idfs, search_type, k, with_urls, where,
-                           search_after)
+                           search_after, scorer)
             for sh in self._shards
         ]) if terms else []
         return self._merge(parts, k, with_urls)

@@ -325,6 +325,12 @@ def test_sharded_filtered_matches_local(ray_session, corpus, tmp_path):
         fa = s.facet_counts(["mama"], "exact", by="lang")
         fb = srv.facet_counts(["mama"], "exact", by="lang")
         assert fa.equals(fb)
+        # doc-sharded bmw/auto scorers: bit-identical merges
+        base = srv.search(["baba", "koba"], "or", k=12)
+        for scorer in ("bmw", "auto"):
+            got = srv.search(["baba", "koba"], "or", k=12, scorer=scorer)
+            assert got.column("doc_id").equals(base.column("doc_id"))
+            assert got.column("score").equals(base.column("score"))
     finally:
         srv.shutdown()
 
