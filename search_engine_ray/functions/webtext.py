@@ -581,8 +581,45 @@ def stratified_sample(ds, seed: int = 13, rates: dict | None = None):
     )
 
 
+
+
+def _token_counter(bpe_merges):
+    """Pluggable per-batch token counter for the budget pipelines
+    (sequence_pack / corpus_mix): whitespace-regex words by default, or
+    TRAINED-BPE piece counts when a merge table (functions/bpe.learn_bpe
+    output) is given — training budgets are denominated in tokenizer
+    pieces, not words. The ranks dict is tiny (k merges); the word memo
+    makes the greedy encode amortize to a dict hit per zipf-repeated
+    word."""
+    if bpe_merges is None:
+        def count(texts, re_):
+            return np.fromiter(
+                (len(re_.findall(t)) if t else 0 for t in texts),
+                dtype=np.int64, count=len(texts))
+        return count
+    from search_engine_ray.functions.bpe import encode_word
+
+    ranks = {(l, r): i for i, (l, r) in enumerate(zip(
+        bpe_merges.column("left").to_pylist(),
+        bpe_merges.column("right").to_pylist()))}
+    memo: dict[str, int] = {}
+
+    def count(texts, re_):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            total = 0
+            for w in (re_.findall(t) if t else ()):
+                c = memo.get(w)
+                if c is None:
+                    c = len(encode_word(w, ranks))
+                    memo[w] = c
+                total += c
+            out[i] = total
+        return out
+    return count
+
 def sequence_pack(ds, budget: int = 2048, range_size: int = 100_000,
-                  batch_size: int = 2048):
+                  batch_size: int = 2048, bpe_merges=None):
     """Assign every doc a pack_id by cumulative token budget in doc_id
     order — the streaming form of LM sequence packing: pack_id =
     floor((running_sum_before_doc) / budget). A doc that crosses a
@@ -604,12 +641,12 @@ def sequence_pack(ds, budget: int = 2048, range_size: int = 100_000,
 
     from search_engine_ray.stages.agg import bucketed_group_agg
 
+    counter = _token_counter(bpe_merges)
+
     def tok_rows(batch: pa.Table) -> pa.Table:
         re_ = token_regex()
         texts = batch.column("text").to_pylist()
-        n = np.fromiter(
-            (len(re_.findall(t)) if t else 0 for t in texts),
-            dtype=np.int64, count=len(texts))
+        n = counter(texts, re_)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": batch.column("doc_id"),
@@ -1190,7 +1227,7 @@ def corpus_shuffle(ds, n_shards: int = 8, n_ranges: int = 64,
 
 def corpus_mix(ds, weights: dict[str, float], token_budget: int,
                seed: int = 13, n_ranges: int = 64,
-               batch_size: int = 2048):
+               batch_size: int = 2048, bpe_merges=None):
     """Final training-mix assembly: fill a global token budget from each
     source in proportion to ``weights`` — per source, docs are taken in
     deterministic pseudorandom order (md5 of ``doc_id:mix:seed``, a pure
@@ -1215,6 +1252,7 @@ def corpus_mix(ds, weights: dict[str, float], token_budget: int,
     mod = 1 << 61
     range_div = -(-mod // n_ranges)  # ceil: range_id in [0, n_ranges)
     targets = {s: int(w * token_budget) for s, w in weights.items()}
+    counter = _token_counter(bpe_merges)
 
     def key_rows(batch: pa.Table) -> pa.Table:
         re_ = token_regex()
@@ -1227,9 +1265,7 @@ def corpus_mix(ds, weights: dict[str, float], token_budget: int,
         keys = np.fromiter(
             (_md5_low61(f"{d}:mix:{seed}") for d in ids),
             dtype=np.int64, count=len(ids))
-        n = np.fromiter(
-            (len(re_.findall(t)) if t else 0 for t in texts),
-            dtype=np.int64, count=len(texts))
+        n = counter(texts, re_)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "source": batch.column("source"),

@@ -575,8 +575,14 @@ def cmd_mix(args) -> int:
         weights[k.strip()] = float(v)
     from search_engine_ray.functions.webtext import corpus_mix
 
+    merges = None
+    if getattr(args, "bpe_merges", None):
+        import pyarrow.parquet as pq_
+
+        merges = pq_.read_table(args.bpe_merges)
     ds = rd.read_parquet(args.input, columns=["doc_id", "source", "text"])
-    report = corpus_mix(ds, weights, args.budget).materialize()
+    report = corpus_mix(ds, weights, args.budget,
+                        bpe_merges=merges).materialize()
     report.write_parquet(os.path.join(args.out, "report"))
     kept = set(report.to_pandas()["doc_id"].astype("int64"))
     kept_ref = _ray.put(kept)
@@ -1115,6 +1121,10 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--out", required=True)
     mx.add_argument("--budget", type=int, required=True,
                     help="total token budget of the mixed corpus")
+    mx.add_argument("--bpe-merges", default=None,
+                    help="trained BPE merge table (train-bpe output): "
+                         "budget counts tokenizer PIECES instead of "
+                         "regex words")
     mx.add_argument("--weights", required=True,
                     help="source shares, e.g. src0=0.5,src1=0.3,src2=0.2")
     mx.set_defaults(fn=cmd_mix)

@@ -147,3 +147,45 @@ def test_cli_train_bpe(docs_dir, tmp_path):
     t = pq.read_table(out)
     assert t.column_names == ["rank", "left", "right", "pair_count"]
     assert t.num_rows == 8
+
+
+def test_mix_and_pack_with_bpe_budget(ray_session, docs_dir):
+    """corpus_mix / sequence_pack budgeted in trained-BPE pieces: the
+    n_tokens column equals bpe_encode_stats per doc, budgets hold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import corpus_mix, sequence_pack
+
+    merges = learn_bpe(rd.read_parquet(docs_dir), k_merges=15,
+                       tier="local")
+    pieces = {r["doc_id"]: r["n_bpe_pieces"] for r in
+              bpe_encode_stats(rd.read_parquet(docs_dir),
+                               merges).take_all()}
+
+    def docs_with_source():
+        t = pq.read_table(docs_dir)
+        src = ["s0" if d % 2 == 0 else "s1"
+               for d in t.column("doc_id").to_pylist()]
+        return rd.from_arrow(t.append_column(
+            "source", pa.array(src, pa.string())))
+
+    budget = 30_000
+    rep = corpus_mix(docs_with_source(), {"s0": 0.6, "s1": 0.4}, budget,
+                     bpe_merges=merges).to_pandas()
+    assert len(rep) > 0
+    for _, r in rep.iterrows():
+        assert r["n_tokens"] == pieces[r["doc_id"]]
+    per_src = rep.groupby("source")["n_tokens"].sum()
+    assert per_src.get("s0", 0) <= int(0.6 * budget)
+    assert per_src.get("s1", 0) <= int(0.4 * budget)
+
+    packed = sequence_pack(rd.read_parquet(docs_dir), budget=2048,
+                           bpe_merges=merges).to_pandas()
+    for _, r in packed.iterrows():
+        assert r["n_tokens"] == pieces[r["doc_id"]]
+    # default (regex-word) counting still differs from BPE counting
+    packed_words = sequence_pack(rd.read_parquet(docs_dir),
+                                 budget=2048).to_pandas()
+    assert (packed.set_index("doc_id")["n_tokens"]
+            != packed_words.set_index("doc_id")["n_tokens"]).any()
