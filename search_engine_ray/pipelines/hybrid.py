@@ -58,11 +58,13 @@ def _cos_ranked(sf_dir: str, vec_ids: list[int], depth: int
 
     from search_engine_ray.functions.ann import brute_force_topk
 
-    # query vectors: one pruned parquet read (query-sized, not a scan)
+    # query vectors: predicate-pushdown parquet read — row-group stats
+    # prune to the query rows; the DRIVER holds only len(vec_ids) rows,
+    # never the corpus-sized embedding table
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    pos = {int(v): i for i, v in enumerate(ids) if int(v) in set(vec_ids)}
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(set(vec_ids)))])
+    pos = {int(v): i for i, v in enumerate(t.column("vec_id").to_numpy())}
     vecs = t.column("embedding")
     queries = np.asarray([vecs[pos[v]].as_py() for v in vec_ids],
                          dtype=np.float64)
