@@ -154,9 +154,16 @@ class DsirWeightBatch:
 
 
 def dsir_weights(ds, n_buckets: int = 4096, eval_mod: int = 10,
-                 eval_rem: int = 7, batch_size: int = 1024):
-    """Per-doc DSIR weight table (lazy Dataset)."""
-    ratio_ref = ray.put(_dsir_model(ds, n_buckets, eval_mod, eval_rem))
+                 eval_rem: int = 7, batch_size: int = 1024,
+                 model_ds=None):
+    """Per-doc DSIR weight table (lazy Dataset). ``model_ds``: train the
+    target/raw models on a DIFFERENT corpus than the one being scored —
+    the composition case (prepare: the quality filter already dropped
+    the holdout slice from the scored corpus, so the models must train
+    on the pre-filter input, which still contains it)."""
+    ratio_ref = ray.put(_dsir_model(model_ds if model_ds is not None
+                                    else ds, n_buckets, eval_mod,
+                                    eval_rem))
     return ds.map_batches(
         DsirWeightBatch,
         fn_constructor_args=(ratio_ref, n_buckets, eval_mod, eval_rem),
@@ -176,14 +183,14 @@ def _block_topk(batch: pa.Table, *, k: int) -> pa.Table:
 
 
 def dsir_select(ds, k: int, n_buckets: int = 4096, eval_mod: int = 10,
-                eval_rem: int = 7):
+                eval_rem: int = 7, model_ds=None):
     """Full DSIR selection: weight table + Gumbel-top-k selected flag.
     Returns the per-doc table with a ``selected`` column (exactly
     min(k, n_raw) ones; target docs never selected). The global top-k
     comes from per-block candidate lists (blocks x k rows on the
     driver), then ONE broadcast id-set flag pass — no global sort."""
     w = dsir_weights(ds, n_buckets=n_buckets, eval_mod=eval_mod,
-                     eval_rem=eval_rem).materialize()
+                     eval_rem=eval_rem, model_ds=model_ds).materialize()
     cand = w.map_batches(_block_topk, batch_format="pyarrow",
                          fn_kwargs={"k": k}).take_all()
     keys = np.array([c["gumbel_key"] for c in cand])

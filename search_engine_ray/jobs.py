@@ -718,6 +718,52 @@ def cmd_prepare(args) -> int:
                           "per_shard": {}, "dense_positions": True}))
         return 0
 
+    if getattr(args, "dsir_k", None):
+        # optional stage 3b: DSIR importance selection over the deduped
+        # survivors. Models train on the PRE-filter input (the holdout
+        # target slice was dropped by the corpus filter); only survivors
+        # are scored/selected. Same marker-last checkpoint contract.
+        stage2 = os.path.join(args.out, "_stage_dsir")
+        marker2 = stage2 + ".done"
+        if os.path.exists(marker2) and not args.no_resume:
+            print(json.dumps({"resumed_stage": stage2}), flush=True)
+        else:
+            from search_engine_ray.functions.dsir import dsir_select
+
+            shutil.rmtree(stage2, ignore_errors=True)
+            if os.path.exists(marker2):
+                os.unlink(marker2)
+            os.makedirs(stage2, exist_ok=True)
+            # the dedup stage's text column is the REWRITTEN clean_text
+            sel = dsir_select(
+                rd.read_parquet(stage, columns=["doc_id", "clean_text"])
+                .map_batches(lambda b: b.rename_columns(
+                    ["doc_id", "text"]), batch_format="pyarrow"),
+                k=args.dsir_k, n_buckets=args.dsir_buckets,
+                model_ds=rd.read_parquet(args.input,
+                                         columns=["doc_id", "text"]))
+            import pyarrow as pa_
+            import pyarrow.compute as pc_
+
+            sel_ids = frozenset(
+                r["doc_id"] for r in sel.map_batches(
+                    lambda b: b.filter(pc_.equal(b.column("selected"), 1))
+                    .select(["doc_id"]),
+                    batch_format="pyarrow").take_all())
+            ids_ref = ray.put(sel_ids)
+
+            def keep_selected(b):
+                ids = ray.get(ids_ref)
+                keep = [d in ids for d in b.column("doc_id").to_pylist()]
+                return b.filter(pa_.array(keep, pa_.bool_()))
+
+            rd.read_parquet(stage).map_batches(
+                keep_selected, batch_format="pyarrow").write_parquet(
+                stage2)
+            with open(marker2, "w") as f:
+                f.write("ok")
+        stage = stage2
+
     deduped = rd.read_parquet(stage)
     pos = corpus_shuffle(rd.read_parquet(
         stage, columns=["doc_id"]), n_shards=args.n_shards).map_batches(
@@ -1134,6 +1180,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="documents parquet (doc_id, text)")
     pr.add_argument("--out", required=True)
     pr.add_argument("--n-shards", type=int, default=8)
+    pr.add_argument("--dsir-k", type=int, default=None,
+                    help="optional DSIR stage: keep only the k most "
+                         "target-like deduped survivors (models train "
+                         "on the pre-filter input)")
+    pr.add_argument("--dsir-buckets", type=int, default=4096)
     pr.add_argument("--no-resume", action="store_true",
                     help="rebuild the _stage_dedup checkpoint even if "
                          "complete")

@@ -161,3 +161,47 @@ def test_cli_dsir(ray_session, tmp_path):
     t = duckdb.sql(
         f"SELECT count(*) c FROM read_parquet('{out}/*.parquet')").df()
     assert int(t["c"][0]) == 8
+
+
+def test_prepare_with_dsir_stage(ray_session, tmp_path):
+    """prepare --dsir-k composes: filter -> line-dedup -> DSIR selection
+    (models trained on the PRE-filter input so the holdout slice exists)
+    -> shuffle -> sharded write. The astro-flavoured survivors (sharing
+    target vocabulary with the eval doc, but no 8-gram) are selected;
+    cooking docs are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    filler = ("the data of table and value for index in row stream it "
+              "is that a to batch sort key scan merge part hash fast")
+    astro = "quasar pulsar nebula redshift parallax drift"
+    cook = "flour butter sugar yeast oven salt"
+    texts = {}
+    # eval/target doc (doc_id % 10 == 7): astro vocabulary, textually
+    # disjoint as a sequence (no shared 8-gram with training docs)
+    texts[7] = ("quasar orbit pulsar halo nebula flux redshift wave "
+                "parallax beam drift arc")
+    for i, d in enumerate([0, 1, 2]):  # astro-like survivors
+        texts[d] = f"{filler} a{i} {astro} x{i} {astro.upper().lower()}"
+    for i, d in enumerate([3, 4, 5]):  # cooking survivors
+        texts[d] = f"{filler} b{i} {cook} y{i} {cook}"
+    ids = sorted(texts)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([texts[d] for d in ids], pa.string())})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, str(src))
+    out = tmp_path / "prepared"
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "prepare",
+         "--input", str(src), "--out", str(out), "--n-shards", "2",
+         "--dsir-k", "3", "--dsir-buckets", str(B)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == 3
+    import pyarrow.dataset as pds
+
+    got = (pds.dataset(str(out), format="parquet", partitioning="hive")
+           .to_table().to_pandas())
+    assert sorted(got["doc_id"]) == [0, 1, 2]  # the astro survivors
+    assert rep["dense_positions"] is True
