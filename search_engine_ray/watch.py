@@ -135,3 +135,20 @@ class ResultSubscription:
         self._prev = now
         return {"added": added, "removed": removed, "changed": changed,
                 "result": res}
+
+
+def watch_and_serve(index_root: str, input_path: str | list[str],
+                    pool, interval_s: float = 2.0, stop=None,
+                    max_iterations: int | None = None) -> int:
+    """U4 + ST5 end to end: the watch loop syncs snapshot deltas into
+    the index AND hot-reloads a live serving pool (serve.py ``reload()``
+    surface — SearcherReplicaPool / DocShardServer / BucketShardServer)
+    after every APPLIED sync, so open queries see updates without an
+    actor restart. Returns the number of applied syncs."""
+    def on_sync(result):
+        if result["applied"]:
+            pool.reload()
+
+    return watch_loop(index_root, input_path, interval_s=interval_s,
+                      stop=stop, max_iterations=max_iterations,
+                      on_sync=on_sync)

@@ -118,3 +118,33 @@ def test_doc_shard_server_reload(ray_session, tmp_path):
         assert g2.column("score").equals(w2.column("score"))
     finally:
         srv.shutdown()
+
+
+def test_watch_and_serve_end_to_end(idx):
+    """The watcher detects a changed snapshot, syncs the index, and the
+    live pool serves the new doc without a restart."""
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.serve import SearcherReplicaPool
+    from search_engine_ray.watch import watch_and_serve
+
+    root, tmp = idx
+    pages_dir = str(tmp / "pages")
+    pool = SearcherReplicaPool(root, num_replicas=2)
+    try:
+        assert pool.search(["freshterm"], "exact", k=5).num_rows == 0
+        # a no-change pass applies nothing and reloads nothing
+        assert watch_and_serve(root, pages_dir, pool,
+                               max_iterations=1) == 0
+        # grow the snapshot: add the delta pages as a new file
+        delta = _delta_pages(tmp)
+        src = os.path.join(delta, "d.parquet")
+        pq_.write_table(pq_.read_table(src),
+                        os.path.join(pages_dir, "d.parquet"))
+        assert watch_and_serve(root, pages_dir, pool,
+                               max_iterations=1) == 1
+        got = pool.search(["freshterm"], "exact", k=5)
+        want = LocalSearcher(root).search(["freshterm"], "exact", k=5)
+        assert want.num_rows == 3 and got.equals(want)
+    finally:
+        pool.shutdown()
