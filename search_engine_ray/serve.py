@@ -65,28 +65,62 @@ def snapshot_fingerprint(index_root: str) -> str:
 
 @ray.remote
 class _Replica:
-    def __init__(self, index_root: str):
+    def __init__(self, index_root: str, cache_size: int = 0):
         self._root = index_root
         self._fp = snapshot_fingerprint(index_root)
         self.searcher = LocalSearcher(index_root)
         self._expander = None  # vocabulary loaded once, on first suggest
+        self._cache_size = int(cache_size)
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict" = OrderedDict()
 
     def reload(self) -> bool:
         """Swap in the current on-disk snapshot if it changed since load
         (U4/ST5 serving-side: pick up delta/merge/sync results without an
-        actor restart). Returns whether a swap happened."""
+        actor restart). Returns whether a swap happened. The result
+        cache empties on swap — reload IS the invalidation signal.
+
+        Consistency contract: mutate the index, THEN reload(), THEN
+        read. Between an on-disk mutation and the reload, queries that
+        touch a not-yet-loaded bucket read the NEW bucket file against
+        the OLD ordinal map (buckets load lazily) — mixed-generation
+        results, exactly the torn read every mutation path's atomic
+        artifact commits exist to avoid WITHIN a generation. A strictly
+        stale-until-reload guarantee would need eager bucket loading
+        (BucketShardServer's _BucketShard does exactly that) or
+        generation-pinned file paths; documented, not built — the
+        watch_and_serve loop serializes mutate -> reload for you."""
         fp = snapshot_fingerprint(self._root)
         if fp == self._fp:
             return False
         self.searcher = LocalSearcher(self._root)
         self._expander = None
+        self._cache.clear()
         self._fp = fp
         return True
 
     def search(self, queries, search_type, k, scorer, where=None,
                search_after=None):
+        """Optional per-replica result LRU (``cache_size`` > 0): results
+        are immutable snapshots of one index generation, so a hit is
+        exactly the recompute; ``reload()`` clears it. Off by default —
+        the bench measures uncached kernels."""
+        key = None
+        if self._cache_size > 0:
+            key = (tuple(queries), search_type, k, scorer,
+                   None if where is None else frozenset(where.items()),
+                   search_after)
+            hit = self._cache.get(key)
+            if hit is not None:
+                self._cache.move_to_end(key)
+                return hit
         t = self.searcher.search(queries, search_type, k=k, scorer=scorer,
                                  where=where, search_after=search_after)
+        if key is not None:
+            self._cache[key] = t
+            if len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
         return t
 
     def facets(self, queries, search_type, by, where):
@@ -115,9 +149,11 @@ class _Replica:
 class SearcherReplicaPool:
     """Round-robin pool of full-index replica actors (QPS scaling)."""
 
-    def __init__(self, index_root: str, num_replicas: int = 2):
+    def __init__(self, index_root: str, num_replicas: int = 2,
+                 cache_size: int = 0):
         self._replicas = [
-            _Replica.remote(index_root) for _ in range(num_replicas)
+            _Replica.remote(index_root, cache_size)
+            for _ in range(num_replicas)
         ]
         self._next = 0
 

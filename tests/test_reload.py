@@ -148,3 +148,34 @@ def test_watch_and_serve_end_to_end(idx):
         assert want.num_rows == 3 and got.equals(want)
     finally:
         pool.shutdown()
+
+
+def test_replica_result_cache_and_invalidation(idx):
+    """Opt-in replica result cache: hits are exact; reload() after a
+    delta invalidates (fresh results, never stale)."""
+    from search_engine_ray.serve import SearcherReplicaPool
+
+    root, tmp = idx
+    pool = SearcherReplicaPool(root, num_replicas=1, cache_size=64)
+    try:
+        a = pool.search(["baba"], "exact", k=5)
+        b = pool.search(["baba"], "exact", k=5)  # cache hit
+        assert a.equals(b)
+        w1 = pool.search(["baba"], "exact", k=5, where={"lang": "en"})
+        assert pool.search(["baba"], "exact", k=5,
+                           where={"lang": "en"}).equals(w1)
+        apply_delta(root, _delta_pages(tmp), config=CFG)
+        # NOTE: pre-reload reads after an on-disk mutation are
+        # mixed-generation (lazy bucket loads read new files against the
+        # old ordinal map) — the reload contract is "mutate, then
+        # reload(), then read"; see _Replica.reload docstring
+        assert pool.reload() == 1
+        fresh = LocalSearcher(root)
+        got = pool.search(["freshterm"], "exact", k=5)
+        assert got.equals(fresh.search(["freshterm"], "exact", k=5))
+        assert got.num_rows == 3
+        # old cached key recomputed against the new snapshot
+        a2 = pool.search(["baba"], "exact", k=5)
+        assert a2.equals(fresh.search(["baba"], "exact", k=5))
+    finally:
+        pool.shutdown()
