@@ -602,6 +602,23 @@ class BucketShardServer:
         self._local = probe  # for docmap-free metadata
         self._root = index_root
 
+    def facet_counts(self, queries, search_type="or", by="lang",
+                     where=None):
+        """Facets on the term-sharded topology delegate to the driver's
+        local metadata searcher (the full artifacts are on shared
+        storage; facet counting reads each expanded term's postings once
+        and no score fragments, so the actor fan-out buys nothing)."""
+        return self._local.facet_counts(queries, search_type, by=by,
+                                        where=where)
+
+    def facet_histogram(self, queries, edges, search_type="or",
+                        by="doc_len", where=None):
+        return self._local.facet_histogram(queries, edges, search_type,
+                                           by=by, where=where)
+
+    def complete(self, prefix: str, k: int = 10):
+        return self._local.complete(prefix, k=k)
+
     def reload(self) -> int:
         """Hot snapshot reload on every bucket-shard actor + the local
         metadata probe; returns how many actors swapped."""

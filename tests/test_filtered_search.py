@@ -355,6 +355,12 @@ def test_bucket_shard_and_pool_filtered(ray_session, corpus):
                 assert c.column("doc_id").equals(a.column("doc_id"))
         fp = pool.facet_counts(["mama"], "exact", by="lang")
         assert fp.equals(s.facet_counts(["mama"], "exact", by="lang"))
+        assert srv.facet_counts(["baba"], "exact", by="lang").equals(
+            s.facet_counts(["baba"], "exact", by="lang"))
+        assert srv.facet_histogram(["baba"], [0, 100, 400],
+                                   by="doc_len").equals(
+            s.facet_histogram(["baba"], [0, 100, 400], by="doc_len"))
+        assert srv.complete("ba", k=6).equals(s.complete("ba", k=6))
     finally:
         srv.shutdown()
         pool.shutdown()
