@@ -112,3 +112,54 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
         return out
 
     return bucketed_group_agg(both, ["_jkey"], merge_bucket, num_buckets)
+
+
+def semi_join(left, keys, on: str, keys_on: str | None = None,
+              anti: bool = False, num_buckets: int = 64):
+    """Distributed semi/anti join: the rows of ``left`` whose ``on`` key
+    is (semi) / is not (``anti=True``) present in the ``keys`` Dataset's
+    ``keys_on`` column. Output columns == ``left``'s columns.
+
+    Plan: project ``keys`` to its key column, pad it to ``left``'s
+    schema with typed nulls, tag ``_side``, union, and shuffle ONCE on
+    the coarse key bucket (the bucketed_hash_join exchange); each bucket
+    filters with one vectorized ``np.isin``. Unlike a broadcast keep-set
+    this holds NO driver-side key collection — the right plan when the
+    key side is O(corpus) (e.g. the token-budget ``mix`` keep stage,
+    where kept ids are a constant fraction of the input). For BOUNDED
+    key sets (dimension-sized) ``broadcast_join`` / a ``ray.put`` id
+    array is still cheaper — no shuffle."""
+    lf = _arrow_fields(left)
+    lcols = [n for n, _ in lf]
+    key_type = dict(lf)[on]
+    int_cols = {n for n, t in lf if pa.types.is_integer(t)}
+    kcol = keys_on or on
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_jkey", batch.column(on)).append_column(
+            "_side", pa.array(np.ones(len(batch), dtype=np.int8)))
+
+    def pad_keys(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {name: pa.nulls(n, typ) for name, typ in lf}
+        cols["_jkey"] = batch.column(kcol).cast(key_type)
+        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(pad_left, batch_format="pyarrow").union(
+        keys.select_columns([kcol]).map_batches(
+            pad_keys, batch_format="pyarrow"))
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["_side"] == 1]
+        kvals = g.loc[g["_side"] == 0, "_jkey"].to_numpy()
+        m = np.isin(lhs["_jkey"].to_numpy(), kvals)
+        out = lhs.loc[~m if anti else m, lcols].copy()
+        for c in lcols:  # the keys-side pad nulls re-float int columns
+            if c in int_cols and out[c].dtype.kind == "f" \
+                    and not out[c].isna().any():
+                out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_agg(both, ["_jkey"], filter_bucket, num_buckets)

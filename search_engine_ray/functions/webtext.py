@@ -971,20 +971,44 @@ def line_dedup(ds, num_buckets: int = 64):
     both = removals.union(ds.map_batches(tag_docs, batch_format="pyarrow"))
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized (VERDICT r4 #3): split -> explode -> one hash-merge
+        # against the removal pairs -> per-doc join, instead of a per-doc
+        # Python loop probing a per-line set. doc_ids can be 61-bit, so
+        # the drop test is a pandas merge on (doc_id, line_no) rather
+        # than a packed-int np.isin (doc_id * M overflows int64).
         docs = g[g["line_no"] == -1]
-        rem = g[g["line_no"] >= 0]
-        rem_map = {d: set(v.tolist()) for d, v in
-                   rem.groupby("doc_id")["line_no"]}
-        rows = []
-        for d, t in zip(docs["doc_id"], docs["text"]):
-            lines = _LINE_SPLIT.split(t) if t else []
-            drop = rem_map.get(d, ())
-            kept = [ln for i, ln in enumerate(lines, start=1)
-                    if i not in drop]
-            rows.append((d, "\n".join(kept), len(kept),
-                         len(lines) - len(kept)))
-        return pd.DataFrame(rows, columns=[
-            "doc_id", "clean_text", "n_lines_kept", "n_lines_removed"])
+        rem = g.loc[g["line_no"] >= 0, ["doc_id", "line_no"]]
+        s = docs["text"].reset_index(drop=True)
+        dids = docs["doc_id"].reset_index(drop=True)
+        ex = s.str.split(_LINE_SPLIT.pattern, regex=True).explode()
+        idx = ex.index.to_numpy()
+        ex_df = pd.DataFrame({
+            "_i": idx,
+            "doc_id": dids.to_numpy()[idx],
+            "line_no": ex.groupby(level=0).cumcount().to_numpy() + 1,
+            "line": ex.to_numpy(),
+        })
+        # empty text contributes NO lines ("".split -> [""] otherwise)
+        ex_df = ex_df[s.to_numpy()[idx] != ""]
+        if len(rem):
+            m = ex_df.merge(
+                rem.drop_duplicates().assign(_drop=np.int8(1)),
+                on=["doc_id", "line_no"], how="left")
+            kept_mask = m["_drop"].isna().to_numpy()
+        else:
+            kept_mask = np.ones(len(ex_df), dtype=bool)
+        total = np.bincount(ex_df["_i"], minlength=len(s))
+        kept_ex = ex_df[kept_mask]
+        kept_cnt = np.bincount(kept_ex["_i"], minlength=len(s))
+        joined = kept_ex.groupby("_i")["line"].agg("\n".join)
+        texts = np.full(len(s), "", dtype=object)
+        texts[joined.index.to_numpy()] = joined.to_numpy()
+        return pd.DataFrame({
+            "doc_id": dids,
+            "clean_text": texts,
+            "n_lines_kept": kept_cnt.astype(np.int64),
+            "n_lines_removed": (total - kept_cnt).astype(np.int64),
+        })
 
     return bucketed_group_agg(both, ["doc_id"], reassemble, num_buckets)
 

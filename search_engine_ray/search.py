@@ -274,6 +274,27 @@ class LocalSearcher:
             self._buckets[b] = bk
         return bk
 
+    def terms_df(self, b: int) -> tuple[list[str], np.ndarray]:
+        """(sorted terms, df) view of bucket ``b`` WITHOUT the posting
+        blobs: reuses the full bucket when already loaded, else reads
+        only the two small columns (column-pruned parquet read). This is
+        what vocabulary-only operations (``complete``) iterate — a cold
+        autocomplete call must not materialize the whole index (ADVICE
+        r4)."""
+        bk = self._buckets.get(b)
+        if bk is not None:
+            return bk.terms, bk.df
+        if not hasattr(self, "_tviews"):
+            self._tviews: dict[int, tuple[list[str], np.ndarray]] = {}
+        tv = self._tviews.get(b)
+        if tv is None:
+            path = os.path.join(self.index_root, "buckets", f"bucket={b}",
+                                "postings.parquet")
+            t = pq.read_table(path, columns=["term", "df"])
+            tv = (t.column("term").to_pylist(), t.column("df").to_numpy())
+            self._tviews[b] = tv
+        return tv
+
     # --- term resolution --------------------------------------------------
 
     def _has_term(self, term: str) -> bool:
@@ -488,16 +509,19 @@ class LocalSearcher:
     def complete(self, prefix: str, k: int = 10) -> pa.Table:
         """df-ranked autocomplete (Lucene suggester analogue): the top-k
         vocabulary terms with this prefix ordered (df desc, term asc).
-        Footer-light: prefix_range bisects each bucket's sorted term
-        list; df comes from the already-loaded per-bucket column — no
-        posting decode."""
+        Vocabulary-light: bisects each bucket's sorted term list via the
+        term/df-only ``terms_df`` view — a cold call column-prunes the
+        parquet read instead of materializing posting blobs."""
         terms: list[str] = []
         dfs: list[int] = []
         for b in range(self.num_buckets):
-            bk = self.bucket(b)
-            for i in bk.prefix_range(prefix):
-                terms.append(bk.terms[i])
-                dfs.append(int(bk.df[i]))
+            bterms, bdf = self.terms_df(b)
+            lo = bisect_left(bterms, prefix)
+            for i in range(lo, len(bterms)):
+                if not bterms[i].startswith(prefix):
+                    break
+                terms.append(bterms[i])
+                dfs.append(int(bdf[i]))
         order = sorted(range(len(terms)),
                        key=lambda i: (-dfs[i], terms[i]))[:k]
         return pa.table({
@@ -598,10 +622,11 @@ class LocalSearcher:
         """``where`` ({column: value}, ANDed equality over docs_clean
         attributes, e.g. {"lang": "en"}) filters documents BEFORE
         ranking — the filtered top-k, not a post-filter of the unfiltered
-        top-k. Filtering masks each term's decoded postings, so it rides
-        the TAAT kernel (bit-identical to BMW by the scorer-parity
-        invariant); an explicit scorer="bmw" with ``where`` therefore
-        also scores via the masked TAAT path.
+        top-k. Both kernels take the mask: TAAT masks each term's decoded
+        postings, BMW skips masked candidates inside the block-max loop
+        (the masked BMW variant), and the two stay bit-identical — so
+        ``where``/``search_after`` ride whichever scorer is selected,
+        including "auto".
 
         ``search_after`` ((score, doc_id) of the LAST hit of the previous
         page — the Elasticsearch cursor contract) returns the next k hits

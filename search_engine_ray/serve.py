@@ -108,8 +108,12 @@ class _Replica:
         the bench measures uncached kernels."""
         key = None
         if self._cache_size > 0:
+            # range predicates are list/tuple-valued ({"doc_len": [50,
+            # 400]}) — normalize to tuples so the frozenset is hashable
             key = (tuple(queries), search_type, k, scorer,
-                   None if where is None else frozenset(where.items()),
+                   None if where is None else frozenset(
+                       (c, tuple(v) if isinstance(v, (list, tuple)) else v)
+                       for c, v in where.items()),
                    search_after)
             hit = self._cache.get(key)
             if hit is not None:

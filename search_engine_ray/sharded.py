@@ -560,17 +560,18 @@ class ShardedSearcher:
         per-shard bin counts, element-wise sum (bins are fixed, so the
         merge is exact)."""
         terms = self._expand(queries, search_type)
-        total = None
-        out = None
+        # bins come from ``edges`` directly so zero shards returns the
+        # all-zero histogram instead of dereferencing a missing table
+        total = np.zeros(max(len(edges) - 1, 0), dtype=np.int64)
         for sh in self.shards:
             t = sh.facet_histogram([], edges, search_type, by=by,
                                    where=where, terms=terms)
-            c = t.column("n_docs").to_numpy()
-            total = c.copy() if total is None else total + c
-            out = t
+            total = total + t.column("n_docs").to_numpy()
         return pa.table({
-            "bin_lo": out.column("bin_lo"),
-            "bin_hi": out.column("bin_hi"),
+            "bin_lo": pa.array([float(e) for e in edges[:-1]],
+                               pa.float64()),
+            "bin_hi": pa.array([float(e) for e in edges[1:]],
+                               pa.float64()),
             "n_docs": pa.array(total, pa.int64()),
         })
 

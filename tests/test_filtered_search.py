@@ -387,3 +387,30 @@ def test_cli_where_and_facets(corpus):
     rows = json.loads(out.stdout.strip().splitlines()[-1])
     want = corpus["searcher"].facet_counts(["mama", "doma"], "or", by="lang")
     assert rows == want.to_pylist()
+
+
+def test_complete_is_vocabulary_light(corpus):
+    """Regression (ADVICE r4): a cold complete() must not materialize
+    posting blobs — it reads the term/df-only view, leaving the full
+    bucket cache empty."""
+    cold = LocalSearcher(str(corpus["root"] / "index"))
+    t = cold.complete("ba", k=8)
+    assert t.num_rows > 0
+    assert cold._buckets == {}          # no full bucket loaded
+    assert len(cold._tviews) == cold.num_buckets
+    # and the view agrees with the full-bucket path
+    assert t.equals(corpus["searcher"].complete("ba", k=8))
+
+
+def test_facet_histogram_zero_shards_returns_zero_bins():
+    """Regression (ADVICE r4): an empty-shard ShardedSearcher returns
+    the all-zero histogram instead of AttributeError."""
+    from search_engine_ray.sharded import ShardedSearcher
+
+    ss = ShardedSearcher.__new__(ShardedSearcher)
+    ss.shards = []
+    ss._expand = lambda qs, st: list(qs)
+    t = ss.facet_histogram(["baba"], edges=[0.0, 10.0, 20.0])
+    assert t.column("bin_lo").to_pylist() == [0.0, 10.0]
+    assert t.column("bin_hi").to_pylist() == [10.0, 20.0]
+    assert t.column("n_docs").to_pylist() == [0, 0]

@@ -61,3 +61,39 @@ def test_broadcast_join_vs_pandas(ray_session):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_join_vs_pandas(ray_session, anti):
+    """Semi/anti join == the literal isin filter; output columns are
+    exactly the left's (incl. a string column), ints stay int64."""
+    from search_engine_ray.functions.join import semi_join
+
+    rng = np.random.default_rng(23)
+    lhs = _mk(rng, 900, 0, 150, "doc_id", "v")
+    lhs["label"] = [f"s{i % 7}" for i in range(len(lhs))]
+    keys = pd.DataFrame({"doc_id": rng.integers(75, 220, size=300)
+                        .astype("int64")})
+    got = (semi_join(rd.from_pandas(lhs), rd.from_pandas(keys),
+                     on="doc_id", anti=anti, num_buckets=8)
+           .to_pandas())
+    m = lhs["doc_id"].isin(set(keys["doc_id"]))
+    want = lhs[~m if anti else m]
+    assert list(got.columns) == list(lhs.columns)
+    assert got["doc_id"].dtype.kind == "i" and got["v"].dtype.kind == "i"
+    cols = ["doc_id", "v", "label"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(cols, kind="mergesort").reset_index(drop=True),
+        want.sort_values(cols, kind="mergesort").reset_index(drop=True))
+
+
+def test_semi_join_keys_on_disjoint_name(ray_session):
+    from search_engine_ray.functions.join import semi_join
+
+    lhs = pd.DataFrame({"doc_id": np.arange(10, dtype="int64"),
+                        "t": list("abcdefghij")})
+    keys = pd.DataFrame({"kid": np.array([2, 5, 5, 99], dtype="int64")})
+    got = semi_join(rd.from_pandas(lhs), rd.from_pandas(keys),
+                    on="doc_id", keys_on="kid", num_buckets=4).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [2, 5]
+    assert sorted(got.columns) == ["doc_id", "t"]

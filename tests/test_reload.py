@@ -179,3 +179,25 @@ def test_replica_result_cache_and_invalidation(idx):
         assert a2.equals(fresh.search(["baba"], "exact", k=5))
     finally:
         pool.shutdown()
+
+
+def test_replica_result_cache_range_where_hashable(idx):
+    """Regression (ADVICE r4): a list-valued range predicate must be
+    cacheable — the key normalizes list/tuple values to tuples instead
+    of raising TypeError inside frozenset()."""
+    from search_engine_ray.search import LocalSearcher
+    from search_engine_ray.serve import SearcherReplicaPool
+
+    root, _ = idx
+    pool = SearcherReplicaPool(root, num_replicas=1, cache_size=16)
+    try:
+        want = LocalSearcher(root).search(
+            ["baba"], "exact", k=5, where={"doc_len": (1, 10_000)})
+        got = pool.search(["baba"], "exact", k=5,
+                          where={"doc_len": [1, 10_000]})
+        assert got.equals(want)
+        # second call is the cache hit — still the same table
+        assert pool.search(["baba"], "exact", k=5,
+                           where={"doc_len": [1, 10_000]}).equals(want)
+    finally:
+        pool.shutdown()
