@@ -573,6 +573,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (the Lucene fuzzy cap) via the vectorized running-min DP
         "bool_search": d.bool_search_docs,             # AND/OR/NOT
         # boolean set algebra over postings, positive-clause BM25
+        # filtered top-k (where= equality + numeric range) + keyset
+        # pagination + lang facets + doc_len histogram, fused — the
+        # round-4 query surface under the driver's value-hash oracle
+        "search_filtered_page": d.search_filtered_page,
         # --- training-data pipeline extensions ---------------------------
         "dedup_exact": d.dedup_exact_docs,
         "events_hourly": ev.events_hourly_user,
@@ -599,9 +603,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lsh + exact all-pairs twin, tagged union (method col)
         "embedding_near_dups": e.embedding_near_dups_all,
         # --- webtext curation family (functions/webtext.py, new in r3) ---
-        "doc_lm_signals": d.doc_lm_signals,  # repetition + surprisal
+        # repetition + surprisal + CCNet quality bucket (the former
+        # standalone quality_buckets entry, fused into the lm scan —
+        # quality_buckets_docs stays standalone on the library surface)
+        "doc_lm_signals": d.doc_lm_signals,
         "source_stats": d.source_stats_agg,
-        "quality_buckets": d.quality_buckets_docs,
         "decontaminate": d.decontaminate_docs,
         "corpus_filter": d.corpus_filter_docs,
         # sequence_pack + corpus_shuffle + stratified_sample flag
@@ -738,6 +744,67 @@ def oracle_sql() -> dict[str, str]:
                   FROM scores s JOIN qn ON qn.query = s.query
                   WHERE qn.conj = 0 OR s.nmatch = qn.nt)
             WHERE rn <= 10
+        """,
+        # the round-4 query surface fused: filtered BM25 (equality +
+        # numeric range WHERE), keyset pagination (rank cut at 10/20 —
+        # the fixed query/filter pair has distinct 6-dp scores at both
+        # boundaries, so the engine's internal-id tie-break and this
+        # original-id cut select identical page SETS; the driver hashes
+        # rows sorted), lang facet counts over the range-filtered match
+        # set, and half-open doc_len histogram bins for the en slice
+        "search_filtered_page": f"""
+            {_TOKS_CTE},
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                             (SELECT count(*)::DOUBLE FROM toks)
+                             / (SELECT count(*)::DOUBLE FROM documents)
+                             AS avgdl),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            q(term) AS (VALUES ('stream'), ('window')),
+            meta AS (SELECT d.doc_id, d.lang,
+                            coalesce(dl.dl, 0.0) AS doc_len
+                     FROM documents d LEFT JOIN dl USING (doc_id)),
+            scores AS (
+                SELECT tf.doc_id, sum({idf} * {bm25_partial}) AS score
+                FROM q
+                JOIN tf ON tf.term = q.term
+                JOIN df ON df.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id),
+            ranked AS (
+                SELECT s.doc_id, round(s.score, 6) AS score,
+                       row_number() OVER
+                           (ORDER BY s.score DESC, s.doc_id) AS rn
+                FROM scores s JOIN meta m USING (doc_id)
+                WHERE m.lang = 'en' AND m.doc_len BETWEEN 20 AND 400),
+            matchset AS (SELECT DISTINCT doc_id FROM tf
+                         WHERE term IN ('stream', 'window')),
+            edges(key, lo, hi) AS (VALUES
+                ('0-25', 0.0, 25.0), ('25-50', 25.0, 50.0),
+                ('50-75', 50.0, 75.0), ('75-100', 75.0, 100.0),
+                ('100-200', 100.0, 200.0)),
+            en_match AS (SELECT m.doc_len FROM matchset
+                         JOIN meta m USING (doc_id) WHERE m.lang = 'en')
+            SELECT 'page:' || (CASE WHEN rn <= 10 THEN '1' ELSE '2' END)
+                       AS part,
+                   CAST(doc_id AS VARCHAR) AS key, score AS metric
+            FROM ranked WHERE rn <= 20
+            UNION ALL
+            SELECT 'facet:lang' AS part, m.lang AS key,
+                   count(*)::DOUBLE AS metric
+            FROM matchset JOIN meta m USING (doc_id)
+            WHERE m.doc_len BETWEEN 20 AND 400
+            GROUP BY m.lang
+            UNION ALL
+            SELECT 'hist:doc_len' AS part, e.key,
+                   count(d.doc_len)::DOUBLE AS metric
+            FROM edges e LEFT JOIN en_match d
+                ON d.doc_len >= e.lo AND d.doc_len < e.hi
+            GROUP BY e.key
         """,
         "fuzzy_search": f"""
             {_TOKS_CTE},
@@ -1022,11 +1089,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM sess GROUP BY user_id, sid
         """,
-        # repetition + unigram + bigram surprisal oracles joined on doc_id
+        # repetition + unigram + bigram surprisal oracles joined on
+        # doc_id, plus the CCNet quality bucket computed FROM the fused
+        # scan's 6-dp mean_nll (the former standalone quality_buckets
+        # entry — same ntile convention as _quality_buckets_sql, which
+        # remains the standalone operator's oracle in tests)
         "doc_lm_signals": f"""
-            SELECT * FROM ({_repetition_sql()}) r
-            JOIN ({_surprisal_sql()}) s USING (doc_id)
-            JOIN ({_bigram_surprisal_sql()}) b USING (doc_id)
+            SELECT lm.*, d.source,
+                   ntile(3) OVER (PARTITION BY d.source
+                       ORDER BY lm.mean_nll, lm.doc_id)::BIGINT AS bucket
+            FROM (SELECT * FROM ({_repetition_sql()}) r
+                  JOIN ({_surprisal_sql()}) s USING (doc_id)
+                  JOIN ({_bigram_surprisal_sql()}) b USING (doc_id)) lm
+            JOIN documents d USING (doc_id)
         """,
         "source_stats": """
             SELECT source,
@@ -1038,7 +1113,6 @@ def oracle_sql() -> dict[str, str]:
                          6) AS dup_text_frac
             FROM documents GROUP BY source
         """,
-        "quality_buckets": _quality_buckets_sql(),
         "decontaminate": _decontam_sql(),
         "corpus_filter": _corpus_filter_sql(),
         # sequence_pack + corpus_shuffle + stratified-sample flag joined

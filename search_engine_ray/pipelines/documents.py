@@ -857,14 +857,19 @@ def doc_signals(sf_dir: str):
         fused, batch_format="pyarrow", batch_size=1024)
 
 
-def doc_lm_signals(sf_dir: str):
+def doc_lm_signals(sf_dir: str, n_buckets: int = 3):
     """repetition_scores + unigram_surprisal + bigram_surprisal in ONE
     scoring scan (the model-training aggregates still run first, as in
-    the standalone pipelines): (doc_id, dup_line_frac,
-    dup_line_char_frac, dup_3gram_frac, top_2gram_frac, n_tokens,
-    mean_nll, n_bigrams, mean_bi_nll)."""
+    the standalone pipelines), then the CCNet quality bucket computed
+    FROM the already-scored mean_nll (quality_buckets_docs re-scores the
+    corpus; fusing here reuses the scan — one driver entry covers both
+    operators): (doc_id, dup_line_frac, dup_line_char_frac,
+    dup_3gram_frac, top_2gram_frac, n_tokens, mean_nll, n_bigrams,
+    mean_bi_nll, source, bucket)."""
+    import pandas as pd
     import ray
 
+    from search_engine_ray.functions.join import bucketed_hash_join
     from search_engine_ray.functions.webtext import (
         BigramSurprisalBatch,
         RepetitionStatsBatch,
@@ -873,6 +878,7 @@ def doc_lm_signals(sf_dir: str):
         _unigram_model,
     )
     from search_engine_ray.pool import actor_pool_size
+    from search_engine_ray.stages.agg import bucketed_group_agg
 
     ds = load_documents(sf_dir)
     model_ref = ray.put(_unigram_model(ds))
@@ -894,10 +900,121 @@ def doc_lm_signals(sf_dir: str):
                 out = out.append_column(col, bi.column(col))
             return out
 
-    return ds.map_batches(
+    lm = ds.map_batches(
         Fused, fn_constructor_args=(model_ref, bi_ref),
         batch_format="pyarrow",
         batch_size=1024, concurrency=actor_pool_size())
+
+    # CCNet head/middle/tail bucket per SOURCE over the 6-dp mean_nll
+    # (SurprisalBatch rounds, so the rank input is cross-engine-stable):
+    # one bucketed join for the source column, ONE source-bucket
+    # exchange for the ntile — same shape as quality_buckets_docs.
+    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"]).map_batches(
+        lambda df: df.rename(columns={"doc_id": "src_doc_id"}),
+        batch_format="pandas")
+    joined = bucketed_hash_join(lm, src,
+                                left_on="doc_id", right_on="src_doc_id")
+    sig_cols = ["doc_id", "dup_line_frac", "dup_line_char_frac",
+                "dup_3gram_frac", "top_2gram_frac", "n_tokens",
+                "mean_nll", "n_bigrams", "mean_bi_nll"]
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for s, gg in g.groupby("source", sort=False):
+            gg = gg.sort_values(["mean_nll", "doc_id"], kind="mergesort")
+            n = len(gg)
+            q, r = divmod(n, n_buckets)
+            i = np.arange(n)
+            # SQL ntile: first r buckets get q+1 rows
+            b = np.where(i < r * (q + 1), i // max(q + 1, 1),
+                         r + (i - r * (q + 1)) // max(q, 1)) + 1
+            out = gg[sig_cols].reset_index(drop=True)
+            out["source"] = s
+            out["bucket"] = b.astype("int64")
+            parts.append(out)
+        if parts:
+            return pd.concat(parts)
+        out = pd.DataFrame({c: pd.Series(dtype="float64")
+                            for c in sig_cols})
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["source"] = pd.Series(dtype="str")
+        out["bucket"] = pd.Series(dtype="int64")
+        return out
+
+    return bucketed_group_agg(
+        joined.map_batches(
+            lambda df: df[sig_cols + ["source"]], batch_format="pandas"),
+        ["source"], ntile)
+
+
+FILTERED_PAGE_TERMS = ["stream", "window"]
+FILTERED_PAGE_WHERE = {"lang": "en", "doc_len": (20, 400)}
+FILTERED_PAGE_EDGES = [0.0, 25.0, 50.0, 75.0, 100.0, 200.0]
+
+
+def search_filtered_page(sf_dir: str, k: int = 10):
+    """The round-4 query surface fused into ONE driver-checkable result:
+    filtered BM25 top-k (``where`` = lang equality + doc_len numeric
+    range), keyset pagination (``search_after`` page 2 from page 1's
+    cursor), ``facet_counts`` by lang over the range-filtered match set,
+    and ``facet_histogram`` over doc_len for the en slice — every piece
+    is SQL-expressible (WHERE / keyset cut / GROUP BY / half-open bins),
+    so the whole surface sits under the driver's value-hash oracle.
+
+    Output schema (part, key, metric): pages emit (page:N,
+    str(original doc_id), 6-dp score); facets (facet:lang, lang value,
+    count); histogram bins (hist:doc_len, "lo-hi", count). The driver
+    hashes rows SORTED, so within-page rank order is free — but the
+    page-1/page-2 SPLIT must agree with the oracle's (score DESC,
+    doc_id) cut: the engine breaks ties on its internal hashed id, the
+    oracle on the original id, so the fixed query/filter pair is chosen
+    with distinct 6-dp scores at the 10/11 and 20/21 boundaries at the
+    gate sf (verified gaps >= 1.6e-3, vs the 1e-6 rounding quantum)."""
+    from search_engine_ray.search import LocalSearcher
+
+    s = LocalSearcher(ensure_documents_index(sf_dir))
+    qs, st, wh = FILTERED_PAGE_TERMS, "or", dict(FILTERED_PAGE_WHERE)
+    parts, keys, metrics = [], [], []
+
+    page1 = s.search(qs, st, k=k, where=wh)
+    for u, sc in zip(page1.column("url").to_pylist(),
+                     page1.column("score").to_pylist()):
+        parts.append("page:1")
+        keys.append(str(int(u[6:])))
+        metrics.append(round(sc, 6))
+    if page1.num_rows:
+        cursor = (page1.column("score")[-1].as_py(),
+                  page1.column("doc_id")[-1].as_py())
+        page2 = s.search(qs, st, k=k, where=wh, search_after=cursor)
+        for u, sc in zip(page2.column("url").to_pylist(),
+                         page2.column("score").to_pylist()):
+            parts.append("page:2")
+            keys.append(str(int(u[6:])))
+            metrics.append(round(sc, 6))
+
+    fc = s.facet_counts(qs, st, by="lang",
+                        where={"doc_len": wh["doc_len"]})
+    for v, n in zip(fc.column("value").to_pylist(),
+                    fc.column("n_docs").to_pylist()):
+        parts.append("facet:lang")
+        keys.append(v)
+        metrics.append(float(n))
+
+    fh = s.facet_histogram(qs, FILTERED_PAGE_EDGES, st, by="doc_len",
+                           where={"lang": wh["lang"]})
+    for lo, hi, n in zip(fh.column("bin_lo").to_pylist(),
+                         fh.column("bin_hi").to_pylist(),
+                         fh.column("n_docs").to_pylist()):
+        parts.append("hist:doc_len")
+        keys.append(f"{lo:g}-{hi:g}")
+        metrics.append(float(n))
+
+    return pa.table({
+        "part": pa.array(parts, pa.string()),
+        "key": pa.array(keys, pa.string()),
+        "metric": pa.array(metrics, pa.float64()),
+    })
 
 
 def clean_redact_docs(sf_dir: str):
