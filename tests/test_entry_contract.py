@@ -60,7 +60,9 @@ def test_oracle_keys_subset_of_queries(entrymod):
 SQL_BACKED = [
     "gram_top100",  # term-df + bigram top-k tagged union (merged, r4)
     "doc_signals",  # quality + langid + fingerprints one-scan (merged, r4)
-    "doc_lm_signals",  # repetition + surprisal one-scan (merged, r4)
+    "doc_lm_signals",  # repetition + surprisal + quality bucket (r5)
+    "search_filtered_page",  # filtered+faceted+paged search fused (r5)
+    "ann_ivf_topk",  # IVF top-k, codebook inlined as SQL constants (r5)
     "clean_redact",  # line_clean + redact one-scan (merged, r4)
     "pack_shuffle_sample",  # pack + shuffle + sample-flag join (merged, r4)
     "doc_token_stats",  # + n_pretokens BPE budget (merged, r4)
@@ -83,7 +85,6 @@ SQL_BACKED = [
     "revenue_by_brand",  # fact-table hash join at volume (r3 s4)
     "events_props_stats",  # JSON-field extraction + rollup (r3 s4)
     "quantize_int8",  # per-vector symmetric int8 quantization (r3 s4)
-    "quality_buckets",  # CCNet head/middle/tail ntile bucketing (r3 s4)
     "near_dup_clusters",  # pair graph -> cluster representatives (r3 s4)
     "events_latest",  # CDC latest-per-key compaction (r3 s4)
     "contains_search_at",  # infix search via vocabulary scan (r3 s4)
@@ -111,14 +112,48 @@ def test_sql_backed_list_covers_every_oracle(entrymod):
 def test_query_matches_oracle_sql(entrymod, con, name):
     from tools.check_oracle import value_hash
 
+    sql = entrymod.oracle_sql()[name]
+    if name == "ann_ivf_topk":
+        # the shipped oracle inlines the GATE-sf (0.01) codebook; this
+        # suite runs at sf0.001, so rebuild the same SQL around the
+        # codebook trained at THIS sf — a stronger check (the builder
+        # generalizes across corpora, not just the pinned constants).
+        # The pinned constants themselves are checked by
+        # test_ivf_oracle_constants_match_training below.
+        from search_engine_ray.functions.ann import train_codebook
+        from search_engine_ray.pipelines.embeddings import load_embeddings
+
+        C = train_codebook(load_embeddings(SF), 16)
+        sql = entrymod._ann_ivf_sql(centroids=C.tolist())
+
     got = _canon(_to_pandas(entrymod.queries()[name](SF)))
-    want = _canon(con.sql(entrymod.oracle_sql()[name]).fetchdf())
+    want = _canon(con.sql(sql).fetchdf())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     assert value_hash(got) == value_hash(want)
 
 
-ROWS_ONLY = ["media_features", "ann_ivf_topk"]
+GATE_SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.skipif(not os.path.exists(GATE_SF), reason="gate sf absent")
+def test_ivf_oracle_constants_match_training(entrymod):
+    """Drift pin: the codebook the engine trains at the GATE sf must be
+    bit-identical to the constants inlined in the shipped ann_ivf_topk
+    oracle (_IVF_CENTROIDS_SF001) — if training, sampling, or the
+    testdata generator changes, this fails before the driver gate does."""
+    import numpy as np
+
+    from search_engine_ray.functions.ann import train_codebook
+    from search_engine_ray.pipelines.embeddings import load_embeddings
+
+    C = train_codebook(load_embeddings(GATE_SF), 16)
+    want = np.asarray(entrymod._IVF_CENTROIDS_SF001, dtype=np.float64)
+    assert C.shape == want.shape
+    assert np.array_equal(C, want)
+
+
+ROWS_ONLY = ["media_features"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
