@@ -392,6 +392,73 @@ def run_bench() -> dict:
             kbest = kdt if kbest is None else min(kbest, kdt)
         extras[name] = round(kbest, 3)
 
+    # --- paired A/B: line_dedup reassembly kernel, vectorized vs r4 loop --
+    # (r5, VERDICT r4 #3: split/explode + hash-merge + bincount replaced
+    # the per-doc Python loop probing a per-line set. Same in-process
+    # bucket shape the map_groups stage sees: docs tagged line_no=-1
+    # UNION (doc_id, line_no) removal pairs.)
+    import pandas as _pd
+
+    from search_engine_ray.functions.webtext import (
+        _LINE_SPLIT,
+        _line_reassemble,
+    )
+
+    def _legacy_reassemble(g):  # r4 kernel, verbatim (fdf5a32)
+        docs = g[g["line_no"] == -1]
+        rem = g[g["line_no"] >= 0]
+        rem_map = {d: set(v.tolist()) for d, v in
+                   rem.groupby("doc_id")["line_no"]}
+        rows = []
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            lines = _LINE_SPLIT.split(t) if t else []
+            drop = rem_map.get(d, ())
+            kept = [ln for i, ln in enumerate(lines, start=1)
+                    if i not in drop]
+            rows.append((d, "\n".join(kept), len(kept),
+                         len(lines) - len(kept)))
+        return _pd.DataFrame(rows, columns=[
+            "doc_id", "clean_text", "n_lines_kept", "n_lines_removed"])
+
+    # deterministic bucket: 4000 docs x 30 lines, half the lines drawn
+    # from a small shared pool (dup-heavy, like boilerplate), first
+    # occurrence wins -> removal pairs for every later occurrence
+    rng2 = np.random.default_rng(7)
+    pool = [f"boilerplate line {i}" for i in range(500)]
+    ldocs, lrem_d, lrem_n = [], [], []
+    seen: dict = {}
+    for did in range(4000):
+        lines = []
+        for ln_no in range(1, 31):
+            if rng2.integers(0, 2):
+                ln = pool[int(rng2.integers(0, 500))]
+            else:
+                ln = f"unique {did} {ln_no} {int(rng2.integers(0, 1 << 30))}"
+            lines.append(ln)
+            if ln in seen:
+                lrem_d.append(did)
+                lrem_n.append(ln_no)
+            else:
+                seen[ln] = (did, ln_no)
+        ldocs.append("\n".join(lines))
+    lg = _pd.concat([
+        _pd.DataFrame({"doc_id": _pd.array(range(4000), dtype="int64"),
+                       "line_no": -1, "text": ldocs}),
+        _pd.DataFrame({"doc_id": _pd.array(lrem_d, dtype="int64"),
+                       "line_no": _pd.array(lrem_n, dtype="int64"),
+                       "text": ""}),
+    ], ignore_index=True)
+    for name, fn in (("line_dedup_kernel_loop_s", _legacy_reassemble),
+                     ("line_dedup_kernel_vec_s", _line_reassemble)):
+        fn(lg)  # warm
+        kbest = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn(lg)
+            kdt = time.monotonic() - t0
+            kbest = kdt if kbest is None else min(kbest, kdt)
+        extras[name] = round(kbest, 3)
+
     ray.shutdown()
     total = round(sum(queries.values()), 3)
     return {

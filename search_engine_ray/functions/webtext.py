@@ -26,6 +26,7 @@ broadcast once per actor via ``ray.put`` — never re-shipped per batch.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import logging
 import re
 from collections import Counter
@@ -969,48 +970,62 @@ def line_dedup(ds, num_buckets: int = 64):
         })
 
     both = removals.union(ds.map_batches(tag_docs, batch_format="pyarrow"))
+    return bucketed_group_agg(both, ["doc_id"], _line_reassemble,
+                              num_buckets)
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        # Vectorized (VERDICT r4 #3): split -> explode -> one hash-merge
-        # against the removal pairs -> per-doc join, instead of a per-doc
-        # Python loop probing a per-line set. doc_ids can be 61-bit, so
-        # the drop test is a pandas merge on (doc_id, line_no) rather
-        # than a packed-int np.isin (doc_id * M overflows int64).
-        docs = g[g["line_no"] == -1]
-        rem = g.loc[g["line_no"] >= 0, ["doc_id", "line_no"]]
-        s = docs["text"].reset_index(drop=True)
-        dids = docs["doc_id"].reset_index(drop=True)
-        ex = s.str.split(_LINE_SPLIT.pattern, regex=True).explode()
-        idx = ex.index.to_numpy()
-        ex_df = pd.DataFrame({
-            "_i": idx,
-            "doc_id": dids.to_numpy()[idx],
-            "line_no": ex.groupby(level=0).cumcount().to_numpy() + 1,
-            "line": ex.to_numpy(),
-        })
-        # empty text contributes NO lines ("".split -> [""] otherwise)
-        ex_df = ex_df[s.to_numpy()[idx] != ""]
-        if len(rem):
-            m = ex_df.merge(
-                rem.drop_duplicates().assign(_drop=np.int8(1)),
-                on=["doc_id", "line_no"], how="left")
-            kept_mask = m["_drop"].isna().to_numpy()
-        else:
-            kept_mask = np.ones(len(ex_df), dtype=bool)
-        total = np.bincount(ex_df["_i"], minlength=len(s))
-        kept_ex = ex_df[kept_mask]
-        kept_cnt = np.bincount(kept_ex["_i"], minlength=len(s))
-        joined = kept_ex.groupby("_i")["line"].agg("\n".join)
-        texts = np.full(len(s), "", dtype=object)
-        texts[joined.index.to_numpy()] = joined.to_numpy()
-        return pd.DataFrame({
-            "doc_id": dids,
-            "clean_text": texts,
-            "n_lines_kept": kept_cnt.astype(np.int64),
-            "n_lines_removed": (total - kept_cnt).astype(np.int64),
-        })
 
-    return bucketed_group_agg(both, ["doc_id"], reassemble, num_buckets)
+def _line_reassemble(g: pd.DataFrame) -> pd.DataFrame:
+    """One doc bucket of the line-dedup exchange (2): docs tagged
+    ``line_no == -1`` plus their removal pairs -> rebuilt docs.
+
+    Vectorized (VERDICT r4 #3): the split itself stays a compiled-regex
+    loop (inherent string work — pandas ``str.split(regex).explode()``
+    alone costs more than the whole r4 kernel), but everything after is
+    flat numpy: one ``np.fromiter`` flatten, arange line numbers, ONE
+    ``np.isin`` over packed (doc-ordinal, line_no) int64 keys for the
+    drop test (61-bit doc_ids are first factorized to bucket-local
+    ordinals so the pack can't overflow), ``np.bincount`` for the
+    kept/removed counts, and C-level ``"\\n".join`` over slices of the
+    kept-line list.
+    """
+    docs = g[g["line_no"] == -1]
+    rem = g.loc[g["line_no"] >= 0, ["doc_id", "line_no"]]
+    dids = docs["doc_id"].reset_index(drop=True)
+    lists = [_LINE_SPLIT.split(t) if t else []
+             for t in docs["text"].to_numpy()]
+    n_docs = len(lists)
+    counts = np.fromiter((len(x) for x in lists), dtype=np.int64,
+                         count=n_docs)
+    n = int(counts.sum())
+    flat = np.fromiter(itertools.chain.from_iterable(lists),
+                       dtype=object, count=n)
+    starts = np.cumsum(counts) - counts
+    doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    ln_no = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+    if len(rem) and n:
+        # map removal doc_ids -> local doc ordinal (vectorized hash
+        # lookup); pack (ordinal, line_no) into one int64 key. ordinal
+        # < bucket size and line_no <= max lines/doc, so the product
+        # stays far below 2^63 even at huge buckets.
+        rem_ix = pd.Index(dids).get_indexer(rem["doc_id"].to_numpy())
+        rem_ln = rem["line_no"].to_numpy()
+        ok = (rem_ix >= 0) & (rem_ln <= counts.max())
+        mult = int(counts.max()) + 1
+        kept_mask = ~np.isin(doc_ix * mult + ln_no,
+                             rem_ix[ok] * mult + rem_ln[ok])
+    else:
+        kept_mask = np.ones(n, dtype=bool)
+    kept_cnt = np.bincount(doc_ix[kept_mask], minlength=n_docs)
+    fk = flat[kept_mask].tolist()
+    bounds = np.concatenate(([0], np.cumsum(kept_cnt)))
+    texts = ["\n".join(fk[bounds[i]:bounds[i + 1]])
+             for i in range(n_docs)]
+    return pd.DataFrame({
+        "doc_id": dids,
+        "clean_text": texts,
+        "n_lines_kept": kept_cnt.astype(np.int64),
+        "n_lines_removed": (counts - kept_cnt).astype(np.int64),
+    })
 
 
 # ---------------------------------------------------------------------------
