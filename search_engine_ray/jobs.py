@@ -518,6 +518,25 @@ def cmd_ann_delta(args) -> int:
     return 0
 
 
+def cmd_embed(args) -> int:
+    """Generate embeddings from document TEXT (functions/embed.py:
+    hashed n-gram + seeded random projection, model-in-actor-__init__
+    pool). Output is (vec_id, embedding) parquet — vec_id == doc_id —
+    directly consumable by ann-build / ann-query / knn-join."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.embed import embed_documents
+
+    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    out = embed_documents(ds, dim=args.dim, seed=args.seed)
+    out = out.map_batches(
+        lambda b: b.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow")
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "dim": args.dim, "seed": args.seed}))
+    return 0
+
+
 def cmd_knn_join(args) -> int:
     """Exact cosine kNN join (left x right) -> partitioned parquet of
     (left_id, right_id, rank, cos); --self drops left_id == right_id
@@ -1121,6 +1140,16 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("-k", type=int, default=10)
     aq.add_argument("--n-probe", type=int, default=4)
     aq.set_defaults(fn=cmd_ann_query)
+
+    em = sub.add_parser("embed", help="generate embeddings from document "
+                        "text (hashed-ngram random-projection model, "
+                        "actor-pool inference); writes (vec_id, embedding)")
+    em.add_argument("--input", required=True,
+                    help="parquet of (doc_id, text)")
+    em.add_argument("--out", required=True)
+    em.add_argument("--dim", type=int, default=64)
+    em.add_argument("--seed", type=int, default=0)
+    em.set_defaults(fn=cmd_embed)
 
     kj = sub.add_parser("knn-join", help="exact cosine kNN join: each "
                         "left vector's top-k right neighbors")
