@@ -257,24 +257,41 @@ def run_bench() -> dict:
         pool.search(["warm"], "exact", 10)  # actor spin-up untimed
         refs = [pool.search_async(q, st, 10) for q, st in serve_qs]
         ray.get(refs)  # warm every replica's caches
+        # headline path: completion-driven dispatch (search_stream,
+        # r5 — bounded in-flight per replica, next request to the
+        # replica that just freed). All requests "arrive" at t0, so
+        # per-request latency = completion - t0 includes every queue.
         best = None
         lat_ms: list[float] = []
         for _ in range(3):
             t0 = time.monotonic()
-            pend = {}
-            for q, st in serve_qs:  # burst submit, per-query timestamps
-                pend[pool.search_async(q, st, 10)] = time.monotonic()
-            refs = list(pend)
-            while refs:  # per-query completion latency INCLUDING queue
-                done, refs = ray.wait(refs, num_returns=1)
-                lat_ms.append((time.monotonic() - pend[done[0]]) * 1000)
+            run = []
+            for _ix, _res in pool.search_stream(serve_qs, k=10):
+                run.append((time.monotonic() - t0) * 1000)
             dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, lat_ms = dt, run
         extras["serve_replicas"] = n_rep
         extras["serve_qps"] = round(len(serve_qs) / best, 1)
-        # pool-level latency percentiles under the concurrent mix
         extras["serve_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
         extras["serve_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
+        # paired A/B: the r4 round-robin burst (head-of-line-blocked)
+        rr_best = None
+        rr_lat: list[float] = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            run = []
+            pend = {pool.search_async(q, st, 10): t0 for q, st in serve_qs}
+            refs = list(pend)
+            while refs:
+                done, refs = ray.wait(refs, num_returns=1)
+                run.append((time.monotonic() - pend[done[0]]) * 1000)
+            dt = time.monotonic() - t0
+            if rr_best is None or dt < rr_best:
+                rr_best, rr_lat = dt, run
+        extras["serve_rr_qps"] = round(len(serve_qs) / rr_best, 1)
+        extras["serve_rr_p50_ms"] = round(float(np.percentile(rr_lat, 50)), 3)
+        extras["serve_rr_p95_ms"] = round(float(np.percentile(rr_lat, 95)), 3)
 
     # --- secondary pipelines over the sf dir -----------------------------
     if os.environ.get("BENCH_SKIP_SECONDARY"):

@@ -304,13 +304,24 @@ def _verify_candidate_pairs(
     texts_ref=None,
     verify_concurrency=(1, 4),
     join_partitions: int | None = None,
-    broadcast_max_pairs: int = 1_000_000,
+    broadcast_max_pairs: int = 64_000_000,
     broadcast_max_bytes: int = 1 << 30,
 ):
     """Tiered EXACT shingle-set-Jaccard verification of candidate
     (doc_a, doc_b) pairs against the corpus ``ds`` — the shared tail of
     the MinHash-LSH and exact n-gram-Jaccard paths. Tier selection and
-    scale reasoning are documented on minhash_near_dups."""
+    scale reasoning are documented on minhash_near_dups.
+
+    The broadcast tier is gated by SUSPECT-BLOB BYTES
+    (``broadcast_max_bytes``), not pair count: pair count measures how
+    many rows stream THROUGH the verifiers (cheap), while blob bytes
+    measure what every node must HOLD (the real bound). The r4 1M-pair
+    pre-gate pushed the 500k-doc probe's 7.6M boilerplate-collision
+    pairs onto the join tier, which re-ships each doc's ~1 KB blob once
+    per pair (~10 GB exchanged, 116 s); the broadcast tier holds the
+    500k unique suspects' blobs ONCE per node (~360 MB in plasma) and
+    streams the pairs. ``broadcast_max_pairs`` survives as the forced
+    tier switch (0 = always join) and a driver-side unique() bound."""
     import ray
 
     if texts_ref is not None:
@@ -341,11 +352,21 @@ def _verify_candidate_pairs(
     # blob once — no driver state of corpus size on either path.
     n_pairs = pairs.count()
     if n_pairs <= broadcast_max_pairs:
-        id_arr = np.unique(np.concatenate(
-            [np.concatenate([b["doc_a"], b["doc_b"]])
-             for b in pairs.iter_batches(batch_format="numpy",
-                                         batch_size=1 << 20)]
-            or [np.empty(0, np.int64)]))
+        # suspect ids: incremental bounded unique (re-compress whenever
+        # the accumulated per-batch uniques pass ~64M entries, so driver
+        # memory is O(unique suspects), never O(pairs))
+        chunks: list[np.ndarray] = []
+        acc = 0
+        for b in pairs.iter_batches(batch_format="numpy",
+                                    batch_size=1 << 20):
+            u = np.unique(np.concatenate([b["doc_a"], b["doc_b"]]))
+            chunks.append(u)
+            acc += u.size
+            if acc > (1 << 26):
+                chunks = [np.unique(np.concatenate(chunks))]
+                acc = chunks[0].size
+        id_arr = (np.unique(np.concatenate(chunks)) if chunks
+                  else np.empty(0, np.int64))
         id_ref = ray.put(id_arr)
 
         def candidate_blobs(t: pa.Table) -> pa.Table:
@@ -358,27 +379,56 @@ def _verify_candidate_pairs(
                                   batch_size=batch_size) \
             .map_batches(ShingleHashBatch(shingle_k),
                          batch_format="pyarrow", batch_size=batch_size)
-        blobs: dict[int, bytes] | None = {}
+        # pack suspect blobs into ONE numpy triple (sorted ids, offsets,
+        # byte buffer): ray.put of numpy arrays is plasma-backed, so
+        # every worker on a node shares one zero-copy mapping instead of
+        # each actor deserializing a python dict of bytes objects
+        ids_l: list[int] = []
+        blobs_l: list[bytes] | None = []
         total = 0
         for b in sh_small.iter_batches(batch_format="pyarrow",
                                        batch_size=8192):
             for d, blob in zip(b.column("doc_id").to_pylist(),
                                b.column("sh").to_pylist()):
                 total += len(blob)
-                blobs[d] = blob
+                ids_l.append(d)
+                blobs_l.append(blob)
             if total > broadcast_max_bytes:
                 logger.warning(
                     "minhash verify: candidate blobs exceed broadcast "
                     "budget (%d B) — falling back to the join path", total)
-                blobs = None
+                blobs_l = None
                 break
-        if blobs is not None:
-            blob_ref = ray.put(blobs)
+        if blobs_l is not None:
+            ids_np = np.asarray(ids_l, dtype=np.int64)
+            order = np.argsort(ids_np, kind="stable")
+            ids_np = ids_np[order]
+            lens = np.fromiter((len(blobs_l[i]) for i in order),
+                               dtype=np.int64, count=order.size)
+            offs = np.zeros(order.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            buf = np.frombuffer(
+                b"".join(blobs_l[i] for i in order) or b"\x00",
+                dtype=np.uint8)
+            blob_ref = ray.put((ids_np, offs, buf))
 
             def verify_broadcast(t: pa.Table) -> pa.Table:
-                bl = ray.get(blob_ref)
-                sh_a = [bl.get(a) for a in t.column("doc_a").to_pylist()]
-                sh_b = [bl.get(b) for b in t.column("doc_b").to_pylist()]
+                s_ids, s_offs, s_buf = ray.get(blob_ref)
+                mv = memoryview(s_buf)
+
+                def lookup(col: str) -> list[bytes | None]:
+                    vals = t.column(col).to_numpy()
+                    if s_ids.size == 0 or vals.size == 0:
+                        return [None] * vals.size
+                    ix = np.searchsorted(s_ids, vals)
+                    ix_c = np.minimum(ix, s_ids.size - 1)
+                    ok = s_ids[ix_c] == vals
+                    return [bytes(mv[s_offs[i]:s_offs[i + 1]]) if o
+                            else None
+                            for i, o in zip(ix_c, ok)]
+
+                sh_a = lookup("doc_a")
+                sh_b = lookup("doc_b")
                 return _verify_joined(
                     t.append_column("sh_a", pa.array(sh_a, pa.binary()))
                      .append_column("sh_b", pa.array(sh_b, pa.binary())),
@@ -418,7 +468,7 @@ def minhash_near_dups(
     verify_concurrency=(1, 4),
     bucket_cap: int = BUCKET_CAP_DEFAULT,
     join_partitions: int | None = None,
-    broadcast_max_pairs: int = 1_000_000,
+    broadcast_max_pairs: int = 64_000_000,
     broadcast_max_bytes: int = 1 << 30,
 ):
     """Full MinHash-LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard).
@@ -426,11 +476,13 @@ def minhash_near_dups(
     Verification never materializes the corpus on the driver; it picks the
     cheapest scale-safe tier:
 
-    1. candidate set small (``broadcast_max_pairs`` pairs AND
-       ``broadcast_max_bytes`` of blobs): ONE corpus pass filtered to
-       suspect docs computes their shingle-hash blobs, which broadcast to
-       the verifiers (semi-join reduction — driver memory is bounded by
-       the SUSPECT set, never the corpus);
+    1. suspect-blob bytes within ``broadcast_max_bytes`` (the REAL
+       bound — what each node must hold; ``broadcast_max_pairs`` is a
+       generous pre-gate on what streams through, and 0 forces tier 2):
+       ONE corpus pass filtered to suspect docs computes their
+       shingle-hash blobs, packed into a numpy (ids, offsets, buffer)
+       triple that lives once per node in plasma (semi-join reduction —
+       driver memory is bounded by the SUSPECT set, never the corpus);
     2. otherwise: two partitioned hash joins co-shuffle pairs with blobs
        (fully streaming at any size);
     3. ``texts_ref`` (a ``ray.put`` {doc_id: text} dict) forces the
@@ -473,7 +525,9 @@ class PrefixEmitBatch:
     Chaudhuri et al. ICDE'06 / Xiao et al. PPJoin). The emitted candidate
     set is therefore a SUPERSET of the true pairs — exact verification
     downstream makes the result identical to brute force. ``n_sh`` (the
-    doc's shingle-set size) rides along for the length filter."""
+    doc's shingle-set size) rides along for the length filter and
+    ``pos`` (the shingle's rank in the doc's sorted order) for the
+    positional filter (both applied in ``_prefix_bucket_pairs``)."""
 
     def __init__(self, shingle_k: int = 5, threshold: float = 0.5):
         self.k = shingle_k
@@ -481,7 +535,7 @@ class PrefixEmitBatch:
         self._re = token_regex()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_px, out_doc, out_n = [], [], []
+        out_px, out_doc, out_n, out_pos = [], [], [], []
         for d, text in zip(batch.column("doc_id").to_pylist(),
                            batch.column("text").to_pylist()):
             xs = _shingle_hash_array(text, self._re, self.k)
@@ -492,14 +546,17 @@ class PrefixEmitBatch:
             out_px.append(xs[:plen])
             out_doc.append(np.full(plen, d, dtype=np.int64))
             out_n.append(np.full(plen, n, dtype=np.int64))
+            out_pos.append(np.arange(plen, dtype=np.int64))
         if not out_px:
             return pa.table({"px": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
-                             "n_sh": pa.array([], pa.int64())})
+                             "n_sh": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
         return pa.table({
             "px": pa.array(np.concatenate(out_px)),
             "doc_id": pa.array(np.concatenate(out_doc)),
             "n_sh": pa.array(np.concatenate(out_n)),
+            "pos": pa.array(np.concatenate(out_pos)),
         })
 
 
@@ -511,20 +568,33 @@ def _prefix_bucket_pairs(g: pd.DataFrame, threshold: float,
     equal brute force. A group of s docs yields s*(s-1)/2 pairs, which is
     quadratic only in the size of a genuine near-identical cluster (every
     group member shares an identical k-shingle in its prefix); groups past
-    ``group_log_size`` are logged. The PPJoin length filter
-    (min(n_a, n_b) >= t * max(n_a, n_b)) prunes vectorized — it drops no
-    true pair because J >= t bounds the size ratio.
+    ``group_log_size`` are logged. Two lossless vectorized prunes:
+
+    - LENGTH filter (PPJoin): min(n_a, n_b) >= t * max(n_a, n_b) — J >= t
+      bounds the size ratio.
+    - POSITIONAL filter (Xiao et al. PPJoin): a pair colliding on a
+      shingle ranked pos_a / pos_b in each doc's sorted order can overlap
+      at most 1 + min(n_a - pos_a - 1, n_b - pos_b - 1); J >= t needs
+      overlap >= ceil(t * (n_a + n_b) / (1 + t)). Lossless under the
+      pair-dedup union downstream: a true pair's FIRST shared shingle (in
+      global hash order) lies inside both prefixes and satisfies the
+      bound there, so the pair survives in at least that group. This is
+      what kills the boilerplate blowup — thousands of docs sharing one
+      footer line collide on its few shingles, but with only ~k shared
+      shingles the bound can't reach the required overlap for most
+      collision positions (measured 500k-doc probe: the dominant cost).
 
     All group work is sorted-array slicing (one sort + boundary scan) —
     per-key pandas indexing was the partition hot spot; triu index
     templates are memoized by group size (groups are overwhelmingly
     tiny)."""
-    sub = (g[["px", "doc_id", "n_sh"]]
+    sub = (g[["px", "doc_id", "n_sh", "pos"]]
            .drop_duplicates(["px", "doc_id"])
            .sort_values(["px", "doc_id"]))
     px = sub["px"].to_numpy()
     docs = sub["doc_id"].to_numpy(dtype=np.int64)
     ns = sub["n_sh"].to_numpy(dtype=np.int64)
+    ps = sub["pos"].to_numpy(dtype=np.int64)
     a, b = [], []
     if px.size:
         bounds = np.flatnonzero(np.r_[True, px[1:] != px[:-1], True])
@@ -543,6 +613,13 @@ def _prefix_bucket_pairs(g: pd.DataFrame, threshold: float,
             ia, ib = triu_memo[cnt]
             na, nb = ns[s:e][ia], ns[s:e][ib]
             keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+            pa_, pb_ = ps[s:e][ia], ps[s:e][ib]
+            ubound = 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)
+            # required overlap; tiny eps guards float-exact thresholds
+            # (t=0.5, na+nb divisible by 3) against spurious round-up
+            alpha = np.ceil(threshold * (na + nb) / (1.0 + threshold)
+                            - 1e-9)
+            keep &= ubound >= alpha
             a.append(docs[s:e][ia[keep]])
             b.append(docs[s:e][ib[keep]])
     if a:
@@ -562,7 +639,7 @@ def ngram_jaccard_near_dups(
     texts_ref=None,
     verify_concurrency=(1, 4),
     join_partitions: int | None = None,
-    broadcast_max_pairs: int = 1_000_000,
+    broadcast_max_pairs: int = 64_000_000,
     broadcast_max_bytes: int = 1 << 30,
 ):
     """EXACT n-gram (k-shingle-set) Jaccard near-dup join: every unordered

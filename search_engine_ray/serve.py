@@ -173,6 +173,57 @@ class SearcherReplicaPool:
         return ray.get(self.search_async(queries, search_type, k, scorer,
                                          where, search_after))
 
+    def search_stream(self, requests, k=10, scorer="taat", window=2):
+        """Completion-driven dispatch for a BATCH of requests: yields
+        ``(request_index, result_table)`` as each completes, in
+        completion order.
+
+        Round-robin burst submission (``search_async`` in a loop) is
+        head-of-line-blocked: every request enters one replica's actor
+        queue up front, so a replica that drew expensive queries (fuzzy,
+        contains, bool) finishes long after its siblings idle — that
+        skew IS the serving p95 (measured 1.7x p50 under the bench mix).
+        Here at most ``window`` requests are in flight per replica and
+        the next request is dispatched to the least-loaded replica the
+        moment one completes, so a slow query delays at most
+        ``window - 1`` queued peers while every other replica keeps
+        pulling work — the shared-queue/work-stealing shape with queue
+        depth bounded driver-side.
+
+        ``requests`` is an iterable of ``(queries, search_type)`` pairs.
+        ``window=2`` keeps each replica pipelined (one running, one
+        queued) without re-creating deep actor queues.
+        """
+        it = iter(enumerate(requests))
+        inflight: dict = {}
+        load = [0] * len(self._replicas)
+
+        def submit(i, q, st):
+            r_ix = min(range(len(load)), key=load.__getitem__)
+            load[r_ix] += 1
+            ref = self._replicas[r_ix].search.remote(
+                q, st, k, scorer, None, None)
+            inflight[ref] = (i, r_ix)
+
+        for _ in range(max(1, window) * len(self._replicas)):
+            try:
+                i, (q, st) = next(it)
+            except StopIteration:
+                break
+            submit(i, q, st)
+        while inflight:
+            done, _ = ray.wait(list(inflight), num_returns=1)
+            i, r_ix = inflight.pop(done[0])
+            load[r_ix] -= 1
+            out = ray.get(done[0])
+            try:
+                j, (q, st) = next(it)
+            except StopIteration:
+                pass
+            else:
+                submit(j, q, st)
+            yield i, out
+
     def facet_counts(self, queries, search_type="or", by="lang",
                      where=None):
         r = self._replicas[self._next % len(self._replicas)]

@@ -133,6 +133,52 @@ def test_ngram_jaccard_equals_brute_force(docs_ds):
     assert (0, 21, 1.0) in got_set  # the planted exact dup
 
 
+def test_ngram_jaccard_positional_filter_lossless_on_boilerplate(ray_session):
+    """The positional filter targets exactly this shape — many otherwise-
+    unrelated docs sharing one short boilerplate line (the 500k-probe
+    candidate blowup). Output must STILL equal brute force: planted
+    near-dup pairs survive, boilerplate-only pairs are (correctly)
+    absent, at several thresholds."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_ray.functions.dedup import (
+        _hashset_jaccard, _shingle_hash_array, ngram_jaccard_near_dups)
+    from search_engine_ray.functions.textstats import (
+        round_half_away, token_regex)
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(400)]
+    footers = [f"footer variant {i} all rights reserved" for i in range(5)]
+    texts = []
+    for i in range(60):
+        toks = [vocab[int(j)] for j in rng.integers(0, 400, 40)]
+        if i % 3 == 0:  # 20 docs share each footer -> hot prefix groups
+            toks += footers[i % 5].split()
+        texts.append(" ".join(toks))
+        if i % 10 == 1:  # planted near-dups: mutate 2 tokens
+            toks2 = list(toks)
+            toks2[5], toks2[17] = "mut", "ated"
+            texts.append(" ".join(toks2))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    tok = token_regex()
+    hs = {i: _shingle_hash_array(x, tok, 5) for i, x in enumerate(texts)}
+    for thr in (0.3, 0.5, 0.8):
+        got = ngram_jaccard_near_dups(rd.from_arrow(t), threshold=thr
+                                      ).to_pandas()
+        got_set = [] if got.empty else sorted(
+            (int(a), int(b), float(j)) for a, b, j in
+            zip(got["doc_a"], got["doc_b"], got["jaccard"]))
+        bf = sorted(
+            (a, b, round_half_away(_hashset_jaccard(hs[a], hs[b])))
+            for a in hs for b in hs if a < b and hs[a].size and hs[b].size
+            and _hashset_jaccard(hs[a], hs[b]) >= thr)
+        assert got_set == bf, thr
+        if thr <= 0.5:
+            assert len(bf) >= 6  # the planted pairs are actually in play
+
+
 def test_ngram_jaccard_edge_semantics(ray_session):
     """threshold=1.0 (prefix length collapses to the single min hash)
     still finds exact duplicates; sub-k-token docs shingle as their whole

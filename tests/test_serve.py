@@ -43,6 +43,30 @@ def test_shard_server_matches_local(served, q, st):
     assert got.equals(want)
 
 
+def test_pool_search_stream_matches_search(served):
+    """search_stream (completion-driven dispatch) yields every request
+    exactly once with results identical to the one-at-a-time path,
+    regardless of completion order or window."""
+    reqs = QUERIES * 3
+    want = [served["pool"].search(q, st, k=10) for q, st in reqs]
+    for window in (1, 2, 5):
+        seen = {}
+        for i, res in served["pool"].search_stream(reqs, k=10,
+                                                   window=window):
+            assert i not in seen
+            seen[i] = res
+        assert sorted(seen) == list(range(len(reqs)))
+        for i, w in enumerate(want):
+            assert seen[i].equals(w), (window, reqs[i])
+
+
+def test_pool_search_stream_empty_and_short(served):
+    assert list(served["pool"].search_stream([], k=5)) == []
+    out = list(served["pool"].search_stream([(["mila"], "exact")], k=5))
+    assert len(out) == 1 and out[0][0] == 0
+    assert out[0][1].equals(served["pool"].search(["mila"], "exact", k=5))
+
+
 def test_pool_concurrent_queries(served):
     import ray
 
