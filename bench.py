@@ -257,25 +257,56 @@ def run_bench() -> dict:
         pool.search(["warm"], "exact", 10)  # actor spin-up untimed
         refs = [pool.search_async(q, st, 10) for q, st in serve_qs]
         ray.get(refs)  # warm every replica's caches
-        # headline path: completion-driven dispatch (search_stream,
-        # r5 — bounded in-flight per replica, next request to the
-        # replica that just freed). All requests "arrive" at t0, so
-        # per-request latency = completion - t0 includes every queue.
-        best = None
-        lat_ms: list[float] = []
-        for _ in range(3):
-            t0 = time.monotonic()
-            run = []
-            for _ix, _res in pool.search_stream(serve_qs, k=10):
-                run.append((time.monotonic() - t0) * 1000)
-            dt = time.monotonic() - t0
-            if best is None or dt < best:
-                best, lat_ms = dt, run
+        # serve_lb_*: completion-driven dispatch (search_stream, r5 —
+        # bounded in-flight per replica, next request to the replica
+        # that just freed = a closed-loop load balancer). Latency is
+        # DISPATCH-to-completion (on_dispatch stamp), i.e. service +
+        # bounded replica queue — the number a client behind this
+        # balancer sees; yield_refs skips per-completion ray.get so the
+        # dispatch loop keeps replicas saturated (the rr path below
+        # never gets results either).
+        def run_stream(reqs, window, drain):
+            best = None
+            lat_ms: list[float] = []
+            for _ in range(3):
+                disp: dict[int, float] = {}
+                run = []
+                t0 = time.monotonic()
+                for ix, _ref in pool.search_stream(
+                        reqs, k=10, yield_refs=True, window=window,
+                        drain=drain,
+                        on_dispatch=lambda i: disp.__setitem__(
+                            i, time.monotonic())):
+                    run.append((time.monotonic() - disp[ix]) * 1000)
+                dt = time.monotonic() - t0
+                if best is None or dt < best:
+                    best, lat_ms = dt, run
+            return best, lat_ms
+
+        best, lat_ms = run_stream(serve_qs, window=4, drain=8)
         extras["serve_replicas"] = n_rep
-        extras["serve_qps"] = round(len(serve_qs) / best, 1)
-        extras["serve_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
-        extras["serve_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
-        # paired A/B: the r4 round-robin burst (head-of-line-blocked)
+        extras["serve_lb_qps"] = round(len(serve_qs) / best, 1)
+        extras["serve_lb_p50_ms"] = round(
+            float(np.percentile(lat_ms, 50)), 3)
+        extras["serve_lb_p95_ms"] = round(
+            float(np.percentile(lat_ms, 95)), 3)
+        # homogeneous load isolates the SCHEDULER's tail (one mid-cost
+        # OR query): the mixed-load p95/p50 above also carries genuine
+        # per-type service variance (fuzzy/contains cost more than
+        # exact), which no dispatcher can remove
+        homog = [next(p for p in qs if p[1] == "or")] * len(serve_qs)
+        hbest, hlat = run_stream(homog, window=4, drain=8)
+        extras["serve_homog_p50_ms"] = round(
+            float(np.percentile(hlat, 50)), 3)
+        extras["serve_homog_p95_ms"] = round(
+            float(np.percentile(hlat, 95)), 3)
+        # serve_qps / serve_p50/p95: the r1-r4 round-robin burst, kept
+        # under the SAME keys for round-over-round comparability.
+        # NOTE latency semantics: these run from burst t0 and so include
+        # the FULL depth-n actor queue — the burst's completion profile.
+        # The serve_lb_* numbers above are per-request service latency
+        # through the bounded dispatcher; compare p95s across rounds in
+        # BASELINE with that caveat.
         rr_best = None
         rr_lat: list[float] = []
         for _ in range(3):
@@ -289,9 +320,9 @@ def run_bench() -> dict:
             dt = time.monotonic() - t0
             if rr_best is None or dt < rr_best:
                 rr_best, rr_lat = dt, run
-        extras["serve_rr_qps"] = round(len(serve_qs) / rr_best, 1)
-        extras["serve_rr_p50_ms"] = round(float(np.percentile(rr_lat, 50)), 3)
-        extras["serve_rr_p95_ms"] = round(float(np.percentile(rr_lat, 95)), 3)
+        extras["serve_qps"] = round(len(serve_qs) / rr_best, 1)
+        extras["serve_p50_ms"] = round(float(np.percentile(rr_lat, 50)), 3)
+        extras["serve_p95_ms"] = round(float(np.percentile(rr_lat, 95)), 3)
 
     # --- secondary pipelines over the sf dir -----------------------------
     if os.environ.get("BENCH_SKIP_SECONDARY"):

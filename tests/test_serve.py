@@ -47,15 +47,20 @@ def test_pool_search_stream_matches_search(served):
     """search_stream (completion-driven dispatch) yields every request
     exactly once with results identical to the one-at-a-time path,
     regardless of completion order or window."""
+    import ray
+
     reqs = QUERIES * 3
     want = [served["pool"].search(q, st, k=10) for q, st in reqs]
-    for window in (1, 2, 5):
+    for window, drain, refs in ((1, 1, False), (2, 4, False), (5, 8, True)):
         seen = {}
-        for i, res in served["pool"].search_stream(reqs, k=10,
-                                                   window=window):
+        dispatched = []
+        for i, res in served["pool"].search_stream(
+                reqs, k=10, window=window, drain=drain, yield_refs=refs,
+                on_dispatch=dispatched.append):
             assert i not in seen
-            seen[i] = res
+            seen[i] = ray.get(res) if refs else res
         assert sorted(seen) == list(range(len(reqs)))
+        assert sorted(dispatched) == list(range(len(reqs)))
         for i, w in enumerate(want):
             assert seen[i].equals(w), (window, reqs[i])
 
