@@ -61,9 +61,12 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
     ``_side``, copy its key to ``_jkey``, union the two Datasets, and
     shuffle ONCE on the coarse ``_jkey`` bucket — every key's rows from
     both sides co-locate, and each bucket runs one vectorized
-    ``pandas.merge``. Integer dtypes nulled by the schema-pad are
-    restored after the merge (the pad itself never survives: each side
-    re-selects only its own columns)."""
+    ``pandas.merge``. INTEGER columns are padded with typed ZEROS, not
+    nulls: an Arrow int64 column with any null converts to pandas
+    float64 for the whole bucket, silently rounding values above 2^53 —
+    this repo's 61-bit doc_ids corrupt. The pad never survives (each
+    side re-selects only its own columns), so the zeros are never
+    read; non-integer columns still pad with nulls."""
     lf, rf = _arrow_fields(left), _arrow_fields(right)
     lcols = [n for n, _ in lf]
     rcols = [n for n, _ in rf]
@@ -73,6 +76,8 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
     all_fields = lf + [(n, t) for n, t in rf if n not in lcols]
     int_cols = {n for n, t in all_fields
                 if pa.types.is_integer(t)}
+    int_dtypes = {n: t.to_pandas_dtype() for n, t in all_fields
+                  if pa.types.is_integer(t)}
 
     def pad(side_fields, key, side):
         def fn(batch: pa.Table) -> pa.Table:
@@ -84,6 +89,9 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
                     if pa.types.is_null(col.type) and not pa.types.is_null(typ):
                         col = col.cast(typ)
                     cols[name] = col
+                elif pa.types.is_integer(typ):
+                    # zero-pad ints (exactness — see docstring)
+                    cols[name] = pa.nulls(n, typ).fill_null(0)
                 else:
                     cols[name] = pa.nulls(n, typ)
             cols["_jkey"] = batch.column(key)
@@ -103,12 +111,12 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
             for c in cols:
                 if c in int_cols and frame[c].dtype.kind == "f" \
                         and not frame[c].isna().any():
-                    frame[c] = frame[c].astype("int64")
+                    frame[c] = frame[c].astype(int_dtypes[c])
         out = lhs.merge(rhs, left_on=left_on, right_on=right_on, how=how)
         for c in out.columns:  # pandas re-floats ints on empty merges
             if c in int_cols and out[c].dtype.kind == "f" \
                     and not out[c].isna().any():
-                out[c] = out[c].astype("int64")
+                out[c] = out[c].astype(int_dtypes[c])
         return out
 
     return bucketed_group_agg(both, ["_jkey"], merge_bucket, num_buckets)
@@ -133,6 +141,8 @@ def semi_join(left, keys, on: str, keys_on: str | None = None,
     lcols = [n for n, _ in lf]
     key_type = dict(lf)[on]
     int_cols = {n for n, t in lf if pa.types.is_integer(t)}
+    int_dtypes = {n: t.to_pandas_dtype() for n, t in lf
+                  if pa.types.is_integer(t)}
     kcol = keys_on or on
 
     def pad_left(batch: pa.Table) -> pa.Table:
@@ -142,7 +152,13 @@ def semi_join(left, keys, on: str, keys_on: str | None = None,
 
     def pad_keys(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        cols = {name: pa.nulls(n, typ) for name, typ in lf}
+        # zero-pad INTEGER columns: Arrow int64 + any null converts the
+        # whole bucket column to pandas float64, silently rounding
+        # values above 2^53 (61-bit doc_ids corrupt). The pad rows are
+        # _side==0 and never selected into the output.
+        cols = {name: (pa.nulls(n, typ).fill_null(0)
+                       if pa.types.is_integer(typ) else pa.nulls(n, typ))
+                for name, typ in lf}
         cols["_jkey"] = batch.column(kcol).cast(key_type)
         cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols)
@@ -156,10 +172,10 @@ def semi_join(left, keys, on: str, keys_on: str | None = None,
         kvals = g.loc[g["_side"] == 0, "_jkey"].to_numpy()
         m = np.isin(lhs["_jkey"].to_numpy(), kvals)
         out = lhs.loc[~m if anti else m, lcols].copy()
-        for c in lcols:  # the keys-side pad nulls re-float int columns
+        for c in lcols:  # only left columns with GENUINE nulls re-float
             if c in int_cols and out[c].dtype.kind == "f" \
                     and not out[c].isna().any():
-                out[c] = out[c].astype("int64")
+                out[c] = out[c].astype(int_dtypes[c])
         return out
 
     return bucketed_group_agg(both, ["_jkey"], filter_bucket, num_buckets)

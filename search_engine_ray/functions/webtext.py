@@ -1003,15 +1003,17 @@ def _line_reassemble(g: pd.DataFrame) -> pd.DataFrame:
     doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     ln_no = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
     if len(rem) and n:
-        # map removal doc_ids -> local doc ordinal (vectorized hash
-        # lookup); pack (ordinal, line_no) into one int64 key. ordinal
-        # < bucket size and line_no <= max lines/doc, so the product
-        # stays far below 2^63 even at huge buckets.
-        rem_ix = pd.Index(dids).get_indexer(rem["doc_id"].to_numpy())
+        # map removal doc_ids -> factorized VALUE codes (not row
+        # ordinals: duplicate doc_id rows — tolerated by the r4 loop —
+        # must each apply the same removal set); pack (code, line_no)
+        # into one int64 key. code < bucket size and line_no <= max
+        # lines/doc, so the product stays far below 2^63.
+        codes, uniq = pd.factorize(dids.to_numpy())
+        rem_ix = pd.Index(uniq).get_indexer(rem["doc_id"].to_numpy())
         rem_ln = rem["line_no"].to_numpy()
         ok = (rem_ix >= 0) & (rem_ln <= counts.max())
         mult = int(counts.max()) + 1
-        kept_mask = ~np.isin(doc_ix * mult + ln_no,
+        kept_mask = ~np.isin(codes[doc_ix] * mult + ln_no,
                              rem_ix[ok] * mult + rem_ln[ok])
     else:
         kept_mask = np.ones(n, dtype=bool)

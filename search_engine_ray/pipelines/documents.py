@@ -869,7 +869,6 @@ def doc_lm_signals(sf_dir: str, n_buckets: int = 3):
     import pandas as pd
     import ray
 
-    from search_engine_ray.functions.join import bucketed_hash_join
     from search_engine_ray.functions.webtext import (
         BigramSurprisalBatch,
         RepetitionStatsBatch,
@@ -880,7 +879,10 @@ def doc_lm_signals(sf_dir: str, n_buckets: int = 3):
     from search_engine_ray.pool import actor_pool_size
     from search_engine_ray.stages.agg import bucketed_group_agg
 
-    ds = load_documents(sf_dir)
+    # source rides the SAME scan the signals read (one read, no join —
+    # the fused batch carries the column through)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
     model_ref = ray.put(_unigram_model(ds))
     bi_ref = ray.put(_bigram_model(ds))
 
@@ -898,23 +900,17 @@ def doc_lm_signals(sf_dir: str, n_buckets: int = 3):
             bi = self._bi(batch)
             for col in ("n_bigrams", "mean_bi_nll"):
                 out = out.append_column(col, bi.column(col))
-            return out
+            return out.append_column("source", batch.column("source"))
 
-    lm = ds.map_batches(
+    joined = ds.map_batches(
         Fused, fn_constructor_args=(model_ref, bi_ref),
         batch_format="pyarrow",
         batch_size=1024, concurrency=actor_pool_size())
 
     # CCNet head/middle/tail bucket per SOURCE over the 6-dp mean_nll
     # (SurprisalBatch rounds, so the rank input is cross-engine-stable):
-    # one bucketed join for the source column, ONE source-bucket
-    # exchange for the ntile — same shape as quality_buckets_docs.
-    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "source"]).map_batches(
-        lambda df: df.rename(columns={"doc_id": "src_doc_id"}),
-        batch_format="pandas")
-    joined = bucketed_hash_join(lm, src,
-                                left_on="doc_id", right_on="src_doc_id")
+    # ONE source-bucket exchange for the ntile — same shape as
+    # quality_buckets_docs.
     sig_cols = ["doc_id", "dup_line_frac", "dup_line_char_frac",
                 "dup_3gram_frac", "top_2gram_frac", "n_tokens",
                 "mean_nll", "n_bigrams", "mean_bi_nll"]

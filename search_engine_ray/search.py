@@ -272,6 +272,11 @@ class LocalSearcher:
                                 "postings.parquet")
             bk = _Bucket(pq.read_table(path))
             self._buckets[b] = bk
+            if hasattr(self, "_tviews"):
+                # the full bucket supersedes the cold terms+df view —
+                # keeping both doubles vocabulary memory for the
+                # searcher's lifetime
+                self._tviews.pop(b, None)
         return bk
 
     def terms_df(self, b: int) -> tuple[list[str], np.ndarray]:

@@ -202,13 +202,15 @@ class SearcherReplicaPool:
         moment a request is handed to a replica — latency measured from
         there is dispatch-to-completion (closed-loop service latency),
         free of driver-queue artifacts. ``drain`` batches the dispatch
-        loop: each ``ray.wait`` collects up to that many completions
-        before refilling, amortizing the per-completion driver cost (one
-        wait + one ``.remote`` per query otherwise caps the feed rate
-        below what the replicas consume at ms-scale queries); measured
-        sweep at 8 replicas: drain=1 ~1.9k QPS, drain=4-8 ~2.8-3.3k QPS
-        at p95 under 15 ms, vs the round-robin burst's equal QPS at a
-        40+ ms queue-dominated p95.
+        loop: each pass blocks for ONE completion then drains up to
+        ``drain - 1`` already-finished refs with a zero-timeout wait,
+        amortizing the per-completion driver cost (one wait + one
+        ``.remote`` per query otherwise caps the feed rate below what
+        the replicas consume at ms-scale queries) without skewing
+        per-request completion stamps; measured sweep at 8 replicas:
+        drain=1 ~1.9k QPS, drain=4-8 ~2.8-3.3k QPS at p95 under 15 ms,
+        vs the round-robin burst's equal QPS at a 40+ ms
+        queue-dominated p95.
         """
         it = iter(enumerate(requests))
         inflight: dict = {}
@@ -230,9 +232,17 @@ class SearcherReplicaPool:
                 break
             submit(i, q, st)
         while inflight:
-            done, _ = ray.wait(list(inflight),
-                               num_returns=min(max(1, drain),
-                                               len(inflight)))
+            # block for ONE completion, then opportunistically drain up
+            # to drain-1 ALREADY-finished refs without blocking: the
+            # amortization of a multi-return wait without its stamping
+            # skew (a blocking num_returns=k wait reports the FIRST
+            # finisher of each batch k-1 service times late)
+            done, rest = ray.wait(list(inflight), num_returns=1)
+            if rest and drain > 1:
+                extra, _ = ray.wait(
+                    rest, num_returns=min(drain - 1, len(rest)),
+                    timeout=0)
+                done = list(done) + extra
             fresh = []
             for d in done:
                 i, r_ix = inflight.pop(d)

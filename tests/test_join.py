@@ -97,3 +97,67 @@ def test_semi_join_keys_on_disjoint_name(ray_session):
                     on="doc_id", keys_on="kid", num_buckets=4).to_pandas()
     assert sorted(got["doc_id"].tolist()) == [2, 5]
     assert sorted(got.columns) == ["doc_id", "t"]
+
+
+def test_semi_join_exact_above_2_53(ray_session):
+    """61-bit keys (the repo's doc_id convention) survive the
+    semi/anti join EXACTLY: the keys-side schema pad must not force
+    the left's int columns through float64 (which silently rounds
+    above 2^53 — caught by round-5 code review, repro'd live)."""
+    from search_engine_ray.functions.join import semi_join
+
+    base = 1 << 60
+    left = pd.DataFrame({
+        "doc_id": pd.array([base + 1, base + 3, base + 5, 7],
+                           dtype="int64"),
+        "payload": pd.array([base + 11, base + 13, base + 15, 17],
+                            dtype="int64"),
+    })
+    keys = pd.DataFrame({"doc_id": pd.array([base + 1, 7, base + 9],
+                                            dtype="int64")})
+    got = semi_join(rd.from_pandas(left), rd.from_pandas(keys),
+                    on="doc_id", num_buckets=4).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [7, base + 1]
+    assert got["payload"].tolist() == [17, base + 11]
+    assert got["doc_id"].dtype.kind == "i"
+    anti = semi_join(rd.from_pandas(left), rd.from_pandas(keys),
+                     on="doc_id", anti=True, num_buckets=4).to_pandas()
+    assert sorted(anti["doc_id"]) == [base + 3, base + 5]
+
+
+def test_bucketed_hash_join_exact_above_2_53(ray_session):
+    """Same exactness claim for the full hash join: both sides' int64
+    columns keep every bit through the tagged-union pad."""
+    base = 1 << 60
+    lhs = pd.DataFrame({"lk": pd.array([base + 1, base + 2, 3],
+                                       dtype="int64"),
+                        "lv": pd.array([base + 21, base + 22, 23],
+                                       dtype="int64")})
+    rhs = pd.DataFrame({"rk": pd.array([base + 1, 3], dtype="int64"),
+                        "rv": pd.array([base + 31, 33], dtype="int64")})
+    got = (bucketed_hash_join(rd.from_pandas(lhs), rd.from_pandas(rhs),
+                              left_on="lk", right_on="rk",
+                              num_buckets=4)
+           .to_pandas().sort_values("lk").reset_index(drop=True))
+    want = (lhs.merge(rhs, left_on="lk", right_on="rk")
+            .sort_values("lk").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_semi_join_preserves_narrow_int_dtype(ray_session):
+    """An int32 left column comes back int32 (schema contract:
+    output columns == left's columns, types included)."""
+    import pyarrow as pa
+
+    from search_engine_ray.functions.join import semi_join
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "small": pa.array([10, 20, 30], pa.int32()),
+    })
+    keys = pa.table({"doc_id": pa.array([2, 3], pa.int64())})
+    got = semi_join(rd.from_arrow(t), rd.from_arrow(keys),
+                    on="doc_id", num_buckets=2)
+    sch = got.take_batch(10, batch_format="pyarrow").schema
+    assert sch.field("small").type == pa.int32()

@@ -503,6 +503,31 @@ def test_corpus_shuffle_dense_rank_and_determinism(ray_session):
     assert a.equals(b)
 
 
+def test_line_dedup_tolerates_duplicate_doc_id_rows(ray_session):
+    """Two input rows sharing one doc_id must not CRASH the vectorized
+    reassembly (round-5 code review: pd.Index.get_indexer raises on a
+    non-unique index; the fix factorizes to value codes). Semantics
+    with duplicate ids match the r4 loop: removals key on the doc_id
+    VALUE, so the twin rows' identical (doc_id, line_no) triplets mark
+    each other as removals — both rows empty out (doc_id is the
+    identity key; duplicates are contract-violating input, the
+    guarantee is one output row per input row, no crash)."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.webtext import line_dedup
+
+    docs = [
+        {"doc_id": 1, "text": "alpha\nshared line\nbeta"},
+        {"doc_id": 1, "text": "alpha\nshared line\nbeta"},  # dup row
+        {"doc_id": 2, "text": "shared line\ngamma"},
+    ]
+    out = line_dedup(rd.from_items(docs), num_buckets=2).to_pandas()
+    assert len(out) == 3
+    assert set(out[out.doc_id == 1].clean_text) == {""}
+    two = out[out.doc_id == 2].iloc[0]
+    assert two.clean_text == "gamma" and two.n_lines_removed == 1
+
+
 def test_line_dedup_no_duplicates_is_identity(ray_session):
     """A corpus with zero duplicate lines must pass through unchanged
     (exercises the empty-removals side of the union: every line-hash
