@@ -441,10 +441,11 @@ def run_bench() -> dict:
         extras[name] = round(kbest, 3)
 
     # --- paired A/B: line_dedup reassembly kernel, vectorized vs r4 loop --
-    # (r5, VERDICT r4 #3: split/explode + hash-merge + bincount replaced
-    # the per-doc Python loop probing a per-line set. Same in-process
-    # bucket shape the map_groups stage sees: docs tagged line_no=-1
-    # UNION (doc_id, line_no) removal pairs.)
+    # (r5, VERDICT r4 #3: compiled-regex split + flat-numpy flatten /
+    # packed-key np.isin / bincount replaced the per-doc Python loop
+    # probing a per-line set. Same in-process bucket shape the
+    # map_groups stage sees: docs tagged line_no=-1 UNION
+    # (doc_id, line_no) removal pairs.)
     import pandas as _pd
 
     from search_engine_ray.functions.webtext import (

@@ -134,6 +134,14 @@ def main() -> int:
                  include_dashboard=False)
     from search_engine_ray.pipelines import documents as d
 
+    # host stamp: one single-threaded calibration kernel (same one
+    # bench.py normalizes with) so a degraded hypervisor window is
+    # visible in the record — on this VM identical runs swing 2-3x
+    from bench import _calib_kernel
+    t0 = time.monotonic()
+    _calib_kernel(1)
+    calib_s = time.monotonic() - t0
+
     os.makedirs(args.out, exist_ok=True)
     t0 = time.monotonic()
     synthesize(args.out, args.n_docs)
@@ -144,9 +152,12 @@ def main() -> int:
         "ngram": d.ngram_jaccard_pairs,
         "spans": d.dup_spans_docs,
         "line": d.line_dedup_docs,
+        "simhash": d.simhash_pairs,
+        "clusters": d.near_dup_clusters_docs,
     }
     out = {"n_docs": args.n_docs, "num_cpus": args.num_cpus,
-           "gen_s": round(gen_s, 2), "pipelines": {}}
+           "gen_s": round(gen_s, 2), "calib_s": round(calib_s, 2),
+           "pipelines": {}}
     for name in args.pipelines.split(","):
         fn = runs[name.strip()]
         t0 = time.monotonic()
