@@ -440,6 +440,69 @@ def run_bench() -> dict:
             kbest = kdt if kbest is None else min(kbest, kdt)
         extras[name] = round(kbest, 3)
 
+    # --- paired A/B: ngram pairgen kernel, 2-group-vectorized vs loop ----
+    # (r5: size-2 prefix groups — the overwhelming case, random shingle
+    # collisions — emit in ONE vectorized pass; the per-group Python
+    # loop only touches cnt >= 3. Same partition shape the map_groups
+    # stage sees; filters identical, pair set identical by test.)
+    from search_engine_ray.functions.dedup import _prefix_bucket_pairs
+
+    def _legacy_pairgen(g, threshold=0.5):  # pre-r5 per-group loop
+        sub = (g[["px", "doc_id", "n_sh", "pos"]]
+               .drop_duplicates(["px", "doc_id"]).sort_values(
+                   ["px", "doc_id"]))
+        gpx = sub["px"].to_numpy()
+        docs = sub["doc_id"].to_numpy(np.int64)
+        ns = sub["n_sh"].to_numpy(np.int64)
+        ps = sub["pos"].to_numpy(np.int64)
+        a, b = [], []
+        if gpx.size:
+            bounds = np.flatnonzero(np.r_[True, gpx[1:] != gpx[:-1], True])
+            memo = {}
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                cnt = e - s
+                if cnt < 2:
+                    continue
+                if cnt not in memo:
+                    memo[cnt] = np.triu_indices(cnt, k=1)
+                ia, ib = memo[cnt]
+                na, nb = ns[s:e][ia], ns[s:e][ib]
+                keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+                pa_, pb_ = ps[s:e][ia], ps[s:e][ib]
+                ub = 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)
+                al = np.ceil(threshold * (na + nb) / (1.0 + threshold)
+                             - 1e-9)
+                keep &= ub >= al
+                a.append(docs[s:e][ia[keep]])
+                b.append(docs[s:e][ib[keep]])
+        import pandas as _pd2
+        av = np.concatenate(a) if a else np.empty(0, np.int64)
+        bv = np.concatenate(b) if b else np.empty(0, np.int64)
+        return _pd2.DataFrame({"doc_a": _pd2.Series(av, dtype="int64"),
+                               "doc_b": _pd2.Series(bv, dtype="int64")})
+
+    rng3 = np.random.default_rng(3)
+    gsizes = rng3.choice([1, 2, 3, 5], size=100_000,
+                         p=[0.55, 0.4, 0.04, 0.01])
+    gpx = np.repeat(np.arange(100_000, dtype=np.int64), gsizes)
+    import pandas as _pd3
+    pg = _pd3.DataFrame({
+        "px": gpx,
+        "doc_id": rng3.integers(0, 1 << 60, gpx.size).astype("int64"),
+        "n_sh": rng3.integers(40, 120, gpx.size).astype("int64"),
+        "pos": rng3.integers(0, 40, gpx.size).astype("int64"),
+    })
+    for name, fn in (("ngram_pairgen_loop_s", _legacy_pairgen),
+                     ("ngram_pairgen_vec_s", _prefix_bucket_pairs)):
+        fn(pg, 0.5)  # warm
+        kbest = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn(pg, 0.5)
+            kdt = time.monotonic() - t0
+            kbest = kdt if kbest is None else min(kbest, kdt)
+        extras[name] = round(kbest, 3)
+
     # --- paired A/B: line_dedup reassembly kernel, vectorized vs r4 loop --
     # (r5, VERDICT r4 #3: compiled-regex split + flat-numpy flatten /
     # packed-key np.isin / bincount replaced the per-doc Python loop

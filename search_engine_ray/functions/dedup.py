@@ -596,13 +596,34 @@ def _prefix_bucket_pairs(g: pd.DataFrame, threshold: float,
     ns = sub["n_sh"].to_numpy(dtype=np.int64)
     ps = sub["pos"].to_numpy(dtype=np.int64)
     a, b = [], []
+
+    def emit(ai, bi):
+        """Apply the length + positional filters to index-pair arrays
+        (indices into the partition's sorted rows) and collect pairs."""
+        na, nb = ns[ai], ns[bi]
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        pa_, pb_ = ps[ai], ps[bi]
+        ubound = 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)
+        # required overlap; tiny eps guards float-exact thresholds
+        # (t=0.5, na+nb divisible by 3) against spurious round-up
+        alpha = np.ceil(threshold * (na + nb) / (1.0 + threshold)
+                        - 1e-9)
+        keep &= ubound >= alpha
+        a.append(docs[ai[keep]])
+        b.append(docs[bi[keep]])
+
     if px.size:
         bounds = np.flatnonzero(np.r_[True, px[1:] != px[:-1], True])
+        sizes = np.diff(bounds)
+        # size-2 groups are the overwhelming case (random shingle
+        # collisions): ONE vectorized emit for all of them, no Python
+        # loop — the per-group loop below only touches cnt >= 3
+        s2 = bounds[:-1][sizes == 2]
+        if s2.size:
+            emit(s2, s2 + 1)
         triu_memo: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for s, e in zip(bounds[:-1], bounds[1:]):
+        for s, e in zip(bounds[:-1][sizes > 2], bounds[1:][sizes > 2]):
             cnt = e - s
-            if cnt < 2:
-                continue
             if cnt > group_log_size:
                 logger.warning(
                     "ngram-jaccard: prefix group px=%d has %d docs "
@@ -611,17 +632,7 @@ def _prefix_bucket_pairs(g: pd.DataFrame, threshold: float,
             if cnt not in triu_memo:
                 triu_memo[cnt] = np.triu_indices(cnt, k=1)
             ia, ib = triu_memo[cnt]
-            na, nb = ns[s:e][ia], ns[s:e][ib]
-            keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
-            pa_, pb_ = ps[s:e][ia], ps[s:e][ib]
-            ubound = 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)
-            # required overlap; tiny eps guards float-exact thresholds
-            # (t=0.5, na+nb divisible by 3) against spurious round-up
-            alpha = np.ceil(threshold * (na + nb) / (1.0 + threshold)
-                            - 1e-9)
-            keep &= ubound >= alpha
-            a.append(docs[s:e][ia[keep]])
-            b.append(docs[s:e][ib[keep]])
+            emit(s + ia, s + ib)
     if a:
         av = np.concatenate(a)
         bv = np.concatenate(b)
