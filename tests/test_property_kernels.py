@@ -194,3 +194,52 @@ def test_after_filter_paginates_without_skips_or_repeats(rows, page):
         # the cursor contract: (score, first ordinal STRICTLY after id)
         after = (last_sc, last_id + 1)
     assert got == full
+
+
+pairgen_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),        # px group
+        st.integers(min_value=0, max_value=(1 << 61)), # doc_id (61-bit)
+        st.integers(min_value=1, max_value=40),        # n_sh
+    ),
+    min_size=0, max_size=120,
+)
+
+
+@given(pairgen_strategy,
+       st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+@settings(max_examples=60, deadline=None)
+def test_prefix_pairgen_superset_of_filters_quadratic(rows, threshold):
+    """_prefix_bucket_pairs == the literal quadratic pair generator with
+    the same length+positional filters, for ANY partition shape —
+    including the size-2 fast path, duplicate (px, doc_id) rows, and
+    61-bit ids. pos is derived < n_sh as in PrefixEmitBatch."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_ray.functions.dedup import _prefix_bucket_pairs
+
+    # pos must be a valid prefix rank: pos < plen <= n_sh
+    data = [(px, d, n, (d + px) % n) for px, d, n in rows]
+    g = pd.DataFrame(data, columns=["px", "doc_id", "n_sh", "pos"])
+    got = _prefix_bucket_pairs(g, threshold)
+    got_set = set(zip(got["doc_a"], got["doc_b"]))
+
+    want = set()
+    dd = g.drop_duplicates(["px", "doc_id"]).sort_values(["px", "doc_id"])
+    for _, grp in dd.groupby("px"):
+        rs = list(grp.itertuples(index=False))
+        for i in range(len(rs)):
+            for j in range(i + 1, len(rs)):
+                na, nb = rs[i].n_sh, rs[j].n_sh
+                if min(na, nb) < threshold * max(na, nb):
+                    continue
+                ub = 1 + min(na - rs[i].pos - 1, nb - rs[j].pos - 1)
+                alpha = math.ceil(
+                    threshold * (na + nb) / (1.0 + threshold) - 1e-9)
+                if ub < alpha:
+                    continue
+                want.add((rs[i].doc_id, rs[j].doc_id))
+    assert got_set == want
