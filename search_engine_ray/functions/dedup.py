@@ -434,9 +434,13 @@ def _verify_candidate_pairs(
                      .append_column("sh_b", pa.array(sh_b, pa.binary())),
                     threshold)
 
+            # 8k pairs/batch: each batch materializes ~2 x 8k blob
+            # slices (~12 MB at 750 B/blob) — small heap, and an
+            # order of magnitude fewer tasks than 1k batches when the
+            # candidate set runs to millions (the 500k-probe regime)
             return pairs.map_batches(verify_broadcast,
                                      batch_format="pyarrow",
-                                     batch_size=1024)
+                                     batch_size=8192)
     sh = ds.map_batches(ShingleHashBatch(shingle_k),
                         batch_format="pyarrow", batch_size=batch_size)
     j = pairs.join(sh, "inner", join_partitions,
