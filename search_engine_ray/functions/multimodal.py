@@ -349,6 +349,63 @@ def sample_video_frames(ds, n_frames: int = 4, decoder: str = "pure",
     )
 
 
+def synthetic_media_analytic(n: int = 48) -> pa.Table:
+    """Media fixture whose pixel/sample CONTENT follows closed-form
+    integer formulas of ``media_id`` — so an independent SQL engine can
+    recompute the decoded statistics from first principles (DuckDB
+    ``generate_series`` + a float32-faithful replay; see the
+    ``media_features`` oracle in ``__ray_entry__``). The payload bytes
+    are still REAL encoded formats (BMP / PCM-16 WAV / GVID), so the
+    engine path exercises the actual encode → parse → featurize chain;
+    the oracle checks that the round trip preserves the analytic signal
+    exactly (6-dp).
+
+    Content contract (i = media_id; any change must update the SQL twin):
+
+    * image  (i%3==0): h = 4+(i*7)%13, w = 4+(i*11)%13,
+      gray(r, c) = (i*31 + r*17 + c*7) % 256
+    * audio  (i%3==1): n = 64+(i*29)%448,
+      sample(j) = ((i*13 + j*97)*2731) % 65536 - 32768
+    * video  (i%3==2): nf = 3+(i%4), h = 4+(i*7)%9, w = 4+(i*11)%9,
+      gray(f, r, c) = (i*31 + f*53 + r*17 + c*7) % 256
+    """
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            h, w = 4 + (i * 7) % 13, 4 + (i * 11) % 13
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            payload = encode_bmp(
+                ((i * 31 + r * 17 + c * 7) % 256).astype(np.uint8))
+            dur = 0
+        elif kind == "audio":
+            n_samp = 64 + (i * 29) % 448
+            j = np.arange(n_samp, dtype=np.int64)
+            s = ((i * 13 + j * 97) * 2731) % 65536 - 32768
+            payload = encode_wav(s.astype(np.int16), rate=8000)
+            w = h = 0
+            dur = int(n_samp * 1000 / 8000)
+        else:
+            nf = 3 + (i % 4)
+            h, w = 4 + (i * 7) % 9, 4 + (i * 11) % 9
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            payload = encode_video([
+                ((i * 31 + f * 53 + r * 17 + c * 7) % 256).astype(np.uint8)
+                for f in range(nf)])
+            dur = nf * 40
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append({"image": "image/bmp", "audio": "audio/wav",
+                             "video": "video/x-gvid"}[kind])
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def synthetic_media(n: int, seed: int = 42, real: bool = True) -> pa.Table:
     """Deterministic media fixture table. ``real=True`` (default) writes
     REAL payload bytes in the formats ``PureDecoder`` parses — BMP images

@@ -811,15 +811,33 @@ def media_features_demo(sf_dir: str):
     """Multimodal decode + featurize on a deterministic media table of
     REAL payload bytes (BMP / PCM-16 WAV / GVID frame container, parsed
     by the dependency-free PureDecoder — see functions/multimodal.py);
-    sf_dir unused (testdata ships no media columns). Emits real decoded
-    width/height/sample stats per row (golden-pinned by pytest)."""
+    sf_dir unused (testdata ships no media columns). The fixture's
+    pixel/sample content follows closed-form formulas of media_id
+    (synthetic_media_analytic), so a SQL oracle recomputes every decoded
+    stat from first principles — the whole encode → parse → featurize
+    round trip is hash-checked, not just row counts. The pooled feature
+    vector is checked through its L2 norm (a scalar the driver's
+    column-sorted value hash handles; the raw list stays on the library
+    surface via media_features)."""
+    import numpy as np
+    import pyarrow as pa
+
     from search_engine_ray.functions.multimodal import (
         media_features,
-        synthetic_media,
+        synthetic_media_analytic,
     )
 
-    ds = rd.from_arrow(synthetic_media(48))
-    return media_features(ds)
+    ds = rd.from_arrow(synthetic_media_analytic(48))
+
+    def project(t: pa.Table) -> pa.Table:
+        l2 = [round(float(np.sqrt(np.sum(
+                  np.asarray(f, dtype=np.float64) ** 2))), 6)
+              for f in t.column("feature").to_pylist()]
+        return t.drop_columns(["feature"]).append_column(
+            "feature_l2", pa.array(l2, pa.float64()))
+
+    return media_features(ds).map_batches(
+        project, batch_format="pyarrow", batch_size=64)
 
 
 # --- merged driver entries (one query = several operators) ----------------

@@ -98,6 +98,7 @@ SQL_BACKED = [
     "bool_search",  # AND/OR/NOT boolean algebra over postings (r3 s5)
     "events_funnel",  # sequential funnel stages within a window (r3 s5)
     "events_retention",  # weekly cohort retention matrix (r3 s5)
+    "media_features",  # analytic media fixture, codec round trip (r5)
 ]
 
 
@@ -151,15 +152,6 @@ def test_ivf_oracle_constants_match_training(entrymod):
     want = np.asarray(entrymod._IVF_CENTROIDS_SF001, dtype=np.float64)
     assert C.shape == want.shape
     assert np.array_equal(C, want)
-
-
-ROWS_ONLY = ["media_features"]
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(entrymod, name):
-    got = _to_pandas(entrymod.queries()[name](SF))
-    assert len(got) >= 0
 
 
 @pytest.mark.parametrize("name,per_query_floor,mean_floor", [
