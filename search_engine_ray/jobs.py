@@ -961,8 +961,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--terms", nargs="+", required=True)
     q.add_argument("--type", default="exact",
                    choices=["exact", "or", "and", "prefix", "contains",
-                            "wildcard", "fuzzy", "fuzzy2", "phrase",
-                            "near", "suggest", "bool"])
+                            "wildcard", "regex", "fuzzy", "fuzzy2",
+                            "phrase", "near", "suggest", "bool"])
     q.add_argument("--slop", type=int, default=8,
                    help="near type: same-line column window "
                         "(max - min <= slop over one position per term)")
@@ -973,9 +973,8 @@ def main(argv: list[str] | None = None) -> int:
                         "crossover, TAAT below (bit-identical results)")
     q.add_argument("--highlight", action="store_true",
                    help="emit matched lines + char spans per hit "
-                        "(exact/or/and/prefix/contains/wildcard/fuzzy; "
-                        "local "
-                        "index only)")
+                        "(exact/or/and/prefix/contains/wildcard/regex/"
+                        "fuzzy; local index only)")
     q.add_argument("--sharded", action="store_true",
                    help="--index is a doc-sharded root (sharded-build)")
     q.add_argument("--where", nargs="+", default=None, metavar="COL=VAL",
@@ -1002,7 +1001,7 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--terms", nargs="+", required=True)
     fc.add_argument("--type", default="or",
                     choices=["exact", "or", "and", "prefix", "contains",
-                             "wildcard", "fuzzy", "fuzzy2"])
+                             "wildcard", "regex", "fuzzy", "fuzzy2"])
     fc.add_argument("--by", default="lang")
     fc.add_argument("--where", nargs="+", default=None, metavar="COL=VAL")
     fc.add_argument("--bins", default=None, metavar="E0,E1,...",

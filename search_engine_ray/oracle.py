@@ -182,6 +182,14 @@ class OracleIndex:
             p = queries[0]
             terms = [t for t in self._sorted_terms
                      if fnmatch.fnmatchcase(t, p)]
+        elif search_type == "regex":
+            # full-term regex via a plain fullmatch scan — deliberately
+            # NOT the engine's trigram-prefiltered path, so rank-identity
+            # tests exercise independent implementations
+            import re
+
+            rx = re.compile(queries[0])
+            terms = [t for t in self._sorted_terms if rx.fullmatch(t)]
         elif search_type in ("fuzzy", "fuzzy2"):
             # Levenshtein union over the query words — independent
             # scalar DP (fuzzy.levenshtein_leq), NOT the engine's

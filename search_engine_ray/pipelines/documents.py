@@ -191,8 +191,12 @@ def prefix_search_cu(sf_dir: str):
 
 
 # (search_type, probe) pairs the driver's vocabulary-match query runs —
-# one infix probe plus glob probes covering every wildcard shape: suffix
-# `*`, fixed-length `?`, infix `*`, multi-`*`, and a no-hit
+# one infix probe, glob probes covering every wildcard shape: suffix
+# `*`, fixed-length `?`, infix `*`, multi-`*`, and a no-hit — plus
+# full-term regex probes (trigram-prefiltered path: mandatory literal
+# runs >= 3 chars; linear-fallback path: none; alternation; char class;
+# and a no-hit). Regex probes stay inside the RE2 feature set so the
+# DuckDB regexp_full_match oracle is semantics-identical to Python re.
 VOCAB_PROBES = (
     ("contains", "at"),
     ("wildcard", "s*"),
@@ -201,15 +205,21 @@ VOCAB_PROBES = (
     ("wildcard", "gr*up"),
     ("wildcard", "*o*e*"),
     ("wildcard", "qqq*"),
+    ("regex", "s.*ing"),
+    ("regex", "b[aeiou]tch"),
+    ("regex", "(gr|dr)oup"),
+    ("regex", ".?at.?"),
+    ("regex", "qqq.*"),
 )
 
 
 def contains_search_at(sf_dir: str, probes=VOCAB_PROBES):
-    """(probe, doc_id, n matching distinct terms) for an infix probe and
-    a set of glob probes — index-served vocabulary matching (trigram
-    candidates + verify per bucket; one postings decode per matching
-    term; the same result shape as prefix_search_cu plus the probe
-    label). Lucene analogue: WildcardQuery over the term dictionary."""
+    """(probe, doc_id, n matching distinct terms) for an infix probe,
+    a set of glob probes, and a set of full-term regex probes —
+    index-served vocabulary matching (trigram candidates + verify per
+    bucket; one postings decode per matching term; the same result
+    shape as prefix_search_cu plus the probe label). Lucene analogue:
+    WildcardQuery / RegexpQuery over the term dictionary."""
     from search_engine_ray.search import LocalSearcher
 
     s = LocalSearcher(ensure_documents_index(sf_dir))

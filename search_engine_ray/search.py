@@ -1,4 +1,4 @@
-"""Query engine over index artifacts: exact/prefix/contains/wildcard/or/and/phrase BM25 top-k.
+"""Query engine over index artifacts: exact/prefix/contains/wildcard/regex/or/and/phrase BM25 top-k.
 
 Mirrors the reference's search surface (ref: engine/src/main/java/org/search/
 engine/search/SimpleSearchManager.java:50-85, model/SearchType.java:3-5):
@@ -79,6 +79,68 @@ def _wildcard_regex(pattern: str) -> "re.Pattern[str]":
     """Compiled anchored regex for a glob pattern (``*``/``?``), cached —
     the same pattern probes every bucket of every shard."""
     return re.compile(fnmatch.translate(pattern))
+
+
+@lru_cache(maxsize=4096)
+def _regex_compiled(pattern: str) -> "re.Pattern[str]":
+    """Compiled user regex for the ``regex`` search type, cached — the
+    same pattern probes every bucket of every shard. Matching is via
+    ``fullmatch`` (Lucene RegexpQuery semantics: the pattern must match
+    the ENTIRE term, not a prefix/substring)."""
+    return re.compile(pattern)
+
+
+@lru_cache(maxsize=4096)
+def _regex_literal_runs(pattern: str) -> tuple[str, ...]:
+    """Mandatory contiguous literal substrings of ``pattern``, for the
+    trigram prefilter. Walks the stdlib regex parse tree's top-level
+    concatenation: LITERAL atoms extend the current run; a repeat with
+    ``min >= 1`` of a single literal contributes one copy and then
+    closes the run (at least one occurrence is contiguous with what
+    precedes it); an unconditionally-entered group recurses; every
+    other construct (alternation, classes, ``.``, optional repeats,
+    anchors) closes the run. Every returned string is therefore a
+    substring of EVERY possible match — intersecting their trigram
+    posting lists is lossless, exactly like wildcard literal runs.
+    Case-insensitive patterns return no runs (trigrams are exact-case)
+    and fall back to the linear scan."""
+    try:
+        import re._parser as _p  # Python 3.11+
+    except ImportError:  # pragma: no cover - older interpreters
+        import sre_parse as _p  # type: ignore[no-redef]
+
+    parsed = _p.parse(pattern)
+    if parsed.state.flags & re.IGNORECASE:
+        return ()
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def close():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    def walk(seq):
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL":
+                cur.append(chr(av))
+            elif name in ("MAX_REPEAT", "MIN_REPEAT") and av[0] >= 1 \
+                    and len(av[2]) == 1 and str(av[2][0][0]) == "LITERAL":
+                cur.append(chr(av[2][0][1]))
+                close()
+            elif name == "SUBPATTERN" and av[1] == 0 and av[2] == 0:
+                walk(av[3])  # plain group: concatenation continues inside
+                close()  # conservatively break across the group boundary
+            elif name == "AT":
+                close()  # anchors match empty — no chars, run unbroken is
+                # unsafe only across variable content; close anyway
+            else:
+                close()
+
+    walk(parsed)
+    close()
+    return tuple(runs)
 
 
 RESULT_SCHEMA = pa.schema(
@@ -184,6 +246,25 @@ class _Bucket:
         if cands is None:
             return []
         return [self.terms[i] for i in cands if rx.match(self.terms[i])]
+
+    def regex(self, pattern: str) -> list[str]:
+        """Vocabulary regex match (Lucene RegexpQuery: the pattern must
+        match the WHOLE term). Candidate generation mirrors ``wildcard``:
+        mandatory literal runs extracted from the parse tree
+        (``_regex_literal_runs`` — lossless) feed the shared trigram
+        index; ``fullmatch`` verifies. Patterns with no >=3-char
+        mandatory literal fall back to the linear fullmatch scan, which
+        Heaps' law keeps corpus-sublinear per bucket."""
+        rx = _regex_compiled(pattern)
+        runs = [r for r in _regex_literal_runs(pattern) if len(r) >= 3]
+        if not runs:
+            return [t for t in self.terms if rx.fullmatch(t)]
+        grams = {r[j:j + 3] for r in runs for j in range(len(r) - 2)}
+        cands = self._trigram_candidates(grams)
+        if cands is None:
+            return []
+        return [self.terms[i] for i in cands
+                if rx.fullmatch(self.terms[i])]
 
     def find(self, term: str) -> int | None:
         i = bisect_left(self.terms, term)
@@ -373,6 +454,16 @@ class LocalSearcher:
             terms = []
             for b in range(self.num_buckets):
                 terms.extend(self.bucket(b).wildcard(p))
+        elif search_type == "regex":
+            # full-term regex over the vocabulary (Lucene RegexpQuery):
+            # mandatory literal runs feed the shared trigram index,
+            # fullmatch verifies; fans out to ALL buckets like
+            # prefix/contains/wildcard (hash partitioning destroys
+            # pattern locality)
+            p = queries[0]
+            terms = []
+            for b in range(self.num_buckets):
+                terms.extend(self.bucket(b).regex(p))
         elif search_type in ("fuzzy", "fuzzy2"):
             # Levenshtein union over every query word (fuzzy.py; edit
             # budget 1, or 2 for fuzzy2 — the Lucene fuzzy cap): hash

@@ -368,6 +368,12 @@ class _BucketShard:
             terms.extend(self._s.bucket(b).wildcard(pattern))
         return terms
 
+    def expand_regex(self, pattern: str) -> list[str]:
+        terms = []
+        for b in self.buckets:
+            terms.extend(self._s.bucket(b).regex(pattern))
+        return terms
+
     def expand_fuzzy(self, words: list[str],
                      max_edits: int = 1) -> list[str]:
         terms = []
@@ -507,6 +513,8 @@ class DocShardServer:
             return self._sidecar.expand_contains(queries[0])
         if search_type == "wildcard":
             return self._sidecar.expand_wildcard(queries[0])
+        if search_type == "regex":
+            return self._sidecar.expand_regex(queries[0])
         if search_type in ("fuzzy", "fuzzy2"):
             return self._sidecar.expand_fuzzy(
                 list(queries), 2 if search_type == "fuzzy2" else 1)
@@ -740,6 +748,10 @@ class BucketShardServer:
         elif search_type == "wildcard":
             terms = sorted(set().union(*ray.get([
                 s.expand_wildcard.remote(queries[0]) for s in self._shards
+            ])))
+        elif search_type == "regex":
+            terms = sorted(set().union(*ray.get([
+                s.expand_regex.remote(queries[0]) for s in self._shards
             ])))
         elif search_type in ("fuzzy", "fuzzy2"):
             me = 2 if search_type == "fuzzy2" else 1

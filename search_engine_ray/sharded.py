@@ -189,6 +189,16 @@ class TermStatsSidecar:
             out.update(t for t in ts if rx.match(t))
         return sorted(out)
 
+    def expand_regex(self, pattern: str) -> list[str]:
+        from search_engine_ray.search import _regex_compiled
+
+        rx = _regex_compiled(pattern)
+        out: set[str] = set()
+        for b in range(self.num_buckets):
+            ts, _ = self.bucket(b)
+            out.update(t for t in ts if rx.fullmatch(t))
+        return sorted(out)
+
     def expand_fuzzy(self, words: list[str],
                      max_edits: int = 1) -> list[str]:
         """Levenshtein expansion against the GLOBAL vocabulary — one
@@ -375,6 +385,13 @@ class ShardedSearcher:
             terms = set()
             for sh in self.shards:
                 terms.update(sh.expand(queries, "wildcard"))
+            return sorted(terms)
+        if search_type == "regex":
+            if self._has_sidecar:
+                return self._sidecar.expand_regex(queries[0])
+            terms = set()
+            for sh in self.shards:
+                terms.update(sh.expand(queries, "regex"))
             return sorted(terms)
         if search_type in ("fuzzy", "fuzzy2"):
             me = 2 if search_type == "fuzzy2" else 1

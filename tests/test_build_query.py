@@ -39,6 +39,10 @@ def _query_set(oracle):
     queries += [([p], "wildcard") for p in
                 ["m?la", "mil*", "*ako", "sent*el0?", "b?k*", "*a*",
                  "m*a", "??la", "qqq*absent", "mila"]]
+    queries += [([p], "regex") for p in
+                ["mil.*", "m[i1]la", ".*ako", "sentinel0[0-4]",
+                 "(mila|bako)", "m.la", "ba.?o", "qqq.*absent", "mila",
+                 "[a-m]+", "mi+la?"]]
     queries += [([w], "fuzzy") for w in
                 ["mila", "milo", "mil", "sentinel00", "bako", "qqq_absent"]]
     queries += [(heads[:1] + ["milo", "bako"], "fuzzy")]  # multi-word union
@@ -310,6 +314,28 @@ def test_wildcard_trigram_equals_linear_scan(searcher):
     for pat in patterns:
         want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
         assert searcher.expand([pat], "wildcard") == want, pat
+
+
+def test_regex_trigram_equals_linear_scan(searcher):
+    """The trigram-candidate regex path (mandatory literal runs >=3
+    chars from the parse tree) and the linear fullmatch fallback both
+    equal a plain re.fullmatch scan over the full vocabulary — the
+    literal-run extraction is lossless across concatenation, groups,
+    alternation, classes, repeats and anchors."""
+    import re
+
+    vocab = sorted(set(searcher.vocab_terms()))
+    patterns = [
+        "mil.*", "mil[a-z]*", ".*ila", "m.la", "sent.*", "sentinel0.",
+        ".*", ".", "....", "m.*", "(mila|bako|kota)", "mi+la",
+        "mil(a|o)", "(mil)a", "m(il)+a", "sentinel0[0-4]", "zzz.*none",
+        "mila", "^mila$", r"m\w+a", "(?i)MILA", "[a-m]{4}", "q.q.*",
+        "ba(?:ko|ba)", "s.*el0{2}", "mi{1,2}la",
+    ]
+    for pat in patterns:
+        rx = re.compile(pat)
+        want = sorted(t for t in vocab if rx.fullmatch(t))
+        assert searcher.expand([pat], "regex") == want, pat
 
 
 def test_near_search_matches_oracle(searcher, small_oracle):

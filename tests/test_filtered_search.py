@@ -244,6 +244,8 @@ def test_phrase_near_bool_where_topologies(ray_session, corpus, tmp_path):
                                              k=10, where=where)),
             ("bool", lambda t: t.bool_search("baba AND NOT koba", k=10,
                                              where=where)),
+            ("regex", lambda t: t.search(["b.b(a|o)"], "regex", k=10,
+                                         where=where)),
         ):
             want = call(s)
             for surface in (sh, srv, pool):

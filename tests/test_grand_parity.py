@@ -23,6 +23,8 @@ def _case_matrix():
         ("or", [h0, h1, h2]), ("and", [h0, h1]),
         ("prefix", [h0[:2]]), ("contains", [h0[1:3]]),
         ("wildcard", [h0[0] + "*" + h0[-1]]),
+        ("regex", [h0[0] + ".*" + h0[-1]]),
+        ("regex", ["(" + h0 + "|" + h1 + ")"]),
         ("fuzzy", [h0[:-1] + "x"]), ("fuzzy2", [h0[:-2] + "xy"]),
     ]
     wheres = [None, {"lang": "en"}, {"lang": "de"},

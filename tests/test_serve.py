@@ -23,6 +23,8 @@ QUERIES = [
     (["il"], "contains"),
     (["m?la"], "wildcard"), (["b*o"], "wildcard"),
     (["qqq*none"], "wildcard"),
+    (["m.la"], "regex"), (["(bako|kota)"], "regex"),
+    (["qqq.*none"], "regex"),
     (["milo"], "fuzzy"), (["milo", "bako"], "fuzzy"),
     (["mlo"], "fuzzy2"),
     (["mila", "mama"], "and"), (["mila", "zzz_missing"], "and"),

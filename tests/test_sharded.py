@@ -27,6 +27,8 @@ QUERIES = [
     (["il"], "contains"), (["qqq_absent"], "contains"),
     (["m?la"], "wildcard"), (["mi*"], "wildcard"),
     (["*ako"], "wildcard"), (["qqq*absent"], "wildcard"),
+    (["m.la"], "regex"), (["mil.*"], "regex"),
+    ([".*ako"], "regex"), (["qqq.*absent"], "regex"),
     (["milo"], "fuzzy"), (["milo", "bako"], "fuzzy"),
     (["mlo"], "fuzzy2"),
     (["qqq_absent"], "fuzzy"),
