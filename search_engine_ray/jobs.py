@@ -83,6 +83,12 @@ def cmd_query(args) -> int:
         elif args.type == "bool":
             res = s.bool_search(" ".join(args.terms), k=args.k,
                                 where=where)
+        elif args.type == "synonym":
+            # each --terms argument is one synonym group, members
+            # pipe-separated: --type synonym --terms "car|auto" "fast"
+            # (the sharded path injects global union-df idfs)
+            res = s.synonym_search([t.split("|") for t in args.terms],
+                                   k=args.k, where=where)
         elif args.type == "suggest":
             from search_engine_ray.suggest import SuggestionExpander
 
@@ -103,6 +109,11 @@ def cmd_query(args) -> int:
         # the expression is the space-joined terms: --terms "(a" OR "b)"
         # or a single quoted argument
         res = s.bool_search(" ".join(args.terms), k=args.k, where=where)
+    elif args.type == "synonym":
+        # each --terms argument is one synonym group, members
+        # pipe-separated: --type synonym --terms "car|auto" "fast"
+        res = s.synonym_search([t.split("|") for t in args.terms],
+                               k=args.k, where=where)
     elif args.type == "suggest":
         from search_engine_ray.suggest import SuggestionExpander
 
@@ -962,7 +973,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--type", default="exact",
                    choices=["exact", "or", "and", "prefix", "contains",
                             "wildcard", "regex", "fuzzy", "fuzzy2",
-                            "phrase", "near", "suggest", "bool"])
+                            "phrase", "near", "suggest", "bool",
+                            "synonym"])
     q.add_argument("--slop", type=int, default=8,
                    help="near type: same-line column window "
                         "(max - min <= slop over one position per term)")

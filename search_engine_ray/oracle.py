@@ -299,6 +299,35 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(d, s, self.url_of[d]) for d, s in ranked]
 
+    def synonym_search(self, groups: list[list[str]], k: int = 10,
+                       where: dict | None = None
+                       ) -> list[tuple[int, float, str]]:
+        """SynonymQuery twin: per group, per-doc tf = sum of member tfs
+        scored through the BM25 partial once; idf from the exact union
+        df. Scalar dict/loop evaluation, independent of the engine's
+        merged-numpy path; groups accumulate in caller order (the same
+        float-add order as the engine's per-group scatter-adds)."""
+        acc: dict[int, float] = {}
+        for g in groups:
+            members = sorted({self._tok.fold(t) if self._tok.folding
+                              else t for t in g})
+            union: dict[int, int] = {}
+            for t in members:
+                for d, (tf, _) in self.postings.get(t, {}).items():
+                    union[d] = union.get(d, 0) + tf
+            if not union:
+                continue
+            idf = bm25_idf(self.n_docs, len(union))
+            for d in sorted(union):
+                if not self._matches_where(d, where):
+                    continue
+                partial = bm25_partial(
+                    np.array([union[d]]), np.array([self.doc_len[d]]),
+                    self.avgdl, BM25_K1, BM25_B)[0]
+                acc[d] = acc.get(d, 0.0) + idf * float(partial)
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(d, s, self.url_of[d]) for d, s in ranked]
+
     def bool_search(self, query: str, k: int = 10,
                     where: dict | None = None
                     ) -> list[tuple[int, float, str]]:

@@ -766,6 +766,110 @@ class LocalSearcher:
             schema=RESULT_SCHEMA,
         )
 
+    def synonym_group(self, members: list[str]
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Merged pseudo-posting for one synonym group: (ordinals,
+        summed tf, doc len). A group scores as ONE term — per-doc tf is
+        the SUM of member tfs (integer sums, order-free and exact), the
+        doc length is unchanged (every member sees the same document).
+        Members absent from the vocabulary contribute nothing; None when
+        no member exists. Duplicated members are collapsed first, so a
+        group can never double-count a term."""
+        decs = []
+        for t in sorted(set(members)):
+            rec = self._posting_for(t)
+            if rec is not None:
+                decs.append(self._decode(t, rec))
+        if not decs:
+            return None
+        if len(decs) == 1:
+            d = decs[0]
+            return d["docids"], d["tfs"], d["doc_lens"]
+        ids = np.concatenate([d["docids"] for d in decs])
+        tfs = np.concatenate([d["tfs"] for d in decs])
+        lens = np.concatenate([d["doc_lens"] for d in decs])
+        uids, inv = np.unique(ids, return_inverse=True)
+        # integer tf sums are exact in float64 (< 2^53) — bincount is the
+        # fast path and cannot drift the way float partial sums would
+        tf_sum = np.bincount(inv, weights=tfs,
+                             minlength=uids.size).astype(np.int64)
+        dl = np.zeros(uids.size, dtype=np.int64)
+        dl[inv] = lens  # identical across members of the same doc
+        return uids, tf_sum, dl
+
+    def synonym_search(
+        self,
+        groups: list[list[str]],
+        k: int = 10,
+        with_urls: bool = True,
+        where: dict[str, str] | None = None,
+        search_after: tuple[float, int] | None = None,
+        group_idfs: list[float] | None = None,
+    ) -> pa.Table:
+        """Lucene SynonymQuery semantics: each ``groups`` entry is a set
+        of interchangeable vocabulary terms that scores as ONE
+        pseudo-term — per-doc tf = sum of member tfs pushed through the
+        BM25 partial ONCE (NOT a sum of per-member partials: the partial
+        is concave in tf, so an OR over synonyms would over-score docs
+        that hit several variants), idf from the pseudo-term's EXACT df
+        (the size of the merged posting union; Lucene approximates this
+        with max member df because it never materializes the union — we
+        do, so the exact statistic is free). Groups combine
+        disjunctively in caller order. ``where``/``search_after`` follow
+        the search() contract. ``group_idfs`` injects per-group idfs
+        (sharded topologies: the union df must be computed over the
+        GLOBAL corpus — see ShardedSearcher.synonym_search)."""
+        if self._tok.folding:
+            groups = [[self._tok.fold(t) for t in g] for g in groups]
+        mask = self.ordinal_mask(where) if where is not None else None
+        after = self._after_key(search_after)
+        id_parts, sc_parts = [], []
+        for gi, g in enumerate(groups):
+            merged = self.synonym_group(g)
+            if merged is None:
+                continue
+            uids, tf_sum, dl = merged
+            idf = group_idfs[gi] if group_idfs is not None \
+                else bm25_idf(self.n_docs, uids.size)
+            partial = _partials({"tfs": tf_sum, "doc_lens": dl},
+                                self.avgdl, self.k1, self.b)
+            if mask is not None:
+                keep = mask[uids]
+                uids, partial = uids[keep], partial[keep]
+            id_parts.append(uids)
+            sc_parts.append(idf * partial)
+        if id_parts:
+            doc_ids, scores = _accumulate_topk(
+                id_parts, sc_parts, k, len(self.ords()), after=after)
+        else:
+            doc_ids = np.empty(0, np.int64)
+            scores = np.empty(0, np.float64)
+        doc_ids = self.ords()[doc_ids] if len(doc_ids) else doc_ids
+        urls = self.resolve_urls(doc_ids) if with_urls else None
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(doc_ids) + 1,
+                                           dtype=np.int32)),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+                "url": pa.array(urls if urls is not None
+                                else [""] * len(doc_ids), pa.string()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+    def synonym_group_df(self, groups: list[list[str]]) -> list[int]:
+        """Per-group union df (distinct docs containing ANY member) —
+        the pseudo-term's collection statistic. Doc-sharded topologies
+        sum this across shards (disjoint doc sets) for the global idf."""
+        out = []
+        for g in groups:
+            if self._tok.folding:
+                g = [self._tok.fold(t) for t in g]
+            merged = self.synonym_group(g)
+            out.append(0 if merged is None else int(merged[0].size))
+        return out
+
     def _score_taat(self, gathered, k: int, mask: np.ndarray | None = None,
                     after: tuple[float, int] | None = None):
         """``mask``: optional per-ordinal keep filter (filtered search) —

@@ -141,6 +141,9 @@ class _Replica:
     def bool_q(self, query, k, where=None):
         return self.searcher.bool_search(query, k=k, where=where)
 
+    def synonym(self, groups, k, where=None):
+        return self.searcher.synonym_search(groups, k=k, where=where)
+
     def suggest(self, word, k, scorer):
         if self._expander is None:
             from search_engine_ray.suggest import SuggestionExpander
@@ -290,6 +293,11 @@ class SearcherReplicaPool:
         self._next += 1
         return ray.get(r.bool_q.remote(query, k, where))
 
+    def synonym_search(self, groups, k=10, where=None):
+        r = self._replicas[self._next % len(self._replicas)]
+        self._next += 1
+        return ray.get(r.synonym.remote(groups, k, where))
+
     def search_with_suggestions(self, word, k=10, scorer="taat"):
         """Reference WITH_SUGGESTIONS via the replica's once-loaded
         vocabulary expander (ST3: dictionary-once-per-worker)."""
@@ -437,6 +445,17 @@ class _DocShardReplica:
         if with_urls and len(real):
             urls = self._s.resolve_urls(real)
         return real, scs, urls
+
+    def synonym_group_df(self, groups: list[list[str]]) -> list[int]:
+        return self._s.synonym_group_df(groups)
+
+    def synonym_topk(self, groups: list[list[str]], idfs: list[float],
+                     k: int, with_urls: bool, where=None):
+        t = self._s.synonym_search(groups, k=k, with_urls=with_urls,
+                                   where=where, group_idfs=idfs)
+        return (t.column("doc_id").to_numpy(zero_copy_only=False),
+                t.column("score").to_numpy(zero_copy_only=False),
+                t.column("url").to_pylist())
 
     def phrase_topk(self, terms: list[str], idfs: dict[str, float],
                     k: int, with_urls: bool, where=None):
@@ -605,6 +624,25 @@ class DocShardServer:
         parts = ray.get([
             sh.near_topk.remote(terms, window, idfs, k, with_urls,
                                 where)
+            for sh in self._shards
+        ])
+        return self._merge(parts, k, with_urls)
+
+    def synonym_search(self, groups: list[list[str]], k: int = 10,
+                       with_urls: bool = True,
+                       where: dict | None = None) -> pa.Table:
+        """Sharded SynonymQuery: the pseudo-term's union df is the SUM
+        of per-shard union sizes (disjoint doc sets), fetched in one
+        fan-out; each shard then scores its local merged pseudo-posting
+        with the injected GLOBAL group idfs and the driver merges
+        (phrase_search's exactness argument — a doc's group tf is
+        entirely shard-local)."""
+        per_shard = ray.get([sh.synonym_group_df.remote(groups)
+                             for sh in self._shards])
+        idfs = [bm25_idf(self.n_docs, sum(col))
+                for col in zip(*per_shard)]
+        parts = ray.get([
+            sh.synonym_topk.remote(groups, idfs, k, with_urls, where)
             for sh in self._shards
         ])
         return self._merge(parts, k, with_urls)

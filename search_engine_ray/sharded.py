@@ -501,6 +501,42 @@ class ShardedSearcher:
              "score": out.column("score"),
              "url": out.column("url")}, schema=RESULT_SCHEMA)
 
+    def synonym_search(self, groups: list[list[str]], k: int = 10,
+                       where: dict | None = None) -> pa.Table:
+        """SynonymQuery across doc shards — exact, rank-identical to an
+        unsharded index: the pseudo-term's union df is the SUM of
+        per-shard union sizes (shards hold disjoint doc sets), so the
+        driver computes the GLOBAL group idfs in one fan-out and injects
+        them; each shard scores its local merged pseudo-posting with the
+        global stats override, and the per-shard top-k lists merge on
+        the shared (score desc, doc_id asc) rank key (a doc's group tf
+        is shard-local — phrase_search's argument)."""
+        per_shard = [sh.synonym_group_df(groups) for sh in self.shards]
+        idfs = [bm25_idf(self.n_docs, sum(col))
+                for col in zip(*per_shard)]
+        parts = []
+        for sh in self.shards:
+            res = sh.synonym_search(groups, k=k, where=where,
+                                    group_idfs=idfs)
+            if res.num_rows:
+                parts.append(res)
+        if not parts:
+            return pa.table(
+                {"rank": pa.array([], pa.int32()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64()),
+                 "url": pa.array([], pa.string())}, schema=RESULT_SCHEMA)
+        merged = pa.concat_tables(parts)
+        ids = merged.column("doc_id").to_numpy()
+        scs = merged.column("score").to_numpy()
+        top = _topk_indices(ids, scs, k)
+        out = merged.take(pa.array(top))
+        return pa.table(
+            {"rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int32)),
+             "doc_id": out.column("doc_id"),
+             "score": out.column("score"),
+             "url": out.column("url")}, schema=RESULT_SCHEMA)
+
     def bool_search(self, query: str, k: int = 10,
                     where: dict | None = None) -> pa.Table:
         """Boolean query across doc shards — exact, rank-identical to an

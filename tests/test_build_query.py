@@ -338,6 +338,58 @@ def test_regex_trigram_equals_linear_scan(searcher):
         assert searcher.expand([pat], "regex") == want, pat
 
 
+def test_synonym_search_matches_oracle(searcher, small_oracle):
+    """SynonymQuery semantics: summed tf through the BM25 partial ONCE,
+    idf from the exact union df — engine (merged-numpy pseudo-postings)
+    == oracle (scalar dict loops) for multi-group, absent-member,
+    duplicate-member and filtered cases."""
+    cases = [
+        [["mila", "milo"]],
+        [["mila", "bako"], ["mama"]],
+        [["kota"]],
+        [["zzz_none", "qqq_none"]],
+        [["mila", "mila", "bako"]],
+        [["bako", "kota"], ["zzz_none"], ["mila", "mama"]],
+    ]
+    for gs in cases:
+        for where in (None, {"lang": "en"}):
+            eng = searcher.synonym_search(gs, k=15, where=where)
+            got = list(zip(eng.column("doc_id").to_pylist(),
+                           eng.column("score").to_pylist()))
+            want = [(d, s) for d, s, _ in
+                    small_oracle.synonym_search(gs, k=15, where=where)]
+            assert got == want, (gs, where)
+    # a single-member group degenerates to plain exact search (union
+    # df == the term's df, summed tf == the term's tf)
+    assert searcher.synonym_search([["mila"]], k=10).equals(
+        searcher.search(["mila"], "exact", k=10))
+    # groups are NOT an OR: the concave partial + the union-df idf mean
+    # no doc can score above its separate per-term OR sum, and a doc
+    # containing several variants scores STRICTLY below it (equality is
+    # possible for single-variant docs when one member's posting set
+    # contains the other's, making the union df collapse to its df)
+    both = searcher.synonym_search([["mila", "mama"]], k=50)
+    sep = searcher.search(["mila", "mama"], "or", k=50)
+    syn = dict(zip(both.column("doc_id").to_pylist(),
+                   both.column("score").to_pylist()))
+    ors = dict(zip(sep.column("doc_id").to_pylist(),
+                   sep.column("score").to_pylist()))
+    assert set(syn) == set(ors)
+    assert all(syn[d] <= ors[d] for d in syn)
+    assert any(syn[d] < ors[d] for d in syn)
+    # cursor pagination rides the same contract as search()
+    full = searcher.synonym_search([["mila", "bako"]], k=20)
+    p1 = searcher.synonym_search([["mila", "bako"]], k=3)
+    if p1.num_rows == 3:
+        last = (p1.column("score")[-1].as_py(),
+                p1.column("doc_id")[-1].as_py())
+        p2 = searcher.synonym_search([["mila", "bako"]], k=3,
+                                     search_after=last)
+        assert (p1.column("doc_id").to_pylist()
+                + p2.column("doc_id").to_pylist()
+                == full.column("doc_id").to_pylist()[:6])
+
+
 def test_near_search_matches_oracle(searcher, small_oracle):
     """NEAR/window proximity: engine (candidate walk over decoded
     positions) == oracle (matched_rows + the shared minimal-cover

@@ -246,6 +246,8 @@ def test_phrase_near_bool_where_topologies(ray_session, corpus, tmp_path):
                                              where=where)),
             ("regex", lambda t: t.search(["b.b(a|o)"], "regex", k=10,
                                          where=where)),
+            ("synonym", lambda t: t.synonym_search(
+                [["baba", "koba"], ["riba"]], k=10, where=where)),
         ):
             want = call(s)
             for surface in (sh, srv, pool):
