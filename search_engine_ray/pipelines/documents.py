@@ -371,6 +371,20 @@ def bm25_topk_docs(sf_dir: str, k: int = BM25_K):
             out_q.append(label)
             out_d.append(d)
             out_s.append(round(-neg_sc, 6))
+    # SynonymQuery probe: {stream, window} scores as ONE pseudo-term
+    # (summed tf through the partial once, union-df idf), plus a second
+    # single-member group — the same over-fetch + original-id re-break
+    # as the fixed query set
+    res = s.synonym_search([["stream", "window"], ["batch"]], k=k + 50)
+    rows = sorted(
+        ((-sc, int(u[6:]))
+         for u, sc in zip(res.column("url").to_pylist(),
+                          res.column("score").to_pylist())),
+    )[:k]
+    for neg_sc, d in rows:
+        out_q.append("synonym:stream|window+batch")
+        out_d.append(d)
+        out_s.append(round(-neg_sc, 6))
     return pa.table(
         {
             "query": pa.array(out_q, pa.string()),
