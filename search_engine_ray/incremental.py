@@ -377,6 +377,13 @@ def apply_delta(
         time.monotonic() - t_start, 3)
     atomic_write_json(os.path.join(index_root, "_manifest.json"),
                       root_manifest)
+    # M8 sidecar maintenance: ids this merge physically removed, never
+    # had, or just re-upserted (a later add supersedes a pending delete)
+    # leave the pending-deletes set — the sidecar tracks only the
+    # UNMERGED backlog, so it stays O(deletes since last delta)
+    from search_engine_ray.pending import prune_pending
+
+    prune_pending(index_root, new_sorted_ids, processed_ids=affected)
     metrics.update({"n_docs": int(n_docs), "avgdl": avgdl,
                     "buckets_merged": int(len(built)),
                     "seconds": round(time.monotonic() - t_start, 3)})

@@ -319,6 +319,11 @@ class LocalSearcher:
         self._buckets: dict[int, _Bucket] = {}
         self._docmap = None
         self._ordmap: np.ndarray | None = None
+        # M8 existence filter: (mtime_ns, size) signature of the
+        # _pending_deletes.json sidecar; sentinel forces the first read
+        self._pending_sig: tuple | str = "unset"
+        self._pending_mask: np.ndarray | None = None
+        self._pending_seq: int = 0
         if load_docmap:
             self.docmap()  # eager footer-stats load (no url bytes read)
 
@@ -571,6 +576,53 @@ class LocalSearcher:
             self._numattr_cache[column] = hit
         return hit
 
+    def existence_mask(self) -> np.ndarray | None:
+        """Boolean live-mask over ordinals from the pending-deletes
+        sidecar (reference M8: SimpleSearchManager.java:66 re-checks
+        ``Files.exists`` per hit). One ``os.stat`` per call — ids are
+        re-read and the mask rebuilt only when the sidecar's
+        (mtime, size) signature changes, so a query on an unchanged
+        index pays ~1 us. None when nothing is pending."""
+        from search_engine_ray.pending import pending_signature, read_pending
+
+        sig = pending_signature(self.index_root)
+        if sig != self._pending_sig:
+            self._pending_sig = sig
+            if sig is None:
+                self._pending_mask, self._pending_seq = None, 0
+            else:
+                ids, seq = read_pending(self.index_root)
+                self._pending_seq = seq
+                if not ids.size:
+                    self._pending_mask = None
+                else:
+                    ords = self.ords()
+                    mask = np.ones(len(ords), dtype=bool)
+                    pos = np.searchsorted(ords, ids)
+                    ok = pos < len(ords)  # ids past the last ord miss
+                    hit = pos[ok][ords[pos[ok]] == ids[ok]]
+                    mask[hit] = False
+                    self._pending_mask = mask if hit.size else None
+        return self._pending_mask
+
+    def existence_seq(self) -> int:
+        """Monotonic generation of the pending-deletes sidecar (0 = none);
+        refreshes via the same stat. Result caches key on this so a
+        ``mark_deleted`` invalidates stale cached pages."""
+        self.existence_mask()
+        return self._pending_seq
+
+    def live_mask(self, where: dict | None = None) -> np.ndarray | None:
+        """The one mask every result surface applies: attribute
+        predicates (``where``) AND the M8 existence filter. None when
+        both are absent (the common unfiltered hot path allocates
+        nothing)."""
+        pend = self.existence_mask()
+        if where is None:
+            return pend
+        m = self.ordinal_mask(where)
+        return m if pend is None else (m & pend)
+
     def ordinal_mask(self, where: dict) -> np.ndarray:
         """Boolean keep-mask over ordinals for an AND of predicates
         ({column: value}). Value forms:
@@ -679,8 +731,9 @@ class LocalSearcher:
             for t, rec, _ in gathered:
                 d = self._decode(t, rec)["docids"]
                 cand = cand[np.isin(cand, d, assume_unique=True)]
-        if where is not None:
-            cand = cand[self.ordinal_mask(where)[cand]]
+        lm = self.live_mask(where)
+        if lm is not None:
+            cand = cand[lm[cand]]
         return cand
 
     def facet_histogram(self, queries: list[str], edges: list[float],
@@ -732,7 +785,7 @@ class LocalSearcher:
         rides the TAAT kernel."""
         terms = self.expand(queries, search_type)
         gathered = self._gather(terms)
-        mask = self.ordinal_mask(where) if where is not None else None
+        mask = self.live_mask(where)
         after = self._after_key(search_after)
         if scorer == "auto":
             # measured crossover (BASELINE.md 2M-doc probe): the dense
@@ -821,7 +874,7 @@ class LocalSearcher:
         GLOBAL corpus — see ShardedSearcher.synonym_search)."""
         if self._tok.folding:
             groups = [[self._tok.fold(t) for t in g] for g in groups]
-        mask = self.ordinal_mask(where) if where is not None else None
+        mask = self.live_mask(where)
         after = self._after_key(search_after)
         id_parts, sc_parts = [], []
         for gi, g in enumerate(groups):
@@ -990,7 +1043,7 @@ class LocalSearcher:
             pos_decs[t] = dec
         # all AND candidates, ranked (score desc, ordinal asc);
         # `where` masks the candidates BEFORE the positions walk
-        mask = self.ordinal_mask(where) if where is not None else None
+        mask = self.live_mask(where)
         ords, scores = self._score_and(gathered, k=self.n_docs or 1,
                                        mask=mask)
         keep_ords, keep_scores = [], []
@@ -1053,7 +1106,7 @@ class LocalSearcher:
             if dec is None:
                 return empty  # index built without positions
             pos_decs[t] = dec
-        mask = self.ordinal_mask(where) if where is not None else None
+        mask = self.live_mask(where)
         ords, scores = self._score_and(gathered, k=self.n_docs or 1,
                                        mask=mask)
         keep_ords, keep_scores = [], []
@@ -1146,10 +1199,11 @@ class LocalSearcher:
         n = len(self.ords())
         final = eval_ordinals(
             ast, {t: d["docids"] for t, d in decs.items()}, n)
-        if where is not None:
+        lm = self.live_mask(where)
+        if lm is not None:
             # filtering the FINAL set == evaluating over a filtered
             # corpus for any boolean formula (set algebra distributes)
-            final = final[self.ordinal_mask(where)[final]]
+            final = final[lm[final]]
         totals = np.zeros(final.size, dtype=np.float64)
         for t in sorted(positive_terms(ast)):  # lexicographic float order
             d = decs.get(t)

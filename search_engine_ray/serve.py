@@ -109,12 +109,15 @@ class _Replica:
         key = None
         if self._cache_size > 0:
             # range predicates are list/tuple-valued ({"doc_len": [50,
-            # 400]}) — normalize to tuples so the frozenset is hashable
+            # 400]}) — normalize to tuples so the frozenset is hashable.
+            # The M8 existence generation is part of the key: a
+            # mark_deleted between two identical queries must not serve
+            # the pre-deletion page from cache.
             key = (tuple(queries), search_type, k, scorer,
                    None if where is None else frozenset(
                        (c, tuple(v) if isinstance(v, (list, tuple)) else v)
                        for c, v in where.items()),
-                   search_after)
+                   search_after, self.searcher.existence_seq())
             hit = self._cache.get(key)
             if hit is not None:
                 self._cache.move_to_end(key)
@@ -424,7 +427,7 @@ class _DocShardReplica:
             rec = self._s._posting_for(t)
             if rec is not None:
                 gathered.append((t, rec, idfs[t]))
-        mask = self._s.ordinal_mask(where) if where is not None else None
+        mask = self._s.live_mask(where)
         after = self._s._after_key(search_after)
         use_bmw = scorer == "bmw" or (
             scorer == "auto"
@@ -814,7 +817,7 @@ class BucketShardServer:
         # `where`: fragments carry ordinals into the shared doc space, so
         # the driver masks each term's fragment exactly like the masked
         # local TAAT kernel (attribute codes load once via self._local)
-        mask = self._local.ordinal_mask(where) if where is not None else None
+        mask = self._local.live_mask(where)
         id_parts, sc_parts = [], []
         for t in sorted(merged):
             ids, scs = merged[t]

@@ -644,7 +644,7 @@ class ShardedSearcher:
                 rec = sh._posting_for(t)
                 if rec is not None:
                     gathered.append((t, rec, idfs[t]))
-            mask = sh.ordinal_mask(where) if where is not None else None
+            mask = sh.live_mask(where)
             # cursor translates to each shard's own ordinal space; the
             # per-shard filtered top-k union contains the global one
             after = sh._after_key(search_after)
