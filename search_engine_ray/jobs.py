@@ -316,6 +316,32 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_remove(args) -> int:
+    """Delete documents by url (reference DocumentRemoveTask, U2+M8).
+
+    Marking is instant and O(deleted): the urls land in the index's
+    pending-deletes sidecar and stop matching at the NEXT query on every
+    serving topology — no reload, no merge. ``--merge`` additionally
+    runs the physical postings merge now (incremental.remove_urls),
+    which also prunes the sidecar."""
+    from search_engine_ray.pending import mark_deleted
+
+    urls = list(args.urls or [])
+    if args.urls_file:
+        with open(args.urls_file) as f:
+            urls += [ln.strip() for ln in f if ln.strip()]
+    if not urls:
+        print(json.dumps({"error": "no urls given"}))
+        return 1
+    out = {"marked": mark_deleted(args.index, urls=urls)}
+    if args.merge:
+        from search_engine_ray.incremental import remove_urls
+
+        out["merge"] = remove_urls(args.index, urls)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_delta(args) -> int:
     from search_engine_ray.incremental import apply_delta
 
@@ -1021,6 +1047,16 @@ def main(argv: list[str] | None = None) -> int:
                          "--by (half-open [lo, hi) bins)")
     fc.add_argument("--sharded", action="store_true")
     fc.set_defaults(fn=cmd_facets)
+
+    rm = sub.add_parser("remove", help="delete documents by url: "
+                        "instantly query-invisible via the M8 "
+                        "pending-deletes sidecar; --merge also runs the "
+                        "physical postings merge now")
+    rm.add_argument("--index", required=True)
+    rm.add_argument("--urls", nargs="*", default=None)
+    rm.add_argument("--urls-file", default=None)
+    rm.add_argument("--merge", action="store_true")
+    rm.set_defaults(fn=cmd_remove)
 
     d = sub.add_parser("delta")
     d.add_argument("--input", default=None)

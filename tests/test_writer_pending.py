@@ -246,3 +246,102 @@ def test_run_loop_stop_event(corpus_index, tmp_path):
     stop = threading.Event()
     stop.set()
     assert w.run_loop(interval_s=10.0, stop=stop) == 0
+
+
+# ----------------------------- M8 across serving topologies -------------
+def test_mark_deleted_visible_to_running_actors(corpus_index, tmp_path):
+    """The sidecar is stat-checked per query INSIDE each actor, so a
+    mark_deleted on the driver is visible to already-running replica and
+    shard actors without any reload() call (the cross-process analogue
+    of the reference's per-hit Files.exists)."""
+    import shutil
+
+    from search_engine_ray.serve import (
+        BucketShardServer,
+        SearcherReplicaPool,
+    )
+    from search_engine_ray.sharded import ShardedSearcher, build_sharded
+
+    idx = str(tmp_path / "srvidx")
+    shutil.copytree(corpus_index["index"], idx)
+    local = LocalSearcher(idx)
+    t = _probe_term(local)
+    pool = SearcherReplicaPool(idx, num_replicas=2)
+    buckets = BucketShardServer(idx, num_shards=3)
+    try:
+        base = pool.search([t], "exact", k=5)
+        dead_url = base.column("url")[0].as_py()
+        dead_id = base.column("doc_id")[0].as_py()
+        mark_deleted(idx, urls=[dead_url])
+        want = local.search([t], "exact", k=5)
+        assert dead_id not in want.column("doc_id").to_pylist()
+        got_pool = pool.search([t], "exact", k=5)
+        assert got_pool.equals(want)
+        got_buckets = buckets.search([t], "exact", k=5)
+        assert got_buckets.equals(
+            local.search([t], "exact", k=5, with_urls=False))
+    finally:
+        pool.shutdown()
+        buckets.shutdown()
+
+    # doc-sharded topology: each shard root has its own sidecar; marking
+    # the SAME url on every root is safe (ids absent from a shard's
+    # ordinal map mask nothing)
+    shroot = str(tmp_path / "sharded")
+    pages_dir = str(tmp_path / "pages")
+    os.makedirs(pages_dir)
+    pq.write_table(corpus_index["pages"], pages_dir + "/p0.parquet")
+    build_sharded(pages_dir, shroot, num_doc_shards=2, config=CFG)
+    ss = ShardedSearcher(shroot)
+    r1 = ss.search([t], "exact", k=5)
+    dead_url2 = r1.column("url")[0].as_py()
+    for sh in ss.shards:
+        mark_deleted(sh.index_root, urls=[dead_url2])
+    r2 = ss.search([t], "exact", k=5)
+    ids2 = r2.column("doc_id").to_pylist()
+    assert r1.column("doc_id")[0].as_py() not in ids2
+    assert len(ids2) == 5
+    assert ids2[:4] == r1.column("doc_id").to_pylist()[1:5]
+
+
+def test_replica_cache_invalidated_by_mark_deleted(corpus_index, tmp_path):
+    import shutil
+
+    from search_engine_ray.serve import SearcherReplicaPool
+
+    idx = str(tmp_path / "cacheidx")
+    shutil.copytree(corpus_index["index"], idx)
+    t = _probe_term(LocalSearcher(idx))
+    pool = SearcherReplicaPool(idx, num_replicas=1, cache_size=32)
+    try:
+        r1 = pool.search([t], "exact", k=5)
+        r1b = pool.search([t], "exact", k=5)  # cache hit
+        assert r1b.equals(r1)
+        mark_deleted(idx, urls=[r1.column("url")[0].as_py()])
+        r2 = pool.search([t], "exact", k=5)  # MUST miss: new sidecar gen
+        assert r1.column("doc_id")[0].as_py() not in \
+            r2.column("doc_id").to_pylist()
+    finally:
+        pool.shutdown()
+
+
+def test_remove_cli(corpus_index, tmp_path):
+    import shutil
+    import subprocess
+    import sys
+
+    idx = str(tmp_path / "cliidx")
+    shutil.copytree(corpus_index["index"], idx)
+    s = LocalSearcher(idx)
+    t = _probe_term(s)
+    dead_url = s.search([t], "exact", k=1).column("url")[0].as_py()
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "remove",
+         "--index", idx, "--urls", dead_url],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    marked = json.loads(out.stdout.strip().splitlines()[-1])
+    assert marked["marked"]["pending"] == 1
+    assert doc_id_for_url(dead_url) not in \
+        s.search([t], "exact", k=10_000).column("doc_id").to_pylist()
