@@ -30,6 +30,13 @@ Mechanism — a tiny sidecar, not an index mutation:
 At 100 TB the sidecar is per shard root and holds only deletes reported
 since the shard's last delta merge — typically thousands of ids (~8 B
 each), re-read only when its (mtime, size, seq) signature changes.
+
+Writes are atomic (tmp + rename: a reader never sees a torn file) but
+follow the index's single-writer discipline (reference U3 /
+IndexationSchedulerTask): concurrent ``mark_deleted`` callers should
+route through one ``writer.IndexWriter`` — two simultaneous
+read-modify-write cycles could drop one side's ids, exactly like two
+uncoordinated delta merges would.
 """
 
 from __future__ import annotations
