@@ -1110,7 +1110,7 @@ DUP_SPAN_BROADCAST_CAP = 5_000_000
 DUP_SPAN_ROLLING_MIN_DOCS = 200_000
 
 
-def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
+def duplicate_spans(ds, window: int = 25, num_buckets: int | None = None,
                     batch_size: int = 1024, rolling: bool | None = None,
                     broadcast_cap: int = DUP_SPAN_BROADCAST_CAP):
     """Flag maximal duplicated token spans: every run of tokens covered
@@ -1156,6 +1156,9 @@ def duplicate_spans(ds, window: int = 25, num_buckets: int = 64,
 
     Downstream policy (cut vs keep-one-occurrence) is a separate map —
     this operator is the corpus-wide report it needs."""
+    from search_engine_ray.stages.agg import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(num_buckets, ds)
     if rolling is None:
         try:  # parquet-backed inputs answer from footers (no scan)
             rolling = ds.count() >= DUP_SPAN_ROLLING_MIN_DOCS
@@ -1365,7 +1368,7 @@ def _duplicate_spans_rolling(ds, window: int, num_buckets: int,
     return _spans_from_hits(hits, window, num_buckets)
 
 
-def cut_duplicate_spans(ds, window: int = 50, num_buckets: int = 64,
+def cut_duplicate_spans(ds, window: int = 50, num_buckets: int | None = None,
                         batch_size: int = 1024,
                         rolling: bool | None = None,
                         broadcast_cap: int = DUP_SPAN_BROADCAST_CAP):
@@ -1396,9 +1399,13 @@ def cut_duplicate_spans(ds, window: int = 50, num_buckets: int = 64,
     functions/join.bucketed_hash_join) for the per-doc rewrite.
     Returns (doc_id, clean_text, n_cut_tokens). Re-running
     ``duplicate_spans`` on the output finds nothing (pinned by test)."""
-    from search_engine_ray.stages.agg import bucketed_group_agg
+    from search_engine_ray.stages.agg import (
+        bucketed_group_agg,
+        resolve_num_buckets,
+    )
 
     tok_re = token_regex()
+    num_buckets = resolve_num_buckets(num_buckets, ds)
     if rolling is None:
         try:
             rolling = ds.count() >= DUP_SPAN_ROLLING_MIN_DOCS

@@ -53,7 +53,8 @@ def _arrow_fields(ds) -> list[tuple[str, pa.DataType]]:
 
 
 def bucketed_hash_join(left, right, left_on: str, right_on: str,
-                       num_buckets: int = 64, how: str = "inner"):
+                       num_buckets: int | None = None,
+                       how: str = "inner"):
     """Distributed hash join of two Datasets on equality of
     ``left_on``/``right_on`` (column names must otherwise be disjoint).
 
@@ -67,6 +68,11 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
     this repo's 61-bit doc_ids corrupt. The pad never survives (each
     side re-selects only its own columns), so the zeros are never
     read; non-integer columns still pad with nulls."""
+    from search_engine_ray.stages.agg import resolve_num_buckets
+
+    # size the exchange from the LARGE side's lineage (the union moves
+    # both sides, but left dominates in every in-repo use)
+    num_buckets = resolve_num_buckets(num_buckets, left)
     lf, rf = _arrow_fields(left), _arrow_fields(right)
     lcols = [n for n, _ in lf]
     rcols = [n for n, _ in rf]
@@ -123,7 +129,7 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
 
 
 def semi_join(left, keys, on: str, keys_on: str | None = None,
-              anti: bool = False, num_buckets: int = 64):
+              anti: bool = False, num_buckets: int | None = None):
     """Distributed semi/anti join: the rows of ``left`` whose ``on`` key
     is (semi) / is not (``anti=True``) present in the ``keys`` Dataset's
     ``keys_on`` column. Output columns == ``left``'s columns.
@@ -137,6 +143,9 @@ def semi_join(left, keys, on: str, keys_on: str | None = None,
     where kept ids are a constant fraction of the input). For BOUNDED
     key sets (dimension-sized) ``broadcast_join`` / a ``ray.put`` id
     array is still cheaper — no shuffle."""
+    from search_engine_ray.stages.agg import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(num_buckets, left)
     lf = _arrow_fields(left)
     lcols = [n for n, _ in lf]
     key_type = dict(lf)[on]

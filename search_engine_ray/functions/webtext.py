@@ -937,7 +937,7 @@ def _line_removals(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def line_dedup(ds, num_buckets: int = 64):
+def line_dedup(ds, num_buckets: int | None = None):
     """Corpus-global exact line dedup: each distinct non-empty line
     survives only at its FIRST occurrence (lowest doc_id, then lowest
     line_no — including repeats within one doc); emits (doc_id,
@@ -950,9 +950,18 @@ def line_dedup(ds, num_buckets: int = 64):
     removal set exactly once and is re-split/reassembled there. Line
     text never enters exchange (1); exchange (2) moves the corpus once —
     the minimum for a transform that rewrites every document.
-    """
-    from search_engine_ray.stages.agg import bucketed_group_agg
 
+    ``num_buckets`` defaults to auto (resolve_num_buckets against the
+    RAW input, whose file lineage is still visible): 64 at test scale,
+    growing so one doc bucket's reassembly task stays a few hundred MB
+    at any corpus size.
+    """
+    from search_engine_ray.stages.agg import (
+        bucketed_group_agg,
+        resolve_num_buckets,
+    )
+
+    num_buckets = resolve_num_buckets(num_buckets, ds)
     hashes = ds.map_batches(LineHashExplode(), batch_format="pyarrow")
     removals = bucketed_group_agg(hashes, ["line_hash"], _line_removals,
                                   num_buckets)

@@ -1240,3 +1240,52 @@ def test_knn_join_matches_numpy_reference(ray_session):
         grp = got[got["left_id"] == i].sort_values("rank")
         assert list(zip(grp["right_id"], grp["cos"])) == exp, i
     assert not (got["left_id"] == got["right_id"]).any()
+
+
+def test_auto_num_buckets_sizing():
+    """Exchange self-sizing (stages/agg): floor at small inputs (every
+    historical plan unchanged), linear growth past the per-bucket
+    target, hard cap; unknown volume -> floor."""
+    from search_engine_ray.stages.agg import auto_num_buckets
+
+    assert auto_num_buckets(None) == 64
+    assert auto_num_buckets(0) == 64
+    assert auto_num_buckets(10 << 20) == 64          # 10 MB -> floor
+    assert auto_num_buckets(64 * (256 << 20)) == 64  # exactly floor*target
+    assert auto_num_buckets(100 * (256 << 20)) == 100
+    assert auto_num_buckets(100 << 40) == 65536      # 100 TB -> cap
+    assert auto_num_buckets(1 << 30, floor=8, target_bucket_bytes=1 << 27,
+                            cap=16) == 8
+
+
+def test_parquet_input_bytes_and_lineage(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_ray.stages.agg import (
+        dataset_input_bytes,
+        parquet_input_bytes,
+        resolve_num_buckets,
+    )
+
+    t = pa.table({"doc_id": list(range(100)), "text": ["x"] * 100})
+    pq.write_table(t, str(tmp_path / "a.parquet"))
+    pq.write_table(t, str(tmp_path / "b.parquet"))
+    want = sum(os.path.getsize(str(tmp_path / f))
+               for f in ("a.parquet", "b.parquet"))
+    assert parquet_input_bytes(str(tmp_path)) == want
+    assert parquet_input_bytes([str(tmp_path / "a.parquet"),
+                                str(tmp_path / "b.parquet")]) == want
+    assert parquet_input_bytes(str(tmp_path / "missing")) is None
+
+    ds = rd.read_parquet(str(tmp_path))
+    assert dataset_input_bytes(ds) == want
+    # explicit wins; None auto-resolves to the floor at this tiny size
+    assert resolve_num_buckets(128, ds) == 128
+    assert resolve_num_buckets(None, ds) == 64
+    # mid-pipeline datasets lose file lineage -> floor (the historical
+    # fixed default), never an error
+    assert resolve_num_buckets(None, ds.map_batches(lambda b: b)) == 64
