@@ -709,6 +709,15 @@ def sync_index(index_root: str, pages_path: str | list[str]) -> dict:
             metrics["applied"] = False
             return metrics  # bit-stable no-op: never touch the index
 
+        if removed.size:
+            # M8: vanished docs stop matching at the NEXT query, the
+            # moment the diff knows them — the (slower) physical merge
+            # below prunes the sidecar again when it commits. Searchers
+            # serving this root during the sync never return dead docs.
+            from search_engine_ray.pending import mark_deleted
+
+            mark_deleted(index_root, doc_ids=removed)
+
         # ---- 3. delta pages = clean_new rows of added ∪ changed -------
         delta_dir = os.path.join(sync_root, "delta_pages")
         upd = np.sort(np.concatenate((added, changed)))

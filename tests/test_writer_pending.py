@@ -345,3 +345,59 @@ def test_remove_cli(corpus_index, tmp_path):
     assert marked["marked"]["pending"] == 1
     assert doc_id_for_url(dead_url) not in \
         s.search([t], "exact", k=10_000).column("doc_id").to_pylist()
+
+
+def test_mark_deleted_doc_shard_server(corpus_index, tmp_path):
+    """DocShardServer actors (the 10^12-doc topology) honour per-shard
+    sidecars written while they are already serving."""
+    from search_engine_ray.serve import DocShardServer
+    from search_engine_ray.sharded import build_sharded
+
+    shroot = str(tmp_path / "dss")
+    pages_dir = str(tmp_path / "pages")
+    os.makedirs(pages_dir)
+    pq.write_table(corpus_index["pages"], pages_dir + "/p0.parquet")
+    build_sharded(pages_dir, shroot, num_doc_shards=2, config=CFG)
+    srv = DocShardServer(shroot)
+    try:
+        t = _probe_term(LocalSearcher(corpus_index["index"]))
+        r1 = srv.search([t], "exact", k=5)
+        dead_id = r1.column("doc_id")[0].as_py()
+        import glob
+
+        for shard_root in sorted(glob.glob(shroot + "/shard=*")):
+            mark_deleted(shard_root, doc_ids=[dead_id])
+        r2 = srv.search([t], "exact", k=5)
+        ids2 = r2.column("doc_id").to_pylist()
+        assert dead_id not in ids2
+        assert len(ids2) == 5
+        assert ids2[:4] == r1.column("doc_id").to_pylist()[1:5]
+    finally:
+        srv.shutdown()
+
+
+def test_sync_marks_removed_before_merge(corpus_index, tmp_path):
+    """incremental.sync_index publishes vanished docs to the M8 sidecar
+    as soon as the diff knows them; the physical merge then prunes the
+    sidecar on commit — after a full sync nothing stays pending and the
+    removed doc never matches."""
+    import shutil
+
+    from search_engine_ray.incremental import sync_index
+
+    idx = str(tmp_path / "syncidx")
+    shutil.copytree(corpus_index["index"], idx)
+    pages = corpus_index["pages"]
+    # new snapshot: doc 5 vanished
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    keep = [i for i in range(len(pages)) if i != 5]
+    pq.write_table(pages.take(keep), snap + "/p0.parquet")
+
+    m = sync_index(idx, snap)
+    assert m["n_removed"] == 1 and m["applied"]
+    ids, _ = read_pending(idx)
+    assert ids.size == 0  # merged and pruned
+    dead = doc_id_for_url(pages.column("url")[5].as_py())
+    s = LocalSearcher(idx)
+    assert dead not in s.ords()
