@@ -537,6 +537,36 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_ingest_warc(args) -> int:
+    """Ingest WARC crawl segments (the native Common-Crawl format) into
+    shard-partitioned pages parquet — the index build's input layout
+    (sources/warc.read_warc): distributed per-segment reads, shard_id =
+    blake2b64(url) %% n-shards so a failed run resumes per shard."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_ray.idhash import doc_ids_for_urls
+    from search_engine_ray.sources.warc import read_warc
+
+    ds = read_warc(args.input)
+    n_shards = args.n_shards
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = doc_ids_for_urls(batch.column("url").to_pylist())
+        return batch.append_column(
+            "shard_id", pa.array((ids % n_shards).astype(np.int64)))
+
+    ds.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        args.out, partition_cols=["shard_id"])
+    import pyarrow.dataset as pds
+
+    n = pds.dataset(args.out, format="parquet",
+                    partitioning="hive").count_rows()
+    print(json.dumps({"out": args.out, "n_pages": int(n),
+                      "n_shards": n_shards}))
+    return 0
+
+
 def cmd_ann_delta(args) -> int:
     """Incremental maintenance of the persisted IVF index
     (vecindex.apply_ivf_delta): --add is a (vec_id, embedding) parquet
@@ -1227,6 +1257,15 @@ def main(argv: list[str] | None = None) -> int:
     ig.add_argument("--text-key", default="text")
     ig.add_argument("--n-shards", type=int, default=16)
     ig.set_defaults(fn=cmd_ingest)
+
+    iw = sub.add_parser("ingest-warc", help="WARC crawl segments -> "
+                        "shard-partitioned pages parquet (the build's "
+                        "input layout)")
+    iw.add_argument("--input", required=True,
+                    help="dir (or file) of .warc / .warc.gz segments")
+    iw.add_argument("--out", required=True)
+    iw.add_argument("--n-shards", type=int, default=16)
+    iw.set_defaults(fn=cmd_ingest_warc)
 
     cu = sub.add_parser("curate")
     cu.add_argument("--input", required=True,
