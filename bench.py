@@ -33,6 +33,15 @@ import time
 
 import numpy as np
 
+# Route Ray Data worker logging through our config (silences the benign
+# per-worker "Failed to hash the schemas" warning the pandas-metadata
+# testdata schemas trigger — see search_engine_ray/ray_data_logging.yaml).
+# Must be set before ray.init so raylet-spawned workers inherit it.
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "search_engine_ray", "ray_data_logging.yaml"))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_PAGES", "50000"))
