@@ -15,6 +15,14 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Same per-worker logging config as bench.py: silences the benign
+# "Failed to hash the schemas" warning the pandas-metadata testdata
+# schemas trigger. Must be set before ray.init.
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "search_engine_ray", "ray_data_logging.yaml"))
+
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
