@@ -335,9 +335,17 @@ def cmd_remove(args) -> int:
         return 1
     out = {"marked": mark_deleted(args.index, urls=urls)}
     if args.merge:
-        from search_engine_ray.incremental import remove_urls
+        from search_engine_ray.pending import shard_roots
 
-        out["merge"] = remove_urls(args.index, urls)
+        if shard_roots(args.index):
+            from search_engine_ray.sharded import apply_delta_sharded
+
+            out["merge"] = apply_delta_sharded(args.index, None,
+                                               deleted_urls=urls)
+        else:
+            from search_engine_ray.incremental import remove_urls
+
+            out["merge"] = remove_urls(args.index, urls)
     print(json.dumps(out))
     return 0
 

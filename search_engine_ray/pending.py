@@ -55,6 +55,24 @@ def _path(index_root: str) -> str:
     return os.path.join(index_root, PENDING_FILE)
 
 
+def shard_roots(index_root: str) -> list[str] | None:
+    """Doc-sharded root (sharded.build_sharded layout) → its per-shard
+    index roots, else None. Detection: a ``shard=0`` subdir and no own
+    ``buckets/`` (every unsharded root has one); the shard count comes
+    from the root ``global_stats.json`` the sharded build writes."""
+    if (os.path.isdir(os.path.join(index_root, "buckets"))
+            or not os.path.isdir(os.path.join(index_root, "shard=0"))):
+        return None
+    gs = os.path.join(index_root, "global_stats.json")
+    if not os.path.exists(gs):
+        return None
+    with open(gs) as f:
+        n = int(json.load(f).get("num_doc_shards", 0))
+    if n <= 0:
+        return None
+    return [os.path.join(index_root, f"shard={s}") for s in range(n)]
+
+
 def read_pending(index_root: str) -> tuple[np.ndarray, int]:
     """(sorted int64 doc ids, seq). Missing/empty sidecar -> ([], 0)."""
     p = _path(index_root)
@@ -94,7 +112,27 @@ def mark_deleted(index_root: str, urls: list[str] | None = None,
     Unions the ids into the sidecar; the physical postings merge happens
     later (incremental.remove_urls / apply_delta / IndexWriter.drain).
     Returns {"seq", "pending"} — the new sidecar state.
+
+    A doc-SHARDED root routes each id to its owning shard's sidecar by
+    the build's own key (``doc_id % num_doc_shards`` — sharded.py:82),
+    so `mark_deleted(sharded_root, ...)` works unchanged and untouched
+    shards are not even opened; returns {"sharded", "pending"}.
     """
+    roots = shard_roots(index_root)
+    if roots is not None:
+        parts = []
+        if urls:
+            parts.append(doc_ids_for_urls(list(urls)))
+        if doc_ids is not None and len(doc_ids):
+            parts.append(np.asarray(doc_ids, dtype=np.int64))
+        ids = (np.unique(np.concatenate(parts)) if parts
+               else np.empty(0, np.int64))
+        total = 0
+        for s, sroot in enumerate(roots):
+            mine = ids[ids % len(roots) == s]
+            if mine.size:
+                total += mark_deleted(sroot, doc_ids=mine)["pending"]
+        return {"sharded": len(roots), "pending": int(total)}
     new = []
     if urls:
         new.append(doc_ids_for_urls(list(urls)))

@@ -117,3 +117,48 @@ def test_tombstone_parity_sweep(ray_session, tmp_path, seed):
     assert list(zip(eng2.column("doc_id").to_pylist(),
                     eng2.column("score").to_pylist())) == \
         _masked_oracle_topk(o, [h0], "exact", 3, None, dead)
+
+
+def test_mark_deleted_routes_on_sharded_root(ray_session, tmp_path):
+    """mark_deleted on a doc-SHARDED root routes each id to its owning
+    shard's sidecar (doc_id % D — the build's own key) and the fan-out
+    searcher sees the deletion at the next query; shards that own none
+    of the ids keep no sidecar at all."""
+    import os
+
+    from search_engine_ray.pending import read_pending, shard_roots
+    from search_engine_ray.sharded import ShardedSearcher, build_sharded
+
+    pages = generate_pages(200, seed=505)
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, str(pdir / "p.parquet"))
+    root = str(tmp_path / "sharded")
+    build_sharded(str(pdir), root, num_doc_shards=3,
+                  config=BuildConfig(num_buckets=8))
+    ss = ShardedSearcher(root)
+    assert shard_roots(root) == [os.path.join(root, f"shard={s}")
+                                 for s in range(3)]
+    # an UNSHARDED root is not misdetected
+    uidx = str(tmp_path / "plain")
+    build_index(str(pdir), uidx, BuildConfig(num_buckets=8))
+    assert shard_roots(uidx) is None
+
+    r1 = ss.search([HEAD[0]], "exact", k=6)
+    assert r1.num_rows == 6
+    dead_urls = [r1.column("url")[0].as_py(), r1.column("url")[1].as_py()]
+    out = mark_deleted(root, urls=dead_urls)
+    assert out == {"sharded": 3, "pending": 2}
+
+    dead_ids = set(doc_ids_for_urls(dead_urls).tolist())
+    for s in range(3):
+        ids, _ = read_pending(os.path.join(root, f"shard={s}"))
+        assert all(i % 3 == s for i in ids)        # routed, not broadcast
+        assert set(ids.tolist()) <= dead_ids
+    assert sum(read_pending(os.path.join(root, f"shard={s}"))[0].size
+               for s in range(3)) == 2
+
+    r2 = ss.search([HEAD[0]], "exact", k=6)        # no reload
+    got = r2.column("doc_id").to_pylist()
+    assert not dead_ids & set(got)
+    assert got[:4] == r1.column("doc_id").to_pylist()[2:6]
