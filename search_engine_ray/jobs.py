@@ -224,6 +224,46 @@ def cmd_dsir(args) -> int:
     return 0
 
 
+def cmd_domains(args) -> int:
+    """URL-level curation over a pages corpus (functions/urls.py):
+    ``--stats`` writes the per-domain profile; ``--block FILE`` (one
+    domain per line) drops blocklisted domains; ``--cap K`` keeps at
+    most K newest pages per domain (RefinedWeb source cap). Block and
+    cap compose (block first); the surviving corpus writes to --out."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from search_engine_ray.functions.urls import (
+        cap_per_domain,
+        domain_stats,
+        filter_domains,
+    )
+
+    def _rows(path: str) -> int:  # footer-only count
+        return sum(f.count_rows() for f in pds.dataset(path)
+                   .get_fragments())
+
+    ds = rd.read_parquet(args.input)
+    if args.stats:
+        domain_stats(ds).write_parquet(args.out)
+        print(json.dumps({"mode": "stats", "n_domains": _rows(args.out),
+                          "out": args.out}))
+        return 0
+    if not args.block and not args.cap:
+        print(json.dumps({"error": "need --stats, --block or --cap"}))
+        return 1
+    if args.block:
+        with open(args.block) as f:
+            blocked = [ln.strip() for ln in f if ln.strip()]
+        ds = filter_domains(ds, blocked)
+    if args.cap:
+        ds = cap_per_domain(ds, cap=args.cap)
+    ds.write_parquet(args.out)
+    print(json.dumps({"mode": "curate", "n_kept": _rows(args.out),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_train_bpe(args) -> int:
     """Train a BPE subword tokenizer over a documents corpus (Sennrich
     2016): one corpus pass for word counts, then the tiered merge loop;
@@ -1112,6 +1152,17 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--eval-mod", type=int, default=10)
     dr.add_argument("--eval-rem", type=int, default=7)
     dr.set_defaults(fn=cmd_dsir)
+
+    dm = sub.add_parser("domains", help="URL-level curation over a pages "
+                        "corpus: per-domain stats, domain blocklist "
+                        "filter, per-domain page cap (RefinedWeb-style)")
+    dm.add_argument("--input", required=True)
+    dm.add_argument("--out", required=True)
+    dm.add_argument("--stats", action="store_true")
+    dm.add_argument("--block", help="file with one blocked domain/line")
+    dm.add_argument("--cap", type=int,
+                    help="keep at most K newest pages per domain")
+    dm.set_defaults(fn=cmd_domains)
 
     tb = sub.add_parser("train-bpe", help="train BPE subword merges over "
                         "a documents corpus (one corpus pass + tiered "
