@@ -162,3 +162,32 @@ def test_mark_deleted_routes_on_sharded_root(ray_session, tmp_path):
     got = r2.column("doc_id").to_pylist()
     assert not dead_ids & set(got)
     assert got[:4] == r1.column("doc_id").to_pylist()[2:6]
+
+    # remove --merge on the sharded root routes through
+    # apply_delta_sharded: postings physically pruned, sidecars emptied
+    import json
+    import subprocess
+    import sys
+
+    victim = r2.column("url")[0].as_py()
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray.jobs", "remove",
+         "--index", root, "--urls", victim, "--merge"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["marked"]["sharded"] == 3
+    assert rep["merge"]["n_docs"] == 200 - 1
+    ss2 = ShardedSearcher(root)                    # fresh post-merge view
+    hits = ss2.search([HEAD[0]], "exact", k=10_000)
+    assert victim not in hits.column("url").to_pylist()
+    assert not dead_ids & set(hits.column("doc_id").to_pylist())
+    # only the victim's shard merged; the two earlier marks stay PENDING
+    # (their docs were never physically removed — still masked above)
+    victim_id = doc_ids_for_urls([victim])[0]
+    left = set()
+    for s in range(3):
+        left |= set(read_pending(
+            os.path.join(root, f"shard={s}"))[0].tolist())
+    assert victim_id not in left                   # pruned by its merge
+    assert left == dead_ids                        # untouched shards keep
