@@ -243,3 +243,42 @@ def test_prefix_pairgen_superset_of_filters_quadratic(rows, threshold):
                     continue
                 want.add((rs[i].doc_id, rs[j].doc_id))
     assert got_set == want
+
+
+# --- URL domain kernel vs the stdlib parser -----------------------------
+
+_scheme = st.sampled_from(["http", "https", "ftp", "HTTP", "wss"])
+_label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz"
+                          "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+                 min_size=1, max_size=8).filter(
+    lambda s: not s.startswith("-") and not s.endswith("-"))
+_host = st.lists(_label, min_size=1, max_size=4).map(".".join)
+_user = st.one_of(st.none(), st.sampled_from(["bob", "a:secret%40x"]))
+_port = st.one_of(st.none(), st.integers(1, 65535))
+_path = st.sampled_from(["", "/", "/a/b", "/p?q=1&r=2", "/x#frag",
+                         "/%7Euser", "/a;b"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(_scheme, _user, _host, _port, _path)
+def test_domain_kernel_matches_urlsplit(scheme, user, host, port, path):
+    """domain_of_batch == urllib.parse.urlsplit().hostname (+ one
+    leading www. strip) for every reg-name URL hypothesis can build.
+    (IPv6 bracket hosts are out of the kernel's scope — web corpora key
+    on registered names; urlsplit is the independent reference.)"""
+    import pyarrow as pa
+    from urllib.parse import urlsplit
+
+    from search_engine_ray.functions.urls import domain_of_batch
+
+    url = scheme + "://"
+    if user is not None:
+        url += user + "@"
+    url += host
+    if port is not None:
+        url += f":{port}"
+    url += path
+    want = (urlsplit(url).hostname or "").lower()
+    want = want.removeprefix("www.")
+    got = domain_of_batch(pa.array([url], pa.string())).to_pylist()[0]
+    assert got == want, url
