@@ -415,6 +415,8 @@ def eval_shingle_set(ds, eval_mod: int = 10, eval_rem: int = 7,
 
     parts = ds.map_batches(eval_hashes, batch_format="pyarrow",
                            batch_size=2048).to_pandas()
+    if "h" not in parts.columns:  # zero eval-slot docs in the corpus:
+        return np.empty(0, np.int64)  # all-empty blocks drop the schema
     return np.unique(parts["h"].to_numpy(dtype=np.int64))
 
 
@@ -893,6 +895,59 @@ def redact(ds, deny_terms: tuple = ("javascript",),
     """Streaming redaction over a documents-shaped table."""
     return ds.map_batches(RedactBatch(deny_terms),
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+class UnicodeNormalizeBatch:
+    """Unicode text normalization (the CCNet/OSCAR-style pre-pass,
+    Wenzek 2020 §4.1 normalizes before hashing): canonical form
+    (NFC/NFKC/NFD/NFKD), optional control + zero-width strip, optional
+    horizontal-whitespace collapse. Pure per-batch map, zero shuffle;
+    the translate table and regexes compile once per actor. Newlines
+    are STRUCTURE (line dedup keys on them) and always survive."""
+
+    # C0/C1 controls minus \n (kept) and \t (whitespace, handled by
+    # collapse); plus the zero-width/BOM family that breaks dedup keys.
+    _ZAP = dict.fromkeys(
+        [c for c in range(0x20) if c not in (0x09, 0x0A)]
+        + list(range(0x7F, 0xA0))
+        + [0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF])
+
+    def __init__(self, form: str = "NFKC", strip_controls: bool = True,
+                 collapse_ws: bool = False):
+        import re
+        import unicodedata
+
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"unknown normalization form {form!r}")
+        self._norm = unicodedata.normalize
+        self._form = form
+        self._zap = self._ZAP if strip_controls else None
+        # horizontal runs only — [^\S\n] is "whitespace except newline"
+        self._ws = re.compile(r"[^\S\n]+") if collapse_ws else None
+
+    def _one(self, t: str) -> str:
+        t = self._norm(self._form, t)
+        if self._zap is not None:
+            t = t.translate(self._zap)
+        if self._ws is not None:
+            t = self._ws.sub(" ", t)
+        return t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = [None if t is None else self._one(t) for t in texts]
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", pa.array(out, pa.string()))
+
+
+def unicode_normalize(ds, form: str = "NFKC", strip_controls: bool = True,
+                      collapse_ws: bool = False, batch_size: int = 1024):
+    """Normalize the ``text`` column of a documents/pages-shaped table
+    (all other columns pass through). Run BEFORE any hash-keyed dedup —
+    visually-identical texts must hash identically."""
+    return ds.map_batches(
+        UnicodeNormalizeBatch(form, strip_controls, collapse_ws),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

@@ -755,6 +755,12 @@ def cmd_curate(args) -> int:
           "k": args.ngram, "min_tokens": args.min_tokens,
           "min_quality": args.min_quality, "max_dup3": args.max_dup3}
     sig_ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    if args.normalize:
+        # normalize BOTH the eval-shingle pass and the corpus pass —
+        # contamination keys on n-gram hashes, which must agree
+        from search_engine_ray.functions.webtext import unicode_normalize
+
+        sig_ds = unicode_normalize(sig_ds, form=args.normalize)
     ev_ref = ray.put(eval_shingle_set(sig_ds, args.eval_mod, args.eval_rem,
                                       args.ngram))
 
@@ -769,6 +775,10 @@ def cmd_curate(args) -> int:
                 "reason", res.column("reason"))
 
     ds = rd.read_parquet(args.input)  # all columns survive into the output
+    if args.normalize:
+        from search_engine_ray.functions.webtext import unicode_normalize
+
+        ds = unicode_normalize(ds, form=args.normalize)
     ds.map_batches(_Annotate, batch_format="pyarrow", batch_size=1024,
                    concurrency=actor_pool_size()).write_parquet(
         args.out, partition_cols=["keep"])
@@ -1336,6 +1346,9 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--eval-mod", type=int, default=10)
     cu.add_argument("--eval-rem", type=int, default=7)
     cu.add_argument("--ngram", type=int, default=8)
+    cu.add_argument("--normalize", choices=["NFC", "NFKC", "NFD", "NFKD"],
+                    help="unicode-normalize text before the gates (the "
+                         "CCNet pre-pass; output text is normalized)")
     cu.set_defaults(fn=cmd_curate)
 
     mx = sub.add_parser("mix")
