@@ -12,8 +12,8 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-import ray.data as rd
 
+from search_engine_ray.sources import sized_read_parquet
 from search_engine_ray.stages.agg import bucketed_group_agg
 
 
@@ -90,7 +90,7 @@ def events_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
     derive by sort+diff+cumsum inside it, all numpy). SQL-checkable via
     lag()/running-sum window functions.
     """
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "user_id", "value"])
     ds = ds.map_batches(_ts_to_us, batch_format="pyarrow")
     return bucketed_group_agg(
@@ -139,7 +139,7 @@ def events_sliding(sf_dir: str, window_us: int = WINDOW_US,
     into windows (shuffle volume 1x + a tiny window-merge pass).
     """
     assert window_us % slide_us == 0
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "user_id", "value"])
     ds = ds.map_batches(_ts_to_us, batch_format="pyarrow")
     ds = ds.map_batches(
@@ -203,7 +203,7 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
     ``events_sessions``, valid while no single key is object-store-scale
     (salt-and-merge would be the evolution for a pathological hot user).
     """
-    ds = rd.read_parquet(
+    ds = sized_read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"])
 
@@ -233,7 +233,7 @@ def events_hourly_user(sf_dir: str):
     (user_id, hour) cardinality ~ the table size, so this uses the
     coarse-bucket aggregate (stages/agg.py), not a per-group groupby.
     """
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["ts", "user_id", "value"])
     ds = ds.map_batches(_add_hour, batch_format="pandas")
     return bucketed_group_agg(ds, ["user_id", "hour_epoch"], _hourly_agg)
@@ -249,7 +249,7 @@ def events_top_users(sf_dir: str, k: int = 2):
     group-count ~ key-domain (5 types) the per-bucket result is tiny;
     for high-cardinality grouping keys the same plan applies with a
     map-side partial sum first (see functions/webtext.tfidf_topk)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id", "value"])
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -280,7 +280,7 @@ def events_props_stats(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "props"])
 
     def extract(batch):
@@ -308,7 +308,7 @@ def events_profile(sf_dir: str):
     from search_engine_ray.functions.profile import profile_table
 
     return profile_table(
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+        sized_read_parquet(os.path.join(sf_dir, "events.parquet")))
 
 
 def events_latest(sf_dir: str):
@@ -316,7 +316,7 @@ def events_latest(sf_dir: str):
     ties to the highest event_id) — the 'current state per key' view a
     changelog consumer maintains. One coarse exchange on the user
     bucket; per-bucket vectorized idxmax."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "ts", "user_id",
                                   "event_type", "value"])
 
@@ -401,7 +401,7 @@ def events_funnel(sf_dir: str, steps=FUNNEL_STEPS,
             "ts_us": pc.cast(batch.column("ts"), pa.int64()),
         })
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "ts"])
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
     out = bucketed_group_agg(
@@ -442,7 +442,7 @@ def events_retention(sf_dir: str, week_us: int = WEEK_US):
             "wk": pc.divide(us, week_us),  # trunc == floor: ts >= epoch
         })
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
 

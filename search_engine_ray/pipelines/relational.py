@@ -20,10 +20,10 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
-import ray.data as rd
 
 from search_engine_ray.functions.join import broadcast_join, bucketed_hash_join
-from search_engine_ray.stages.agg import bucketed_group_agg
+from search_engine_ray.sources import sized_read_parquet
+from search_engine_ray.stages.agg import partial_group_agg
 
 
 def orders_by_nation(sf_dir: str):
@@ -32,9 +32,9 @@ def orders_by_nation(sf_dir: str):
     orders ⨝ customer (hash, one exchange) → +nation/region names
     (broadcast, zero exchange) → rollup (one coarse exchange on a
     25-key domain)."""
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = sized_read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_custkey", "o_totalprice"])
-    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    customer = sized_read_parquet(os.path.join(sf_dir, "customer.parquet"),
                                columns=["c_custkey", "c_nationkey"])
     joined = bucketed_hash_join(orders, customer,
                                 left_on="o_custkey", right_on="c_custkey")
@@ -49,21 +49,24 @@ def orders_by_nation(sf_dir: str):
     joined = broadcast_join(joined, dim,
                             left_on="c_nationkey", right_on="n_nationkey")
 
-    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+    # sum/count decompose, so the rollup is a map-side combiner: each
+    # batch collapses to <=25 (nation, region) partials and the exchange
+    # moves only those — integer-cent sums stay exact in any order
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["n_name", "r_name"]].assign(
             cents=np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5)
             .astype(np.int64))
-        return df
-
-    rows = joined.map_batches(to_cents, batch_format="pandas")
-
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["n_name", "r_name"], as_index=False).agg(
+        out = df.groupby(["n_name", "r_name"], as_index=False).agg(
             n_orders=("cents", "size"), sum_cents=("cents", "sum"))
         out["n_orders"] = out["n_orders"].astype("int64")
         return out
 
-    return bucketed_group_agg(rows, ["n_name", "r_name"], rollup)
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["n_name", "r_name"], as_index=False).agg(
+            n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum"))
+
+    return partial_group_agg(joined, ["n_name", "r_name"],
+                             partial, combine)
 
 
 def revenue_by_brand(sf_dir: str):
@@ -75,30 +78,34 @@ def revenue_by_brand(sf_dir: str):
     revenue cents = round(l_extendedprice * (1 - l_discount) * 100):
     the same double expression per row in both engines, then an exact
     BIGINT sum — immune to summation order."""
-    lineitem = rd.read_parquet(
+    lineitem = sized_read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_extendedprice", "l_discount",
                  "l_returnflag"])
-    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+    part = sized_read_parquet(os.path.join(sf_dir, "part.parquet"),
                            columns=["p_partkey", "p_brand"])
     joined = bucketed_hash_join(lineitem, part,
                                 left_on="l_partkey", right_on="p_partkey")
 
-    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+    # map-side combiner (same shape as orders_by_nation): each batch
+    # collapses to |brands x flags| partials before the exchange
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         # half-AWAY rounding (floor(x+0.5), all prices positive):
         # numpy's half-even diverges from SQL round() on the exact
         # dyadic .5 products a 0.25/0.5 discount produces
         cents = np.floor(df["l_extendedprice"].to_numpy()
                          * (1.0 - df["l_discount"].to_numpy())
                          * 100.0 + 0.5).astype(np.int64)
-        return df[["p_brand", "l_returnflag"]].assign(cents=cents)
-
-    rows = joined.map_batches(to_cents, batch_format="pandas")
-
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["p_brand", "l_returnflag"], as_index=False).agg(
+        df = df[["p_brand", "l_returnflag"]].assign(cents=cents)
+        out = df.groupby(["p_brand", "l_returnflag"], as_index=False).agg(
             n_items=("cents", "size"), revenue_cents=("cents", "sum"))
         out["n_items"] = out["n_items"].astype("int64")
         return out
 
-    return bucketed_group_agg(rows, ["p_brand", "l_returnflag"], rollup)
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["p_brand", "l_returnflag"], as_index=False).agg(
+            n_items=("n_items", "sum"),
+            revenue_cents=("revenue_cents", "sum"))
+
+    return partial_group_agg(joined, ["p_brand", "l_returnflag"],
+                             partial, combine)

@@ -144,6 +144,29 @@ def bucketed_group_agg(
     )
 
 
+def partial_group_agg(
+    ds,
+    keys: list[str],
+    per_batch_partial: Callable[[pd.DataFrame], pd.DataFrame],
+    per_bucket_combine: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int | None = 64,
+):
+    """Two-phase aggregate for DECOMPOSABLE aggregations (sum / count /
+    min / max / mergeable sketches): ``per_batch_partial`` collapses each
+    map batch to one row per key MAP-SIDE, so the bucketed exchange moves
+    only |keys|-bounded partials instead of every input row, then
+    ``per_bucket_combine`` merges partials per bucket.
+
+    This is the combiner pattern the 100 TB story needs on low-cardinality
+    rollups: ``bucketed_group_agg`` over raw rows shuffles the whole
+    joined fact table; this shuffles at most n_blocks x |key domain|
+    partial rows. Non-decomposable aggregations (median, distinct-count
+    without a sketch) must stay on ``bucketed_group_agg``."""
+    partials = ds.map_batches(per_batch_partial, batch_format="pandas")
+    return bucketed_group_agg(partials, keys, per_bucket_combine,
+                              num_buckets)
+
+
 def bucketed_distinct(ds, keys: list[str], num_buckets: int | None = 64):
     """DISTINCT over ``keys`` at any cardinality (same pattern)."""
     return bucketed_group_agg(
