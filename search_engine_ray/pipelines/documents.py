@@ -22,6 +22,16 @@ import pyarrow as pa
 import ray.data as rd
 
 from search_engine_ray.functions.textstats import TokenStatsBatch, token_regex
+from search_engine_ray.sources import sized_read_parquet
+
+
+def _docs_read(path, **kw):
+    """Documents reads feed tokenize-heavy kernels (minhash shingles,
+    line explode, n-gram sets), so blocks stay small enough to keep all
+    cores busy at test scale (128 KiB on disk ~ a few hundred docs per
+    task) while still capping Ray's ~2xCPU oversplit of tiny files; at
+    real volume Ray's own sizing takes over (sources/__init__.py)."""
+    return sized_read_parquet(path, min_block_bytes=128 << 10, **kw)
 
 # fixed BM25 query set over the documents vocabulary (FIXTURES.md §4 style):
 # head terms, a mid term, an OR pair, a prefix, and a guaranteed no-hit.
@@ -38,7 +48,7 @@ BM25_K = 10
 
 
 def load_documents(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    return _docs_read(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
 
 
@@ -303,7 +313,7 @@ def _write_pages_stream(sf_dir: str, pages_dir: str) -> None:
             }
         )
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _docs_read(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "lang"])
     ds.map_batches(to_pages, batch_format="pyarrow",
                    batch_size=2048).write_parquet(pages_dir)
@@ -607,7 +617,7 @@ def source_stats_agg(sf_dir: str):
     """Per-source curation stats (docs, langs, chars, exact-dup frac)."""
     from search_engine_ray.functions.webtext import source_stats
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _docs_read(os.path.join(sf_dir, "documents.parquet"),
                          columns=["text", "lang", "source", "n_chars"])
     return source_stats(ds)
 
@@ -635,7 +645,7 @@ def quality_buckets_docs(sf_dir: str, n_buckets: int = 3):
     from search_engine_ray.stages.agg import bucketed_group_agg
 
     scores = unigram_surprisal_scores(sf_dir)
-    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    src = _docs_read(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "source"]).map_batches(
         lambda df: df.rename(columns={"doc_id": "src_doc_id"}),
         batch_format="pandas")
@@ -679,7 +689,7 @@ def stratified_sample_docs(sf_dir: str):
     """Deterministic per-source sample (hash-derived demo rates)."""
     from search_engine_ray.functions.webtext import stratified_sample
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _docs_read(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "source"])
     return stratified_sample(ds)
 
@@ -720,7 +730,7 @@ def source_heavy_hitters(sf_dir: str, k: int = 20):
     approximate regime is pinned by the zipf one-sided-bound tests)."""
     from search_engine_ray.functions.profile import heavy_hitters
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _docs_read(os.path.join(sf_dir, "documents.parquet"),
                          columns=["source"])
     out = heavy_hitters(ds, "source", k=k)
     return pa.table({
@@ -757,11 +767,9 @@ def corpus_mix_docs(sf_dir: str):
     """Token-budgeted training-mix assembly over the documents table
     (functions/webtext.corpus_mix): three sources at 50/30/20 shares of
     a 60k-token budget, deterministic hash-order fill."""
-    import ray.data as rd_
-
     from search_engine_ray.functions.webtext import corpus_mix
 
-    ds = rd_.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _docs_read(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "source", "text"])
     return corpus_mix(ds, MIX_WEIGHTS, MIX_BUDGET)
 
@@ -795,7 +803,7 @@ def length_quantiles_docs(sf_dir: str):
     """Exact per-source n_chars quantiles (histogram-merge plan)."""
     from search_engine_ray.functions.webtext import length_quantiles
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _docs_read(os.path.join(sf_dir, "documents.parquet"),
                          columns=["source", "n_chars"])
     return length_quantiles(ds)
 
@@ -923,7 +931,7 @@ def doc_lm_signals(sf_dir: str, n_buckets: int = 3):
 
     # source rides the SAME scan the signals read (one read, no join —
     # the fused batch carries the column through)
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _docs_read(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "source"])
     model_ref = ray.put(_unigram_model(ds))
     bi_ref = ray.put(_bigram_model(ds))
@@ -1110,7 +1118,7 @@ def pack_shuffle_sample_docs(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "sampled": pa.array(keep, pa.int64())})
 
-    flags = rd.read_parquet(
+    flags = _docs_read(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"]).map_batches(
             flag, batch_format="pyarrow", batch_size=2048)

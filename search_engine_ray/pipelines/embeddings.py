@@ -16,8 +16,12 @@ N_QUERY_VECS = 5
 
 
 def load_embeddings(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+    # matmul-heavy consumers: 128 KiB blocks keep cores busy at test
+    # scale without Ray's ~2xCPU oversplit of a tiny file
+    from search_engine_ray.sources import sized_read_parquet
+    return sized_read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"],
+                              min_block_bytes=128 << 10)
 
 
 def query_matrix(sf_dir: str) -> np.ndarray:

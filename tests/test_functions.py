@@ -1243,14 +1243,17 @@ def test_knn_join_matches_numpy_reference(ray_session):
 
 
 def test_auto_num_buckets_sizing():
-    """Exchange self-sizing (stages/agg): floor at small inputs (every
-    historical plan unchanged), linear growth past the per-bucket
-    target, hard cap; unknown volume -> floor."""
+    """Exchange self-sizing (stages/agg): floor scales DOWN with tiny
+    inputs (a sub-256 KB bucket is pure scheduling overhead), holds at
+    64 from 16 MB, grows linearly past the per-bucket target, hard cap;
+    unknown volume -> the full floor."""
     from search_engine_ray.stages.agg import auto_num_buckets
 
     assert auto_num_buckets(None) == 64
     assert auto_num_buckets(0) == 64
-    assert auto_num_buckets(10 << 20) == 64          # 10 MB -> floor
+    assert auto_num_buckets(600 << 10) == 8          # tiny -> scaled floor
+    assert auto_num_buckets(10 << 20) == 40          # 10 MB -> 40 buckets
+    assert auto_num_buckets(16 << 20) == 64          # full floor restored
     assert auto_num_buckets(64 * (256 << 20)) == 64  # exactly floor*target
     assert auto_num_buckets(100 * (256 << 20)) == 100
     assert auto_num_buckets(100 << 40) == 65536      # 100 TB -> cap
@@ -1283,9 +1286,10 @@ def test_parquet_input_bytes_and_lineage(ray_session, tmp_path):
 
     ds = rd.read_parquet(str(tmp_path))
     assert dataset_input_bytes(ds) == want
-    # explicit wins; None auto-resolves to the floor at this tiny size
+    # explicit wins; None auto-resolves to the SCALED floor at this
+    # tiny size (sub-256 KB buckets are pure scheduling overhead)
     assert resolve_num_buckets(128, ds) == 128
-    assert resolve_num_buckets(None, ds) == 64
+    assert resolve_num_buckets(None, ds) == 8
     # mid-pipeline datasets lose file lineage -> floor (the historical
     # fixed default), never an error
     assert resolve_num_buckets(None, ds.map_batches(lambda b: b)) == 64
