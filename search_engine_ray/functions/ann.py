@@ -408,11 +408,17 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95,
 
     with_b = ds.map_batches(add_buckets, batch_format="pyarrow",
                             batch_size=batch_size)
-    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+    from search_engine_ray.stages.agg import (
+        bucketed_distinct,
+        bucketed_group_agg,
+        resolve_num_buckets,
+    )
 
-    pairs = bucketed_group_agg(with_b, ["table_id", "bucket"], per_partition)
+    nb = resolve_num_buckets(None, ds)  # raw-input lineage (with_b has none)
+    pairs = bucketed_group_agg(with_b, ["table_id", "bucket"],
+                               per_partition, nb)
     # several tables can propose the same pair — dedup on the pair key
-    return bucketed_distinct(pairs, ["vec_a", "vec_b", "cos"])
+    return bucketed_distinct(pairs, ["vec_a", "vec_b", "cos"], nb)
 
 
 def cosine_all_pairs_exact(ds, threshold: float = 0.5,

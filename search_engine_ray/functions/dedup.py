@@ -171,31 +171,50 @@ def _bucket_pairs(g: pd.DataFrame, bucket_cap: int = BUCKET_CAP_DEFAULT
                   ) -> pd.DataFrame:
     """Candidate pairs from ALL LSH buckets in one coarse partition.
 
-    Vectorized group sizing first (pandas, C); the Python pair loop only
-    touches buckets with >=2 docs — the rare case. ``bucket_cap`` bounds
+    Fully vectorized: one sort + contiguous group coding, then size-2
+    buckets (the overwhelmingly common case — a true dup pair collides
+    as a 2-doc bucket in each agreeing band) emit in ONE numpy gather;
+    only buckets with 3+ docs take the per-bucket ``triu_indices``
+    path. The r4 per-key ``DataFrame.loc`` probe cost ~1 ms per hot
+    bucket and dominated the stage wall. ``bucket_cap`` bounds
     combinatorial blowup in a hot bucket (boilerplate pages); every
-    truncation is LOGGED with the bucket key and dropped-doc count so a
-    capped run is never silent."""
-    a, b = [], []
+    truncation is LOGGED with the dropped-doc count so a capped run is
+    never silent."""
+    u = (g.drop_duplicates(["band_id", "band_hash", "doc_id"])
+          .sort_values(["band_id", "band_hash", "doc_id"],
+                       kind="mergesort"))
+    if not len(u):
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")})
+    codes = u.groupby(["band_id", "band_hash"], sort=False).ngroup() \
+             .to_numpy()
+    docs = u["doc_id"].to_numpy()
+    counts = np.bincount(codes)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    a_parts, b_parts = [], []
     n_trunc = n_dropped = 0
-    sizes = g.groupby(["band_id", "band_hash"])["doc_id"].nunique()
-    multi = sizes[sizes >= 2]
-    if len(multi):
-        sub = g.set_index(["band_id", "band_hash"]).loc[multi.index]
-        for key in multi.index:
-            docs = sorted(set(sub.loc[[key]]["doc_id"].tolist()))
-            if len(docs) > bucket_cap:
-                n_trunc += 1
-                n_dropped += len(docs) - bucket_cap
-                docs = docs[:bucket_cap]
-            for x, y in combinations(docs, 2):
-                a.append(x)
-                b.append(y)
+    s2 = np.flatnonzero(counts == 2)
+    if s2.size:
+        st = starts[s2]
+        a_parts.append(docs[st])
+        b_parts.append(docs[st + 1])
+    for gi in np.flatnonzero(counts > 2):
+        d = docs[starts[gi]: starts[gi] + counts[gi]]
+        if d.size > bucket_cap:
+            n_trunc += 1
+            n_dropped += int(d.size) - bucket_cap
+            d = d[:bucket_cap]
+        iu, ju = np.triu_indices(d.size, k=1)
+        a_parts.append(d[iu])
+        b_parts.append(d[ju])
     if n_trunc:
         logger.warning(
             "minhash LSH: %d hot bucket(s) truncated to cap=%d "
             "(%d candidate docs dropped) in this partition",
             n_trunc, bucket_cap, n_dropped)
+    a = np.concatenate(a_parts) if a_parts else np.empty(0, np.int64)
+    b = np.concatenate(b_parts) if b_parts else np.empty(0, np.int64)
     return pd.DataFrame(
         {"doc_a": pd.Series(a, dtype="int64"),
          "doc_b": pd.Series(b, dtype="int64")}
@@ -501,13 +520,20 @@ def minhash_near_dups(
         MinHashBatch(shingle_k, n_perm, n_bands),
         batch_format="pyarrow", batch_size=batch_size,
     )
-    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+    from search_engine_ray.stages.agg import (
+        bucketed_distinct,
+        bucketed_group_agg,
+        resolve_num_buckets,
+    )
 
+    # size both exchanges from the RAW input's lineage (sigs has none):
+    # tiny corpora drop to the scaled floor instead of 64 fixed buckets
+    nb = resolve_num_buckets(None, ds)
     pairs = bucketed_group_agg(
         sigs, ["band_id", "band_hash"],
-        lambda g: _bucket_pairs(g, bucket_cap=bucket_cap))
+        lambda g: _bucket_pairs(g, bucket_cap=bucket_cap), nb)
     # distinct pairs (several bands can propose the same pair)
-    pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"])
+    pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"], nb)
     return _verify_candidate_pairs(
         ds, pairs, shingle_k=shingle_k, threshold=threshold,
         batch_size=batch_size, texts_ref=texts_ref,
@@ -671,14 +697,19 @@ def ngram_jaccard_near_dups(
     cluster sizes (logged), and verification never materializes the
     corpus. ref: DocumentIndexManager.java:334-336 (the reference's exact
     dedup-check analogue)."""
-    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+    from search_engine_ray.stages.agg import (
+        bucketed_distinct,
+        bucketed_group_agg,
+        resolve_num_buckets,
+    )
 
     em = ds.map_batches(PrefixEmitBatch(shingle_k, threshold),
                         batch_format="pyarrow", batch_size=batch_size)
+    nb = resolve_num_buckets(None, ds)  # raw-input lineage (em has none)
     pairs = bucketed_group_agg(
-        em, ["px"], lambda g: _prefix_bucket_pairs(g, threshold))
+        em, ["px"], lambda g: _prefix_bucket_pairs(g, threshold), nb)
     # the same pair usually collides on several prefix hashes
-    pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"])
+    pairs = bucketed_distinct(pairs, ["doc_a", "doc_b"], nb)
     return _verify_candidate_pairs(
         ds, pairs, shingle_k=shingle_k, threshold=threshold,
         batch_size=batch_size, texts_ref=texts_ref,
@@ -791,15 +822,20 @@ def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3,
 
 def simhash_near_dups(ds, max_hamming: int = 3, batch_size: int = 2048):
     """SimHash blocking + Hamming verification -> (doc_a, doc_b, hamming)."""
-    from search_engine_ray.stages.agg import bucketed_distinct, bucketed_group_agg
+    from search_engine_ray.stages.agg import (
+        bucketed_distinct,
+        bucketed_group_agg,
+        resolve_num_buckets,
+    )
 
     # actor pool (class, not instance) so the term-hash memo lives for the
     # whole actor, not one task
     sigs = ds.map_batches(SimHashBatch, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=actor_pool_size())
+    nb = resolve_num_buckets(None, ds)  # raw-input lineage (sigs has none)
     pairs = bucketed_group_agg(
-        sigs, ["chunk_id", "chunk_val"], _simhash_bucket_pairs)
-    return bucketed_distinct(pairs, ["doc_a", "doc_b", "hamming"])
+        sigs, ["chunk_id", "chunk_val"], _simhash_bucket_pairs, nb)
+    return bucketed_distinct(pairs, ["doc_a", "doc_b", "hamming"], nb)
 
 
 # ---------------------------------------------------------------------------

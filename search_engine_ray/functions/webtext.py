@@ -1123,7 +1123,7 @@ class DocTermTFBatch:
         })
 
 
-def tfidf_topk(ds, k: int = 3, num_buckets: int = 64):
+def tfidf_topk(ds, k: int = 3, num_buckets: int | None = None):
     """Top-``k`` TF-IDF keywords per document (smoothed sklearn-style
     idf: ``tf * (ln((1+N)/(1+df)) + 1)``); emits (doc_id, term, tfidf,
     rank), rank 1..k by score desc then term asc.
@@ -1167,7 +1167,7 @@ def tfidf_topk(ds, k: int = 3, num_buckets: int = 64):
 QUANTILE_PCTS = (25, 50, 75, 90, 99)
 
 
-def length_quantiles(ds, num_buckets: int = 64):
+def length_quantiles(ds, num_buckets: int | None = None):
     """EXACT per-source quantiles of ``n_chars`` (p25/p50/p75/p90/p99,
     "disc" semantics: the value at 1-indexed position ceil(q*n) of the
     ascending sort). Quantile positions use INTEGER arithmetic

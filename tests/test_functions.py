@@ -1293,3 +1293,51 @@ def test_parquet_input_bytes_and_lineage(ray_session, tmp_path):
     # mid-pipeline datasets lose file lineage -> floor (the historical
     # fixed default), never an error
     assert resolve_num_buckets(None, ds.map_batches(lambda b: b)) == 64
+
+
+def test_bucket_pairs_vectorized_matches_reference_loop():
+    """The vectorized LSH pair emitter (functions/dedup._bucket_pairs)
+    must emit exactly the per-bucket combinations the r4 loop emitted:
+    unique docs per (band_id, band_hash), sorted, capped at bucket_cap,
+    all unordered pairs — pinned against a literal itertools reference
+    on random partitions (pair SET equality; downstream
+    bucketed_distinct owns ordering)."""
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_ray.functions.dedup import (
+        BUCKET_CAP_DEFAULT,
+        _bucket_pairs,
+    )
+
+    def reference(g, bucket_cap=BUCKET_CAP_DEFAULT):
+        a, b = [], []
+        sizes = g.groupby(["band_id", "band_hash"])["doc_id"].nunique()
+        for key in sizes[sizes >= 2].index:
+            sub = g.set_index(["band_id", "band_hash"]).loc[[key]]
+            docs = sorted(set(sub["doc_id"].tolist()))[:bucket_cap]
+            for x, y in combinations(docs, 2):
+                a.append(x)
+                b.append(y)
+        return set(zip(a, b))
+
+    rng = np.random.default_rng(1234)
+    for _ in range(10):
+        n = int(rng.integers(0, 2000))
+        g = pd.DataFrame({
+            "band_id": rng.integers(0, 8, n).astype(np.int32),
+            "band_hash": rng.integers(0, 50, n).astype(np.int64),
+            "doc_id": rng.integers(0, 300, n).astype(np.int64)})
+        got = _bucket_pairs(g)
+        assert set(zip(got["doc_a"], got["doc_b"])) == reference(g)
+
+    # hot-bucket cap: 200 docs in one bucket truncate to the first 50
+    g = pd.DataFrame({
+        "band_id": np.zeros(200, np.int32),
+        "band_hash": np.zeros(200, np.int64),
+        "doc_id": np.arange(200, dtype=np.int64)})
+    got = _bucket_pairs(g, bucket_cap=50)
+    assert len(got) == 50 * 49 // 2
+    assert int(got["doc_a"].max()) <= 49
