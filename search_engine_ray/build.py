@@ -400,12 +400,21 @@ def build_index(
     elif pending_items:
         # direct path: tokens are already hash-partitioned on disk by the
         # tokenize stage's partitioned write (the map side of the shuffle);
-        # one reducer task per bucket reads its own partition — no Ray-level
-        # sort/groupby exchange.
-        ds = rd.from_items(pending_items,
-                           override_num_blocks=len(pending_items))
+        # each reducer task reads its own buckets' partitions — no
+        # Ray-level sort/groupby exchange. Task count caps at ~2x CPUs:
+        # one task per bucket schedules 128 ~20 ms tasks at bench scale
+        # (half the stage wall was scheduling); a task processes its
+        # buckets sequentially, so peak memory stays one bucket and the
+        # per-bucket artifact commit (the resume unit) is unchanged.
+        n_blocks = min(len(pending_items),
+                       2 * int(_ray.cluster_resources().get("CPU", 8)))
+        # round-robin over the LPT order so the biggest buckets spread
+        # across tasks instead of stacking in the first block
+        rr = [pending_items[j] for b in range(n_blocks)
+              for j in range(b, len(pending_items), n_blocks)]
+        ds = rd.from_items(rr, override_num_blocks=n_blocks)
         result = ds.map_batches(
-            build_bucket_from_files, batch_format="pandas", batch_size=1,
+            build_bucket_from_files, batch_format="pandas",
             fn_kwargs=dict(common, doclen_ref=doclen_ref),
         )
         built = result.to_pandas().to_dict("records")

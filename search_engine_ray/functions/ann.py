@@ -81,10 +81,14 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     import ray
 
     qref = ray.put(np.asarray(queries, dtype=np.float64))
+    # task-based on warm workers (pool.cached_stage): the stage state is
+    # one broadcast fetch + a normalize — actor-process spawn would cost
+    # more than the whole stage at bench scale
+    from search_engine_ray.pool import cached_stage
+
     local = ds.map_batches(
-        BatchTopK, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        cached_stage(BatchTopK, qref, k),
+        batch_format="pyarrow", batch_size=batch_size,
     )
     return local.groupby("query_id").map_groups(
         _final_topk, batch_format="pandas",

@@ -831,15 +831,21 @@ class CorpusFilterComposedBatch:
 
 
 def corpus_filter(ds, batch_size: int = 1024, **kw):
-    """The end-to-end webtext keep/reject gate (all signals fused)."""
+    """The end-to-end webtext keep/reject gate (all signals fused).
+
+    Runs TASK-based on warm workers (``pool.cached_stage``): the gate's
+    per-worker state is one broadcast-set fetch + regex compiles, so a
+    fresh actor pool's process-spawn wall (~1 s) would rival the whole
+    stage at bench scale; the cached-instance task twin keeps the
+    amortization without the spawn."""
     ev = eval_shingle_set(ds, kw.get("eval_mod", 10), kw.get("eval_rem", 7),
                           kw.get("k", 8))
     ev_ref = ray.put(ev)
+    from search_engine_ray.pool import cached_stage
+
     return ds.map_batches(
-        CorpusFilterBatch, fn_constructor_args=(ev_ref,),
-        fn_constructor_kwargs=kw,
+        cached_stage(CorpusFilterBatch, ev_ref, **kw),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=actor_pool_size(),
     )
 
 

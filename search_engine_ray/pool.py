@@ -20,3 +20,48 @@ def actor_pool_size(lo: int = 1, floor: int = 8) -> tuple[int, int]:
     except Exception:  # graph built before ray.init — stay conservative
         ncpu = floor
     return (lo, max(floor, ncpu))
+
+
+# Per-WORKER-PROCESS stage-instance cache for ``cached_stage`` (bounded:
+# a worker keeps the last few stage instances it has seen; entries are
+# per-wrapper tokens, so a new pipeline run never reuses stale state).
+_STAGE_CACHE: dict = {}
+_STAGE_CACHE_MAX = 8
+
+
+def cached_stage(cls, *args, **kwargs):
+    """A ``map_batches``-compatible FUNCTION that lazily constructs
+    ``cls(*args, **kwargs)`` once per worker process and reuses it
+    across tasks — the task-based twin of an actor pool, for stages
+    whose state is CHEAP to build (a broadcast ref fetch + regex
+    compile) but still worth amortizing across batches.
+
+    Why not an actor pool: Ray creates FRESH actor processes per
+    ``map_batches(Cls, ...)`` run (python spawn + imports, ~1 s wall on
+    the bench shape before the first batch moves), while plain tasks
+    ride the already-warm default workers and schedule onto any idle
+    CPU. At cluster scale with long-running stages both amortize to
+    nothing — actor pools stay the right tool for EXPENSIVE state
+    (models, loaded indexes, large dictionaries); this is for the
+    broadcast-lookup stages where spawn cost rivals the whole stage.
+
+    Workers run one task at a time per process, so the cached instance
+    never sees concurrent calls. The cache is keyed by a per-wrapper
+    token: two pipelines never share instances, and re-invoking the
+    same entry point builds fresh state (new broadcast refs ride the
+    new wrapper)."""
+    import uuid
+
+    token = uuid.uuid4().hex
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(token)
+        if inst is None:
+            if len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
+                _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+            inst = cls(*args, **kwargs)
+            _STAGE_CACHE[token] = inst
+        return inst(batch)
+
+    fn.__name__ = fn.__qualname__ = f"cached:{cls.__name__}"
+    return fn
