@@ -28,7 +28,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from search_engine_ray.pool import actor_pool_size
 
 from search_engine_ray.functions.textstats import round_half_away, token_regex
 
@@ -830,8 +829,12 @@ def simhash_near_dups(ds, max_hamming: int = 3, batch_size: int = 2048):
 
     # actor pool (class, not instance) so the term-hash memo lives for the
     # whole actor, not one task
-    sigs = ds.map_batches(SimHashBatch, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=actor_pool_size())
+    from search_engine_ray.pool import cached_stage
+
+    # warm-task twin of the actor pool; the per-worker term-hash memo
+    # still lives for the whole stage via the cached instance
+    sigs = ds.map_batches(cached_stage(SimHashBatch),
+                          batch_format="pyarrow", batch_size=batch_size)
     nb = resolve_num_buckets(None, ds)  # raw-input lineage (sigs has none)
     pairs = bucketed_group_agg(
         sigs, ["chunk_id", "chunk_val"], _simhash_bucket_pairs, nb)
@@ -1316,10 +1319,11 @@ def _verified_window_hashes(ds, window: int, num_buckets: int,
                     "start": pa.array(starts, pa.int64()),
                 })
 
+        from search_engine_ray.pool import cached_stage
+
         verified = ds.map_batches(
-            VerifyHash, fn_constructor_args=(cand_ref,),
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=actor_pool_size())
+            cached_stage(VerifyHash, cand_ref),
+            batch_format="pyarrow", batch_size=batch_size)
     else:
         # verify tier 2 (dup-heavy corpus, candidates exceed what the
         # driver should hold): tagged-union co-shuffle of candidates

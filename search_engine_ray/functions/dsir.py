@@ -37,7 +37,6 @@ import ray
 
 from search_engine_ray.functions.textstats import round_half_away, token_regex
 from search_engine_ray.functions.webtext import _MOD61, _md5_low61
-from search_engine_ray.pool import actor_pool_size
 
 
 def _hashed_features(toks: list[str], n_buckets: int) -> list[int]:
@@ -164,11 +163,13 @@ def dsir_weights(ds, n_buckets: int = 4096, eval_mod: int = 10,
     ratio_ref = ray.put(_dsir_model(model_ds if model_ds is not None
                                     else ds, n_buckets, eval_mod,
                                     eval_rem))
+    from search_engine_ray.pool import cached_stage
+
+    # warm-task twin of the actor pool: state = one broadcast fetch
     return ds.map_batches(
-        DsirWeightBatch,
-        fn_constructor_args=(ratio_ref, n_buckets, eval_mod, eval_rem),
+        cached_stage(DsirWeightBatch, ratio_ref, n_buckets, eval_mod,
+                     eval_rem),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=actor_pool_size(),
     )
 
 

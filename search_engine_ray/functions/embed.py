@@ -11,8 +11,8 @@ Ray Data shape for model inference:
 - ``__call__`` is fully vectorized per batch (compiled-regex tokenize,
   crc32 feature hashing, one dense scatter, one BLAS matmul, one
   normalize);
-- the pipeline wires it with ``map_batches(EmbedBatch, concurrency=
-  actor_pool_size(), batch_format="pyarrow")`` so the streaming
+- the pipeline wires it with ``map_batches(cached_stage(EmbedBatch,
+  ...), batch_format="pyarrow")`` (pool.py) so the streaming
   executor scales the pool and a 100-TB corpus flows through without
   materialization.
 
@@ -35,7 +35,6 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from search_engine_ray.pool import actor_pool_size
 
 N_FEATURES = 4096          # hashed feature buckets (2^12)
 DEFAULT_DIM = 64
@@ -90,7 +89,9 @@ def embed_documents(ds, dim: int = DEFAULT_DIM, seed: int = 0,
     ``EmbedBatch`` actor pool. Output schema matches what ann.py /
     vecindex.py consume (rename doc_id -> vec_id at the call site when
     an operator expects the embeddings-table names)."""
+    from search_engine_ray.pool import cached_stage
+
+    # warm-task twin of the actor pool (state = seeded projection setup)
     return ds.map_batches(
-        EmbedBatch, fn_constructor_kwargs={"dim": dim, "seed": seed},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=actor_pool_size())
+        cached_stage(EmbedBatch, dim=dim, seed=seed),
+        batch_format="pyarrow", batch_size=batch_size)

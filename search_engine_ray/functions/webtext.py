@@ -44,7 +44,6 @@ from search_engine_ray.functions.textstats import (
     round_half_away,
     token_regex,
 )
-from search_engine_ray.pool import actor_pool_size
 
 log = logging.getLogger(__name__)
 
@@ -257,10 +256,12 @@ def unigram_surprisal(ds, batch_size: int = 1024):
     against the broadcast model. High mean_nll = improbable/garbled text,
     low = repetitive/templated — the standard bucketing signal."""
     model_ref = ray.put(_unigram_model(ds))
+    from search_engine_ray.pool import cached_stage
+
+    # warm-task twin of the actor pool: state = one broadcast fetch
     return ds.map_batches(
-        SurprisalBatch, fn_constructor_args=(model_ref,),
+        cached_stage(SurprisalBatch, model_ref),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=actor_pool_size(),
     )
 
 
@@ -383,10 +384,11 @@ def bigram_surprisal(ds, batch_size: int = 1024, min_count: int = 1):
     each), pass 2 scores every doc against the broadcast models."""
     uni_ref = ray.put(_unigram_model(ds))
     bi_ref = ray.put(_bigram_model(ds, min_count=min_count))
+    from search_engine_ray.pool import cached_stage
+
     return ds.map_batches(
-        BigramSurprisalBatch, fn_constructor_args=(uni_ref, bi_ref),
+        cached_stage(BigramSurprisalBatch, uni_ref, bi_ref),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=actor_pool_size(),
     )
 
 
@@ -472,10 +474,11 @@ def decontaminate(ds, eval_mod: int = 10, eval_rem: int = 7, k: int = 8,
     (the eval slice itself is the benchmark, not training data)."""
     ev = eval_shingle_set(ds, eval_mod, eval_rem, k)
     ev_ref = ray.put(ev)
+    from search_engine_ray.pool import cached_stage
+
     return ds.map_batches(
-        DecontamBatch, fn_constructor_args=(ev_ref, eval_mod, eval_rem, k),
+        cached_stage(DecontamBatch, ev_ref, eval_mod, eval_rem, k),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=actor_pool_size(),
     )
 
 
