@@ -386,14 +386,17 @@ def run_bench() -> dict:
             eval_shingle_set,
         )
         from search_engine_ray.pipelines.documents import load_documents
-        from search_engine_ray.pool import actor_pool_size
 
         dset = load_documents(sf)
         ev_ref = ray.put(eval_shingle_set(dset))
+        # same execution style as the fused path (warm-task cached
+        # stage) so the pipeline A/B isolates kernel fusion, not actor
+        # spawn cost
+        from search_engine_ray.pool import cached_stage
+
         return dset.map_batches(
-            CorpusFilterComposedBatch, fn_constructor_args=(ev_ref,),
-            batch_format="pyarrow", batch_size=1024,
-            concurrency=actor_pool_size())
+            cached_stage(CorpusFilterComposedBatch, ev_ref),
+            batch_format="pyarrow", batch_size=1024)
 
     timed("corpus_filter_composed", composed_filter)
 
