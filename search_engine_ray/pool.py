@@ -55,12 +55,20 @@ def cached_stage(cls, *args, **kwargs):
     token = uuid.uuid4().hex
 
     def fn(batch):
-        inst = _STAGE_CACHE.get(token)
+        # resolve the cache via import AT CALL TIME: referencing the
+        # module global from this closure would make cloudpickle capture
+        # the whole dict BY VALUE, shipping every instance the DRIVER
+        # happens to have cached to each worker (bloat, and unpicklable
+        # instances poison unrelated stages)
+        from search_engine_ray import pool as _pool
+
+        cache = _pool._STAGE_CACHE
+        inst = cache.get(token)
         if inst is None:
-            if len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
-                _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+            if len(cache) >= _pool._STAGE_CACHE_MAX:
+                cache.pop(next(iter(cache)))
             inst = cls(*args, **kwargs)
-            _STAGE_CACHE[token] = inst
+            cache[token] = inst
         return inst(batch)
 
     fn.__name__ = fn.__qualname__ = f"cached:{cls.__name__}"
