@@ -294,13 +294,28 @@ def build_index(
         t0 = time.monotonic()
         invalidate(tokens_dir)
         # bound map-task count: every tokenize task writes one file per
-        # bucket it touches, so files-per-bucket == map tasks. 4x cluster
+        # bucket it touches, so files-per-bucket == map tasks. 2x cluster
         # CPUs keeps the pipeline busy without a small-file explosion
-        # (10k+ tiny files measurably slow the reducer reads).
+        # (10k+ tiny files measurably slow the reducer reads) — but only
+        # when the input is big enough to fill that many tasks: below
+        # ~1 MB of clean docs per map task the partitioned write's
+        # per-file overhead dominates the stage (interleaved A/B at the
+        # 50k-doc bench shape: 32 maps 1.36-2.05 s vs 64 maps
+        # 1.69-3.01 s, 32 wins every adjacent pair), so the count also
+        # caps at input_bytes/1MB (floor 16). Large corpora are
+        # unaffected: the byte cap passes 2xCPU long before 10x the
+        # bench scale, and the built index is byte-identical either way
+        # (reducers sort each bucket by (term, doc_id) regardless of
+        # map-file layout).
         import ray as _ray
 
-        n_blocks = cfg.token_write_blocks or max(
-            16, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+        from search_engine_ray.stages.agg import parquet_input_bytes
+
+        _cap = max(16, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+        _in_bytes = parquet_input_bytes(docs_clean)
+        n_blocks = cfg.token_write_blocks or (
+            _cap if _in_bytes is None
+            else max(16, min(_cap, -(-_in_bytes // (1 << 20)))))
         ds = rd.read_parquet(docs_clean, columns=["doc_id", "text"],
                              override_num_blocks=n_blocks)
         if not os.path.exists(os.path.join(index_root, ORDINALS_FILE)):
