@@ -294,24 +294,23 @@ def build_index(
         t0 = time.monotonic()
         invalidate(tokens_dir)
         # bound map-task count: every tokenize task writes one file per
-        # bucket it touches, so files-per-bucket == map tasks. 2x cluster
-        # CPUs keeps the pipeline busy without a small-file explosion
-        # (10k+ tiny files measurably slow the reducer reads) — but only
-        # when the input is big enough to fill that many tasks: below
-        # ~1 MB of clean docs per map task the partitioned write's
-        # per-file overhead dominates the stage (interleaved A/B at the
-        # 50k-doc bench shape: 32 maps 1.36-2.05 s vs 64 maps
-        # 1.69-3.01 s, 32 wins every adjacent pair), so the count also
-        # caps at input_bytes/1MB (floor 16). Large corpora are
-        # unaffected: the byte cap passes 2xCPU long before 10x the
-        # bench scale, and the built index is byte-identical either way
-        # (reducers sort each bucket by (term, doc_id) regardless of
-        # map-file layout).
+        # bucket it touches, so files-per-bucket == map tasks and the
+        # partitioned write's per-file overhead scales with the count.
+        # ONE wave of CPU-count tasks beats the old 2x-CPU sizing at
+        # both measured scales on this box (interleaved A/B, 32 vs 64
+        # maps at 32 cpus: 50k docs 1.36-2.05 s vs 1.69-3.01 s, 32 wins
+        # every adjacent pair; 500k docs tokenize 7.7-8.6 s vs
+        # 9.8-10.9 s) — the deeper wave's straggler overlap never pays
+        # for doubling the file count. Tiny inputs cap further at
+        # input_bytes/1MB (floor 16) so a few-hundred-doc build doesn't
+        # fan out at all. The built index is byte-identical at any
+        # count (reducers sort each bucket by (term, doc_id) regardless
+        # of map-file layout).
         import ray as _ray
 
         from search_engine_ray.stages.agg import parquet_input_bytes
 
-        _cap = max(16, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+        _cap = max(16, int(_ray.cluster_resources().get("CPU", 8)))
         _in_bytes = parquet_input_bytes(docs_clean)
         n_blocks = cfg.token_write_blocks or (
             _cap if _in_bytes is None
