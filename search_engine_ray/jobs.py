@@ -65,6 +65,22 @@ def cmd_query(args) -> int:
     from search_engine_ray.search import LocalSearcher
 
     where = _parse_where(getattr(args, "where", None))
+    text = getattr(args, "text", None)
+    if (text is None) == (args.terms is None):
+        raise SystemExit("query: pass exactly one of --terms or --text")
+    if text is not None:
+        from search_engine_ray.querystring import search_text
+
+        if args.sharded:
+            from search_engine_ray.sharded import ShardedSearcher
+
+            s = ShardedSearcher(args.index)
+        else:
+            s = LocalSearcher(args.index)
+        res = search_text(s, text, k=args.k, scorer=args.scorer,
+                          where=where)
+        print(json.dumps(res.to_pylist()))
+        return 0
     after = getattr(args, "after", None)
     if after is not None:
         after = (float(after[0]), int(after[1]))
@@ -1083,7 +1099,14 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
-    q.add_argument("--terms", nargs="+", required=True)
+    q.add_argument("--terms", nargs="+")
+    q.add_argument("--text",
+                   help="one-string query syntax (querystring.py): "
+                        'quoted phrases, "..."~N near, mil* prefix, '
+                        "m?la globs, /regex/, term~1/~2 fuzzy, "
+                        "AND/OR/NOT, car|auto synonym groups, "
+                        "field:value / field:lo..hi filters. "
+                        "Mutually exclusive with --terms/--type.")
     q.add_argument("--type", default="exact",
                    choices=["exact", "or", "and", "prefix", "contains",
                             "wildcard", "regex", "fuzzy", "fuzzy2",
